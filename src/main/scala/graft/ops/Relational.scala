@@ -1,0 +1,282 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core projection / filter / aggregate / window operators from
+  * SURVEY.md §2.2 (P1-P8), §2.4 (A1-A5), §2.5 (W1), §2.6 (O1), §2.8
+  * (F1-F12), re-expressed on the harness tables via the role mapping of
+  * SURVEY.md §7.2 (customer→patients, orders→admissions,
+  * lineitem→labevents, part→d_labitems, events→OMR/transfers).
+  *
+  * Reference semantics cited per op (file:line into /root/reference/).
+  */
+object Relational extends OpGroup {
+
+  /** Keyword terms for the concept filter analog of Stage_area.sql:92-95
+    * (`LOWER(label) LIKE '%sodium%' OR ...`) over the harness `part`
+    * vocabulary.
+    */
+  val conceptTerms: Seq[String] =
+    Seq("blue", "cold", "large", "red", "green", "small", "gold")
+
+  def keywordFilter(c: Column, terms: Seq[String]): Column =
+    terms.map(t => lower(c).contains(t)).reduce(_ || _)
+
+  // ---------------------------------------------------------------------
+  // A1 — GROUP BY + COUNT(*) + 2× COUNT(DISTINCT): agg_disorders_per_admission
+  // (DWH.sql:203-210). Admission grain → events.user_id.
+  // Scale note: single hash-agg shuffle on the grouping key; distinct
+  // counts expand then partial-aggregate map-side (Catalyst ExpandExec).
+  // ---------------------------------------------------------------------
+  def aggPerAdmission(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id").as("admission_id"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("event_type")).as("unique_concepts"),
+        countDistinct(col("ts").cast(DateType)).as("active_days"))
+
+  private val aggPerAdmissionSql =
+    """SELECT user_id AS admission_id,
+      |       COUNT(*) AS total_events,
+      |       COUNT(DISTINCT event_type) AS unique_concepts,
+      |       COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P1 — project + rename (Stage_area.sql:25-30 dim_patients).
+  // ---------------------------------------------------------------------
+  def projectRename(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(
+      col("c_custkey").as("patient_id"),
+      col("c_mktsegment").as("gender"),
+      col("c_acctbal").as("acct_balance"),
+      col("c_nationkey").as("nation_id"))
+
+  private val projectRenameSql =
+    """SELECT c_custkey AS patient_id, c_mktsegment AS gender,
+      |       c_acctbal AS acct_balance, c_nationkey AS nation_id
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P2/F12/F5 — sentinel-timestamp conform (Stage_area.sql:41-48):
+  // NULL/blank admittime → '1900-01-01', dischtime → '2999-12-31'.
+  // NULLs are manufactured deterministically (status 'P') since the
+  // harness orders table has no missing dates.
+  // ---------------------------------------------------------------------
+  private val loTs = "1900-01-01 00:00:00"
+  private val hiTs = "2999-12-31 23:59:59"
+
+  def sentinelConform(s: SparkSession, dir: String): DataFrame = {
+    val admitRaw = when(col("o_orderstatus") === "P",
+      lit(null).cast(TimestampType)).otherwise(col("o_orderdate"))
+    Tables.load(s, dir, "orders").select(
+      col("o_orderkey").as("admission_id"),
+      col("o_custkey").as("patient_id"),
+      when(admitRaw.isNull, to_timestamp(lit(loTs)))
+        .otherwise(admitRaw).as("admittime"),
+      when(admitRaw.isNull, to_timestamp(lit(hiTs)))
+        .otherwise(admitRaw + expr("INTERVAL 7 DAY")).as("dischtime"),
+      col("o_orderpriority").as("admission_type"))
+  }
+
+  private val sentinelConformSql =
+    s"""SELECT o_orderkey AS admission_id, o_custkey AS patient_id,
+       |  CASE WHEN o_orderstatus = 'P' THEN TIMESTAMP '$loTs'
+       |       ELSE o_orderdate END AS admittime,
+       |  CASE WHEN o_orderstatus = 'P' THEN TIMESTAMP '$hiTs'
+       |       ELSE o_orderdate + INTERVAL 7 DAY END AS dischtime,
+       |  o_orderpriority AS admission_type
+       |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P3/F2/F3 — multi-term LOWER(x) LIKE '%…%' OR-chain concept filter
+  // (Stage_area.sql:92-95). Pushed to the parquet scan as a residual
+  // filter after column pruning.
+  // ---------------------------------------------------------------------
+  def conceptKeywordFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part")
+      .filter(keywordFilter(col("p_name"), conceptTerms))
+      .select(
+        col("p_partkey").cast(StringType).as("code"),
+        col("p_name").as("concept_name"),
+        lit("Lab").as("concept_type"))
+
+  private val conceptKeywordFilterSql = {
+    val like = conceptTerms.map(t => s"lower(p_name) LIKE '%$t%'")
+      .mkString("\n   OR ")
+    s"""SELECT CAST(p_partkey AS VARCHAR) AS code, p_name AS concept_name,
+       |       'Lab' AS concept_type
+       |FROM part
+       |WHERE $like""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // P5/F4/M1 — regex-guarded text→numeric parse (Stage_area.sql:145-147):
+  // UPDATE … SET result_value_numeric = CAST(result_value AS DECIMAL(10,2))
+  // WHERE result_value REGEXP '^[0-9]+(\.[0-9]+)?$' → recomputation
+  // withColumn. The never-matching second column exercises the fail path.
+  // ---------------------------------------------------------------------
+  private val numRe = "^[0-9]+(\\.[0-9]+)?$"
+
+  def regexNumericParse(s: SparkSession, dir: String): DataFrame = {
+    val extracted = regexp_extract(col("props"), "\"k\": ([0-9]+(\\.[0-9]+)?)", 1)
+    Tables.load(s, dir, "events").select(
+      col("event_id"),
+      when(extracted.rlike(numRe), extracted.cast(DecimalType(10, 2)))
+        .as("result_value_numeric"),
+      when(col("event_type").rlike(numRe),
+        col("event_type").cast(DecimalType(10, 2))).as("type_numeric"))
+  }
+
+  private val regexNumericParseSql =
+    """SELECT event_id,
+      |  CASE WHEN regexp_matches(regexp_extract(props, '"k": ([0-9]+(\.[0-9]+)?)', 1), '^[0-9]+(\.[0-9]+)?$')
+      |       THEN CAST(regexp_extract(props, '"k": ([0-9]+(\.[0-9]+)?)', 1) AS DECIMAL(10,2)) END AS result_value_numeric,
+      |  CASE WHEN regexp_matches(event_type, '^[0-9]+(\.[0-9]+)?$')
+      |       THEN CAST(event_type AS DECIMAL(10,2)) END AS type_numeric
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // F7-F11/P8/A2 — dim_date at distinct-timestamp grain
+  // (Stage_area.sql:119-127, 289-301): year/month/weekday/dayname/
+  // monthname/is_weekend derived parts. Spark weekday() is 0=Mon (+1 →
+  // ISO dow, = DuckDB isodow); dayofweek() is 1=Sun (weekend = {1,7}).
+  // ---------------------------------------------------------------------
+  def dateDim(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderdate").as("date_id")).distinct()
+      .select(
+        col("date_id"),
+        year(col("date_id")).as("year"),
+        month(col("date_id")).as("month"),
+        (weekday(col("date_id")) + 1).as("day_of_week"),
+        date_format(col("date_id"), "EEEE").as("day_name"),
+        date_format(col("date_id"), "MMMM").as("month_name"),
+        dayofweek(col("date_id")).isin(1, 7).as("is_weekend"))
+
+  private val dateDimSql =
+    """SELECT DISTINCT o_orderdate AS date_id,
+      |  CAST(year(o_orderdate) AS INT) AS year,
+      |  CAST(month(o_orderdate) AS INT) AS month,
+      |  CAST(isodow(o_orderdate) AS INT) AS day_of_week,
+      |  dayname(o_orderdate) AS day_name,
+      |  monthname(o_orderdate) AS month_name,
+      |  dayofweek(o_orderdate) IN (0, 6) AS is_weekend
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W1 — deterministic surrogate keys (Stage_area.sql:56-58 ROW_NUMBER()
+  // OVER () + AUTO_INCREMENT PKs). Reference numbering is nondeterministic;
+  // we pin a natural-key total order (SURVEY.md §7.4.1). Single-partition
+  // window is acceptable for dimension-sized inputs only; fact-sized
+  // surrogate keys use the partitioned variant in Mutations/Stage.
+  // ---------------------------------------------------------------------
+  def surrogateKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(
+      row_number().over(Window.orderBy(col("c_custkey").asc))
+        .as("patient_key"),
+      col("c_custkey").as("patient_id"),
+      col("c_mktsegment").as("gender"))
+
+  private val surrogateKeysSql =
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey ASC) AS INT) AS patient_key,
+      |       c_custkey AS patient_id, c_mktsegment AS gender
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A2 — SELECT DISTINCT row dedup (DWH.sql:28-93, 111-118).
+  // ---------------------------------------------------------------------
+  def distinctDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+
+  private val distinctDedupSql =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
+  // ---------------------------------------------------------------------
+  // A3/J11/U1 — QA row-count report: scalar-subquery counts stitched with
+  // UNION ALL (QA.sql:13-59).
+  // ---------------------------------------------------------------------
+  def rowCountReport(s: SparkSession, dir: String): DataFrame =
+    Tables.all.map { n =>
+      Tables.load(s, dir, n)
+        .agg(count(lit(1)).as("row_count"))
+        .select(lit(n).as("table_name"), col("row_count"))
+    }.reduce(_ unionByName _)
+
+  private val rowCountReportSql = Tables.all.map { n =>
+    s"SELECT '$n' AS table_name, (SELECT COUNT(*) FROM $n) AS row_count"
+  }.mkString("\nUNION ALL\n")
+
+  // ---------------------------------------------------------------------
+  // A4 — SUM over an aggregate (QA.sql:67-71): COUNT(*) fact vs
+  // SUM(total_events) of the pre-aggregation, expected diff 0.
+  // ---------------------------------------------------------------------
+  def factAggConsistency(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.load(s, dir, "events")
+    val agg = aggPerAdmission(s, dir)
+    val factCnt = fact.agg(count(lit(1)).as("fact_rows"))
+    val aggSum = agg.agg(sum(col("total_events")).as("agg_total"))
+    factCnt.crossJoin(aggSum)
+      .select(col("fact_rows"), col("agg_total"),
+        (col("fact_rows") - col("agg_total")).as("diff"))
+  }
+
+  private val factAggConsistencySql =
+    """SELECT fact_rows, agg_total, fact_rows - agg_total AS diff
+      |FROM (SELECT COUNT(*) AS fact_rows FROM events),
+      |     (SELECT CAST(SUM(total_events) AS BIGINT) AS agg_total FROM
+      |        (SELECT user_id, COUNT(*) AS total_events FROM events GROUP BY user_id))""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A5/U1 — duplicate-PK detection: GROUP BY key HAVING COUNT(*)>1 in a
+  // derived table + outer COUNT (QA.sql:124-176), one row per table.
+  // ---------------------------------------------------------------------
+  private val dupKeyTables = Seq(
+    ("customer", "c_custkey"), ("orders", "o_orderkey"),
+    ("part", "p_partkey"), ("supplier", "s_suppkey"),
+    ("events", "event_id"))
+
+  def dupKeyReport(s: SparkSession, dir: String): DataFrame =
+    dupKeyTables.map { case (n, key) =>
+      Tables.load(s, dir, n)
+        .groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(count(lit(1)).as("dup_keys"))
+        .select(lit(n).as("table_name"), col("dup_keys"))
+    }.reduce(_ unionByName _)
+
+  private val dupKeyReportSql = dupKeyTables.map { case (n, key) =>
+    s"""SELECT '$n' AS table_name,
+       |  (SELECT COUNT(*) FROM (SELECT $key FROM $n GROUP BY $key HAVING COUNT(*) > 1) d) AS dup_keys""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  override val ops: Seq[Op] = Seq(
+    Op("a1_agg_per_admission", aggPerAdmission, Some(aggPerAdmissionSql),
+      "DWH.sql:203-210 pre-aggregation: COUNT(*) + 2x COUNT(DISTINCT) per admission"),
+    Op("p1_project_rename", projectRename, Some(projectRenameSql),
+      "Stage_area.sql:25-30 dim_patients projection"),
+    Op("p2_sentinel_conform", sentinelConform, Some(sentinelConformSql),
+      "Stage_area.sql:41-48 NULL→sentinel timestamp conform"),
+    Op("p3_keyword_filter", conceptKeywordFilter, Some(conceptKeywordFilterSql),
+      "Stage_area.sql:92-95 LOWER LIKE OR-chain concept filter"),
+    Op("p5_regex_numeric_parse", regexNumericParse, Some(regexNumericParseSql),
+      "Stage_area.sql:145-147 regex-guarded CAST to DECIMAL(10,2)"),
+    Op("f_date_dim", dateDim, Some(dateDimSql),
+      "Stage_area.sql:119-127,289-301 dim_date derived parts"),
+    Op("w1_surrogate_keys", surrogateKeys, Some(surrogateKeysSql),
+      "Stage_area.sql:56-58 ROW_NUMBER surrogate keys, deterministic order"),
+    Op("a2_distinct_dedup", distinctDedup, Some(distinctDedupSql),
+      "DWH.sql:28-93 SELECT DISTINCT dedup"),
+    Op("a3_row_count_report", rowCountReport, Some(rowCountReportSql),
+      "QA.sql:13-59 row-count parity report"),
+    Op("a4_fact_agg_consistency", factAggConsistency, Some(factAggConsistencySql),
+      "QA.sql:67-71 fact vs aggregate SUM consistency"),
+    Op("a5_dup_key_report", dupKeyReport, Some(dupKeyReportSql),
+      "QA.sql:124-176 duplicate-PK detection"))
+}

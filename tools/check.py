@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run each oracle SQL in
+DuckDB over the testdata parquet tables and compare to the Spark parquet
+dumps produced by `sbt "runMain graft.Verify <sfDir> <outDir>"`.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 6)
+    except ImportError:
+        pass
+    return v
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    with open(f"{OUT_DIR}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        spark_dir = f"{OUT_DIR}/{name}"
+        if not os.path.isdir(spark_dir):
+            print(f"MISSING  {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+            want = con.execute(sql)
+            want_cols = [d[0] for d in want.description]
+            want_rows = want.fetchall()
+        except Exception as e:
+            print(f"ERROR    {name}: {e}")
+            n_fail += 1
+            continue
+        gc, gr = canon(got_cols, got_rows)
+        wc, wr = canon(want_cols, want_rows)
+        if gc != wc:
+            print(f"SCHEMA   {name}: spark={gc} oracle={wc}")
+            n_fail += 1
+        elif gr != wr:
+            diff_g = [r for r in gr if r not in wr][:3]
+            diff_w = [r for r in wr if r not in gr][:3]
+            print(f"ROWS     {name}: spark={len(gr)} oracle={len(wr)}; "
+                  f"spark-only={diff_g} oracle-only={diff_w}")
+            n_fail += 1
+        else:
+            print(f"OK       {name}: {len(gr)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
