@@ -1,0 +1,374 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Join operators from SURVEY.md §2.3 (J1-J10) and the mutation→
+  * recomputation mappings of §2.9 (M2-M6). Role mapping per SURVEY.md §7.2.
+  *
+  * Mutation coverage: M1≡p5_regex_numeric_parse, M2≡j10 scalar backfill,
+  * M3≡j4 left interval backfill, M4≡j5 inner interval coalesce,
+  * M5≡j6 null-safe junk linkage, M6≡m6 guarded retention filter.
+  *
+  * Scale notes: dimension sides (part-derived concepts, customer, nation,
+  * region, junk dim, signup windows) are broadcast by Catalyst under the
+  * 10 MB default threshold; at 100 TB the fact side streams through
+  * BroadcastHashJoin with no shuffle. The interval joins shuffle once on
+  * the equi key (user_id) and resolve multi-matches with a window that
+  * reuses the same hash partitioning (event_id ⊂ shuffle on event_id).
+  */
+object Joins extends OpGroup {
+
+  // ---------------------------------------------------------------------
+  // J1/P6 — equi LEFT JOIN on cast-conformed key + constant predicate
+  // (Stage_area.sql:180-182: CAST(itemid AS CHAR)=code AND type='Lab').
+  // ---------------------------------------------------------------------
+  def leftJoinConformedKey(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val c = Relational.conceptKeywordFilter(s, dir)
+    li.join(c,
+        li("l_partkey").cast(StringType) === c("code") &&
+          c("concept_type") === "Lab", "left")
+      .select(li("l_orderkey"), li("l_linenumber"),
+        li("l_quantity").as("measurement_value"), c("concept_name"))
+  }
+
+  private val leftJoinConformedKeySql =
+    s"""SELECT l_orderkey, l_linenumber, l_quantity AS measurement_value, concept_name
+       |FROM lineitem l LEFT JOIN (${Relational.conceptSubquerySql}) c
+       |  ON CAST(l.l_partkey AS VARCHAR) = c.code AND c.concept_type = 'Lab'""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J2 — multi-way LEFT JOIN chain (Stage_area.sql:199-202): fact →
+  // admissions → concepts becomes events → customer → nation → region.
+  // ---------------------------------------------------------------------
+  def multiWayLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    e.join(c, e("user_id") === c("c_custkey"), "left")
+      .join(n, c("c_nationkey") === n("n_nationkey"), "left")
+      .join(r, n("n_regionkey") === r("r_regionkey"), "left")
+      .select(e("event_id"), e("user_id"),
+        c("c_name").as("patient_name"),
+        n("n_name").as("careunit"),
+        r("r_name").as("careunit_region"))
+  }
+
+  private val multiWayLeftJoinSql =
+    """SELECT e.event_id, e.user_id, c.c_name AS patient_name,
+      |       n.n_name AS careunit, r.r_name AS careunit_region
+      |FROM events e
+      |LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J3 — expression-key LEFT JOIN: TRIM(LOWER(a)) = TRIM(LOWER(b))
+  // (Stage_area.sql:218-220, OMR name match).
+  // ---------------------------------------------------------------------
+  def expressionKeyJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val d = e.select(upper(col("event_type")).as("type_name")).distinct()
+    e.join(d,
+        trim(lower(e("event_type"))) === trim(lower(d("type_name"))), "left")
+      .select(e("event_id"), d("type_name"))
+  }
+
+  private val expressionKeyJoinSql =
+    """SELECT e.event_id, d.type_name
+      |FROM events e LEFT JOIN
+      |  (SELECT DISTINCT upper(event_type) AS type_name FROM events) d
+      |  ON trim(lower(e.event_type)) = trim(lower(d.type_name))""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J4/M3 — interval LEFT join with deterministic tie-break
+  // (Stage_area.sql:237-245: event BETWEEN transfer window → careunit
+  // backfill; LEFT ⇒ no match overwrites with NULL). Transfers analog:
+  // signup events open a [ts, ts+3d] window per user. MariaDB's UPDATE
+  // picks an arbitrary match; we pin (earliest intime, smallest id) —
+  // SURVEY.md §7.4.2.
+  // ---------------------------------------------------------------------
+  def intervalJoinBackfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val f = ev.select(col("event_id"), col("user_id"), col("ts"))
+    val w = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("w_user_id"), col("ts").as("intime"),
+        (col("ts") + expr("INTERVAL 3 DAY")).as("outtime"),
+        col("event_id").as("careunit_id"))
+    val joined = f.join(w,
+      f("user_id") === col("w_user_id") &&
+        f("ts").between(col("intime"), col("outtime")), "left")
+    val rankW = Window.partitionBy(col("event_id"))
+      .orderBy(col("intime").asc_nulls_last, col("careunit_id").asc_nulls_last)
+    joined.withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("careunit_id"))
+  }
+
+  private val intervalJoinBackfillSql =
+    """WITH w AS (
+      |  SELECT user_id AS w_user_id, ts AS intime,
+      |         ts + INTERVAL 3 DAY AS outtime, event_id AS careunit_id
+      |  FROM events WHERE event_type = 'signup'),
+      |m AS (
+      |  SELECT f.event_id, f.user_id, f.ts, w.careunit_id,
+      |         ROW_NUMBER() OVER (PARTITION BY f.event_id
+      |           ORDER BY w.intime ASC NULLS LAST, w.careunit_id ASC NULLS LAST) AS rn
+      |  FROM events f LEFT JOIN w
+      |    ON f.user_id = w.w_user_id AND f.ts BETWEEN w.intime AND w.outtime)
+      |SELECT event_id, user_id, ts, careunit_id FROM m WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J5/M4 — interval INNER-update semantics (Stage_area.sql:251-256):
+  // matched rows take the joined provider_id, unmatched keep the old
+  // value → left join + COALESCE(new, old). Provider windows: purchase
+  // events open [ts, ts+2d]; prior provider is a derived non-null value
+  // so the kept-on-no-match path is observable.
+  // ---------------------------------------------------------------------
+  def intervalJoinCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val f = ev.select(col("event_id"), col("user_id"), col("ts"),
+      (col("user_id") % 7).as("old_provider"))
+    val w = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("w_user_id"), col("ts").as("intime"),
+        (col("ts") + expr("INTERVAL 2 DAY")).as("outtime"),
+        col("event_id").as("new_provider"))
+    val joined = f.join(w,
+      f("user_id") === col("w_user_id") &&
+        f("ts").between(col("intime"), col("outtime")), "left")
+    val rankW = Window.partitionBy(col("event_id"))
+      .orderBy(col("intime").asc_nulls_last, col("new_provider").asc_nulls_last)
+    joined.withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+      .select(col("event_id"),
+        coalesce(col("new_provider"), col("old_provider")).as("provider_id"))
+  }
+
+  private val intervalJoinCoalesceSql =
+    """WITH w AS (
+      |  SELECT user_id AS w_user_id, ts AS intime,
+      |         ts + INTERVAL 2 DAY AS outtime, event_id AS new_provider
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT f.event_id, f.user_id % 7 AS old_provider, w.new_provider,
+      |         ROW_NUMBER() OVER (PARTITION BY f.event_id
+      |           ORDER BY w.intime ASC NULLS LAST, w.new_provider ASC NULLS LAST) AS rn
+      |  FROM events f LEFT JOIN w
+      |    ON f.user_id = w.w_user_id AND f.ts BETWEEN w.intime AND w.outtime)
+      |SELECT event_id, COALESCE(new_provider, old_provider) AS provider_id
+      |FROM m WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J6/M5 — null-safe equality join for junk-dimension linkage
+  // (Stage_area.sql:262-283: DISTINCT triple → surrogate key → UPDATE
+  // join on (a IS NULL AND b IS NULL) OR a=b). Spark `<=>`; DuckDB
+  // IS NOT DISTINCT FROM.
+  // ---------------------------------------------------------------------
+  private def junkFact(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").select(
+      col("event_id"),
+      col("event_type").as("source_type"),
+      when(col("value") < 50, lit("mg"))
+        .when(col("value") < 150, lit("ml")).as("unit"),
+      when(col("user_id") % 5 === 0, lit(null).cast(StringType))
+        .otherwise((col("user_id") % 3).cast(StringType)).as("care"))
+
+  def nullSafeJunkJoin(s: SparkSession, dir: String): DataFrame = {
+    val f = junkFact(s, dir)
+    val w = Window.orderBy(col("source_type").asc_nulls_last,
+      col("unit").asc_nulls_last, col("care").asc_nulls_last)
+    val junk = f.select(col("source_type"), col("unit"), col("care"))
+      .distinct()
+      .select(col("source_type").as("j_source_type"), col("unit").as("j_unit"),
+        col("care").as("j_care"), row_number().over(w).as("junk_id"))
+    f.join(junk,
+        f("source_type") <=> col("j_source_type") &&
+          f("unit") <=> col("j_unit") && f("care") <=> col("j_care"), "left")
+      .select(col("event_id"), col("junk_id"))
+  }
+
+  private val nullSafeJunkJoinSql =
+    """WITH f AS (
+      |  SELECT event_id, event_type AS source_type,
+      |    CASE WHEN value < 50 THEN 'mg' WHEN value < 150 THEN 'ml' END AS unit,
+      |    CASE WHEN user_id % 5 = 0 THEN NULL
+      |         ELSE CAST(user_id % 3 AS VARCHAR) END AS care
+      |  FROM events),
+      |j AS (
+      |  SELECT source_type, unit, care,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY source_type ASC NULLS LAST,
+      |      unit ASC NULLS LAST, care ASC NULLS LAST) AS INT) AS junk_id
+      |  FROM (SELECT DISTINCT source_type, unit, care FROM f) d)
+      |SELECT f.event_id, j.junk_id
+      |FROM f LEFT JOIN j
+      |  ON f.source_type IS NOT DISTINCT FROM j.source_type
+      | AND f.unit IS NOT DISTINCT FROM j.unit
+      | AND f.care IS NOT DISTINCT FROM j.care""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J7 — anti-join (LEFT JOIN … WHERE right IS NULL): orphan detection
+  // (DWH.sql:150-177, QA.sql:79-116). Parts never ordered.
+  // ---------------------------------------------------------------------
+  def antiJoinOrphans(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+    // Restrict the right side so the orphan set is non-empty at every SF
+    // (every part appears in lineitem overall, none would be orphaned).
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1995)
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+  }
+
+  private val antiJoinOrphansSql =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey AND year(l_shipdate) = 1995)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J8 — NOT EXISTS conditional insert (DWH.sql:138-144: insert the
+  // 'Unknown' concept only if absent). Anti-join the candidate row
+  // against the dim, then union.
+  // ---------------------------------------------------------------------
+  def notExistsInsert(s: SparkSession, dir: String): DataFrame = {
+    val concepts = Relational.conceptKeywordFilter(s, dir)
+    val unknown = s.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row("UNK", "Unknown concept", "NA")),
+      StructType(Seq(
+        StructField("code", StringType, nullable = false),
+        StructField("concept_name", StringType, nullable = false),
+        StructField("concept_type", StringType, nullable = false))))
+    concepts.unionByName(
+      unknown.join(concepts, Seq("code"), "left_anti"))
+  }
+
+  private val notExistsInsertSql =
+    s"""WITH concepts AS (${Relational.conceptSubquerySql})
+       |SELECT code, concept_name, concept_type FROM concepts
+       |UNION ALL
+       |SELECT 'UNK' AS code, 'Unknown concept' AS concept_name, 'NA' AS concept_type
+       |WHERE NOT EXISTS (SELECT 1 FROM concepts WHERE code = 'UNK')""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J9 — USING(col) join for QA orphan counts (QA.sql:83-115).
+  // ---------------------------------------------------------------------
+  def usingJoinOrphanCounts(s: SparkSession, dir: String): DataFrame = {
+    val checks: Seq[(String, DataFrame, DataFrame, String, String)] = Seq(
+      ("orders_without_customer",
+        Tables.load(s, dir, "orders").select(col("o_custkey").as("k")),
+        Tables.load(s, dir, "customer").select(col("c_custkey").as("k"), col("c_name")),
+        "k", "c_name"),
+      ("lineitem_without_part",
+        Tables.load(s, dir, "lineitem").select(col("l_partkey").as("k")),
+        Tables.load(s, dir, "part").select(col("p_partkey").as("k"), col("p_name")),
+        "k", "p_name"),
+      ("events_without_customer",
+        Tables.load(s, dir, "events").select(col("user_id").as("k")),
+        Tables.load(s, dir, "customer").select(col("c_custkey").as("k"), col("c_name")),
+        "k", "c_name"))
+    checks.map { case (name, fact, dim, key, probe) =>
+      fact.join(dim, Seq(key), "left")
+        .filter(col(probe).isNull)
+        .agg(count(lit(1)).as("orphans"))
+        .select(lit(name).as("check_name"), col("orphans"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val usingJoinOrphanCountsSql =
+    """SELECT 'orders_without_customer' AS check_name, COUNT(*) AS orphans
+      |FROM (SELECT o_custkey AS k FROM orders) f
+      |LEFT JOIN (SELECT c_custkey AS k, c_name FROM customer) d USING (k)
+      |WHERE d.c_name IS NULL
+      |UNION ALL
+      |SELECT 'lineitem_without_part', COUNT(*)
+      |FROM (SELECT l_partkey AS k FROM lineitem) f
+      |LEFT JOIN (SELECT p_partkey AS k, p_name FROM part) d USING (k)
+      |WHERE d.p_name IS NULL
+      |UNION ALL
+      |SELECT 'events_without_customer', COUNT(*)
+      |FROM (SELECT user_id AS k FROM events) f
+      |LEFT JOIN (SELECT c_custkey AS k, c_name FROM customer) d USING (k)
+      |WHERE d.c_name IS NULL""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J10/O1/M2 — uncorrelated scalar subquery backfill
+  // (Stage_area.sql:225-231: SET concept_id = (SELECT id … LIMIT 1)
+  // WHERE concept_id IS NULL). LIMIT 1 without ORDER BY is
+  // nondeterministic in MariaDB; pinned to MIN (SURVEY.md §7.4.2). The
+  // 1-row scalar is cross-joined (broadcast nested loop), never
+  // collect()ed.
+  // ---------------------------------------------------------------------
+  def scalarSubqueryBackfill(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val c = Relational.conceptKeywordFilter(s, dir).select(col("code"))
+    val unknown = Tables.load(s, dir, "part")
+      .agg(min(col("p_partkey")).cast(StringType).as("unknown_code"))
+    li.join(c, li("l_partkey").cast(StringType) === c("code"), "left")
+      .crossJoin(broadcast(unknown))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("code"), col("unknown_code")).as("concept_code"))
+  }
+
+  private val scalarSubqueryBackfillSql =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  COALESCE(c.code, (SELECT CAST(MIN(p_partkey) AS VARCHAR) FROM part)) AS concept_code
+       |FROM lineitem l
+       |LEFT JOIN (SELECT code FROM (${Relational.conceptSubquerySql}) cc) c
+       |  ON CAST(l.l_partkey AS VARCHAR) = c.code""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // M6 — guarded orphan delete (DWH.sql:150-177): DELETE fact rows whose
+  // non-NULL FK has no dim match; NULL-FK rows are kept (guarded form
+  // `fk IS NOT NULL AND no-match`). Retention filter = NULL-FK rows ∪
+  // semi-join survivors.
+  // ---------------------------------------------------------------------
+  def guardedOrphanDelete(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.load(s, dir, "events").select(
+      col("event_id"),
+      when(col("event_type") === "error", lit(null).cast(LongType))
+        .otherwise(col("user_id")).as("patient_id"))
+    val dim = Tables.load(s, dir, "customer")
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("patient_id"))
+    f.filter(col("patient_id").isNull)
+      .unionByName(f.join(dim, Seq("patient_id"), "left_semi"))
+  }
+
+  private val guardedOrphanDeleteSql =
+    """WITH f AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS patient_id
+      |  FROM events),
+      |d AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+      |SELECT event_id, patient_id FROM f
+      |WHERE patient_id IS NULL
+      |   OR EXISTS (SELECT 1 FROM d WHERE d.c_custkey = f.patient_id)""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("j1_left_join_conformed_key", leftJoinConformedKey, Some(leftJoinConformedKeySql),
+      "Stage_area.sql:180-182 cast-key LEFT JOIN with constant predicate"),
+    Op("j2_multiway_left_join", multiWayLeftJoin, Some(multiWayLeftJoinSql),
+      "Stage_area.sql:199-202 chained LEFT JOINs"),
+    Op("j3_expression_key_join", expressionKeyJoin, Some(expressionKeyJoinSql),
+      "Stage_area.sql:218-220 TRIM(LOWER()) expression-key join"),
+    Op("j4_interval_backfill", intervalJoinBackfill, Some(intervalJoinBackfillSql),
+      "Stage_area.sql:237-245 LEFT interval join careunit backfill (M3)"),
+    Op("j5_interval_coalesce", intervalJoinCoalesce, Some(intervalJoinCoalesceSql),
+      "Stage_area.sql:251-256 INNER-update interval join provider link (M4)"),
+    Op("j6_null_safe_junk_join", nullSafeJunkJoin, Some(nullSafeJunkJoinSql),
+      "Stage_area.sql:262-283 junk dim build + null-safe linkage (M5)"),
+    Op("j7_anti_join_orphans", antiJoinOrphans, Some(antiJoinOrphansSql),
+      "DWH.sql:150-177 / QA.sql:79-116 anti-join orphan detection"),
+    Op("j8_not_exists_insert", notExistsInsert, Some(notExistsInsertSql),
+      "DWH.sql:138-144 NOT EXISTS conditional insert"),
+    Op("j9_using_join_orphan_counts", usingJoinOrphanCounts, Some(usingJoinOrphanCountsSql),
+      "QA.sql:83-115 USING(col) orphan-count checks"),
+    Op("j10_scalar_backfill", scalarSubqueryBackfill, Some(scalarSubqueryBackfillSql),
+      "Stage_area.sql:225-231 scalar-subquery Unknown backfill (M2/O1)"),
+    Op("m6_guarded_orphan_delete", guardedOrphanDelete, Some(guardedOrphanDeleteSql),
+      "DWH.sql:150-177 guarded orphan DELETE as retention filter"))
+}

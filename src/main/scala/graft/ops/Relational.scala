@@ -106,7 +106,10 @@ object Relational extends OpGroup {
         col("p_name").as("concept_name"),
         lit("Lab").as("concept_type"))
 
-  private val conceptKeywordFilterSql = {
+  /** Reusable oracle-SQL fragment for the concept dim (used by Joins). */
+  def conceptSubquerySql: String = conceptKeywordFilterSql
+
+  private[ops] val conceptKeywordFilterSql = {
     val like = conceptTerms.map(t => s"lower(p_name) LIKE '%$t%'")
       .mkString("\n   OR ")
     s"""SELECT CAST(p_partkey AS VARCHAR) AS code, p_name AS concept_name,
