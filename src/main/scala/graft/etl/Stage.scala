@@ -1,0 +1,291 @@
+package graft.etl
+
+import graft.Tables
+import graft.ops.Relational
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Stage phase — Stage_area.sql semantics (raw → staging) over the
+  * role-mapped harness tables (SURVEY.md §7.2):
+  * customer→patients, orders→admissions, part→d_labitems (Lab concepts),
+  * o_orderpriority→ICD codes (Diagnosis concepts), events→OMR + transfers
+  * (signup events open careunit windows, purchase events are providers).
+  *
+  * Dataflow order mirrors Stage_area.sql (SURVEY.md §3.1): dims → concepts
+  * → omr_filtered + numeric parse → fact from 3 sources (U2) → enrichment
+  * chain M2→M3→M4→M5 (sequential dependency: careunit backfill precedes
+  * the junk-dim build which reads it) → dim_date fill.
+  *
+  * Scale notes: concept/junk/provider dims are broadcast-sized; the fact
+  * enrichment interval joins shuffle on patient_id once each and resolve
+  * multi-matches with a row_number window partitioned by the fact surrogate
+  * key. The global surrogate-key window (event_key) is single-partition —
+  * at 100 TB replace with per-partition zipWithIndex + offset; kept here
+  * because the oracle needs a total order (SURVEY.md §7.4.1).
+  */
+object Stage {
+
+  val loTs = "1900-01-01 00:00:00"
+  val hiTs = "2999-12-31 23:59:59"
+
+  /** OMR keyword filter terms (Stage_area.sql:136-138 analog). */
+  val omrTerms: Seq[String] = Seq("click", "view", "purchase")
+
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  // ---- dims --------------------------------------------------------------
+
+  /** dim_patients (Stage_area.sql:25-30). */
+  def dimPatients(s: SparkSession, dir: String): DataFrame =
+    Relational.projectRename(s, dir)
+
+  /** dim_admissions with sentinel conform (Stage_area.sql:36-50). */
+  def dimAdmissions(s: SparkSession, dir: String): DataFrame =
+    Relational.sentinelConform(s, dir)
+
+  /** dim_provider (Stage_area.sql:56-70): transfers analog = purchase
+    * events; ROW_NUMBER surrogate key over a pinned natural order.
+    */
+  def dimProvider(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("provider_id"),
+        col("user_id").as("patient_id"),
+        col("ts").as("intime"),
+        (col("ts") + expr("INTERVAL 2 DAY")).as("outtime"))
+      .withColumn("provider_key",
+        row_number().over(Window.orderBy(col("provider_id").asc)))
+
+  /** Lab concepts (Stage_area.sql:85-95 keyword-filtered d_labitems). */
+  def conceptsLab(s: SparkSession, dir: String): DataFrame =
+    Relational.conceptKeywordFilter(s, dir)
+
+  /** Diagnosis concepts (Stage_area.sql:98-109 analog: order priorities). */
+  def conceptsDx(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("code"),
+        col("o_orderpriority").as("concept_name"),
+        lit("Diagnosis").as("concept_type"))
+      .distinct()
+
+  /** omr_filtered working table (Stage_area.sql:133-147): keyword filter +
+    * ALTER TABLE ADD COLUMN (S7) + regex-guarded numeric parse (M1).
+    */
+  def omrFiltered(s: SparkSession, dir: String): DataFrame = {
+    val extracted =
+      regexp_extract(col("props"), "\"k\": ([0-9]+(\\.[0-9]+)?)", 1)
+    events(s, dir)
+      .filter(Relational.keywordFilter(col("event_type"), omrTerms))
+      .withColumn("result_value_numeric",
+        when(extracted.rlike("^[0-9]+(\\.[0-9]+)?$"),
+          extracted.cast(DecimalType(10, 2))))
+  }
+
+  /** OMR concepts, joined back by case-insensitive name (J3 feed). */
+  def conceptsOmr(s: SparkSession, dir: String): DataFrame =
+    omrFiltered(s, dir)
+      .select(upper(col("event_type")).as("code"),
+        upper(col("event_type")).as("concept_name"),
+        lit("OMR").as("concept_type"))
+      .distinct()
+
+  /** dim_concepts: 3-source union + conditional Unknown member
+    * (Stage_area.sql:76-113, S6/J8).
+    */
+  def dimConcepts(s: SparkSession, dir: String): DataFrame = {
+    val all3 = conceptsLab(s, dir)
+      .unionByName(conceptsDx(s, dir))
+      .unionByName(conceptsOmr(s, dir))
+    val unknown = s.createDataFrame(
+      java.util.List.of(Row("UNK", "Unknown concept", "NA")),
+      StructType(Seq(
+        StructField("code", StringType, nullable = false),
+        StructField("concept_name", StringType, nullable = false),
+        StructField("concept_type", StringType, nullable = false))))
+    all3.unionByName(unknown.join(all3, Seq("code"), "left_anti"))
+  }
+
+  // ---- fact (U2: 3-source union, Stage_area.sql:153-222) -----------------
+
+  private val factCols = Seq("patient_id", "admission_id", "concept_code",
+    "event_datetime", "measurement_value", "measurement_unit", "source_type")
+
+  /** Lab source (Stage_area.sql:169-185): cast-conformed concept join (J1),
+    * orders joined for the patient key (J2), P4 null guards.
+    */
+  def factLab(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = conceptsLab(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, li("l_partkey").cast(StringType) === c("code") &&
+        c("concept_type") === "Lab", "left")
+      .filter(o("o_custkey").isNotNull && li("l_orderkey").isNotNull)
+      .select(
+        o("o_custkey").as("patient_id"),
+        li("l_orderkey").as("admission_id"),
+        c("code").as("concept_code"),
+        li("l_shipdate").as("event_datetime"),
+        // Decimal round-trip: Java 17 Double.toString is not shortest-
+        // round-trip (unlike DuckDB's), so raw double→string would drift.
+        li("l_quantity").cast(DecimalType(12, 2)).cast(StringType)
+          .as("measurement_value"),
+        lit("qty").as("measurement_unit"),
+        lit("lab").as("source_type"))
+  }
+
+  /** Diagnosis source (Stage_area.sql:188-204): COALESCE event time (P7). */
+  def factDx(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val d = conceptsDx(s, dir)
+    o.join(d, o("o_orderpriority") === d("code"), "left")
+      .filter(o("o_custkey").isNotNull && o("o_orderkey").isNotNull)
+      .select(
+        o("o_custkey").as("patient_id"),
+        o("o_orderkey").as("admission_id"),
+        d("code").as("concept_code"),
+        coalesce(o("o_orderdate"), to_timestamp(lit(loTs)))
+          .as("event_datetime"),
+        lit(null).cast(StringType).as("measurement_value"),
+        lit(null).cast(StringType).as("measurement_unit"),
+        lit("diagnosis").as("source_type"))
+  }
+
+  /** OMR source (Stage_area.sql:207-222): expression-key concept join (J3). */
+  def factOmr(s: SparkSession, dir: String): DataFrame = {
+    val m = omrFiltered(s, dir)
+    val c = dimConcepts(s, dir)
+    m.join(c, trim(lower(m("event_type"))) === trim(lower(c("concept_name"))),
+        "left")
+      .filter(m("user_id").isNotNull)
+      .select(
+        m("user_id").as("patient_id"),
+        lit(null).cast(LongType).as("admission_id"),
+        c("code").as("concept_code"),
+        m("ts").as("event_datetime"),
+        m("result_value_numeric").cast(StringType).as("measurement_value"),
+        lit(null).cast(StringType).as("measurement_unit"),
+        lit("omr").as("source_type"))
+  }
+
+  /** Raw fact: U2 union + deterministic surrogate event_key (W1/C1,
+    * SURVEY.md §7.4.1 total order).
+    */
+  def factRaw(s: SparkSession, dir: String): DataFrame = {
+    val u = factLab(s, dir)
+      .unionByName(factDx(s, dir))
+      .unionByName(factOmr(s, dir))
+    val w = Window.orderBy(
+      col("source_type").asc_nulls_last, col("patient_id").asc_nulls_last,
+      col("admission_id").asc_nulls_last, col("event_datetime").asc_nulls_last,
+      col("concept_code").asc_nulls_last,
+      col("measurement_value").asc_nulls_last)
+    u.withColumn("event_key", row_number().over(w))
+  }
+
+  /** Enrichment chain (Stage_area.sql:225-283), order-sensitive:
+    * M2 Unknown backfill → M3 careunit interval backfill (LEFT: no match ⇒
+    * NULL) → M4 provider interval link (INNER-update: no match ⇒ untouched,
+    * here NULL) → M5 junk-dim null-safe linkage.
+    */
+  def factEnriched(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+
+    // M2: scalar Unknown backfill (Stage_area.sql:225-231)
+    val f2 = factRaw(s, dir)
+      .withColumn("concept_code", coalesce(col("concept_code"), lit("UNK")))
+
+    // M3: careunit backfill from signup windows (Stage_area.sql:237-245)
+    val cuW = ev.filter(col("event_type") === "signup").select(
+      col("user_id").as("w_user"), col("ts").as("intime"),
+      (col("ts") + expr("INTERVAL 3 DAY")).as("outtime"),
+      (col("event_id") % 4).cast(StringType).as("w_careunit"),
+      col("event_id").as("w_id"))
+    val r3 = Window.partitionBy(col("event_key"))
+      .orderBy(col("intime").asc_nulls_last, col("w_id").asc_nulls_last)
+    val f3 = f2.join(cuW,
+        f2("patient_id") === cuW("w_user") &&
+          f2("event_datetime").between(cuW("intime"), cuW("outtime")), "left")
+      .withColumn("rn", row_number().over(r3))
+      .filter(col("rn") === 1)
+      .select((("event_key" +: factCols).map(col) :+
+        col("w_careunit").as("careunit")): _*)
+
+    // M4: provider linkage from purchase windows (Stage_area.sql:251-256)
+    val pvW = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("w_user"), col("ts").as("intime"),
+      (col("ts") + expr("INTERVAL 2 DAY")).as("outtime"),
+      col("event_id").as("w_provider"))
+    val r4 = Window.partitionBy(col("event_key"))
+      .orderBy(col("intime").asc_nulls_last, col("w_provider").asc_nulls_last)
+    val f4 = f3.join(pvW,
+        f3("patient_id") === pvW("w_user") &&
+          f3("event_datetime").between(pvW("intime"), pvW("outtime")), "left")
+      .withColumn("rn", row_number().over(r4))
+      .filter(col("rn") === 1)
+      .select((("event_key" +: factCols).map(col) :+ col("careunit") :+
+        col("w_provider").as("provider_id")): _*)
+
+    // M5: junk dim + null-safe linkage (Stage_area.sql:262-283).
+    // The enriched fact is referenced by dim_date, dim_junk, the DWH dedup
+    // and ~20 QA scalar checks — cache it (Spark's cache manager matches
+    // canonicalized plans, so every Stage.build call shares one entry).
+    val junk = dimJunkFrom(f4)
+    f4.join(broadcast(junk),
+        f4("source_type") <=> junk("j_source_type") &&
+          f4("measurement_unit") <=> junk("j_unit") &&
+          f4("careunit") <=> junk("j_careunit"), "left")
+      .select((("event_key" +: factCols).map(col) :+ col("careunit") :+
+        col("provider_id") :+ col("junk_id")): _*)
+      .cache()
+  }
+
+  /** dim_junk from the enriched fact (Stage_area.sql:262-275). */
+  private[etl] def dimJunkFrom(f: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("j_source_type").asc_nulls_last,
+      col("j_unit").asc_nulls_last, col("j_careunit").asc_nulls_last)
+    f.select(col("source_type").as("j_source_type"),
+        col("measurement_unit").as("j_unit"), col("careunit").as("j_careunit"))
+      .distinct()
+      .withColumn("junk_id", row_number().over(w))
+  }
+
+  def dimJunk(s: SparkSession, dir: String): DataFrame = {
+    val f = factEnriched(s, dir)
+    f.select(col("source_type"), col("measurement_unit"), col("careunit"),
+      col("junk_id")).distinct()
+  }
+
+  /** dim_date at distinct-timestamp grain from the fact
+    * (Stage_area.sql:119-127, 289-301).
+    */
+  def dimDate(s: SparkSession, dir: String): DataFrame =
+    dimDateFrom(factEnriched(s, dir))
+
+  private[etl] def dimDateFrom(fact: DataFrame): DataFrame =
+    fact.select(col("event_datetime").as("date_id")).distinct()
+      .select(
+        col("date_id"),
+        year(col("date_id")).as("year"),
+        month(col("date_id")).as("month"),
+        (weekday(col("date_id")) + 1).as("day_of_week"),
+        date_format(col("date_id"), "EEEE").as("day_name"),
+        date_format(col("date_id"), "MMMM").as("month_name"),
+        dayofweek(col("date_id")).isin(1, 7).as("is_weekend"))
+
+  /** Full stage layer as a named map (SURVEY.md §3.4 lifecycle). */
+  def build(s: SparkSession, dir: String): Map[String, DataFrame] = {
+    val fact = factEnriched(s, dir)
+    Map(
+      "dim_patients" -> dimPatients(s, dir),
+      "dim_admissions" -> dimAdmissions(s, dir),
+      "dim_provider" -> dimProvider(s, dir),
+      "dim_concepts" -> dimConcepts(s, dir),
+      "dim_junk" -> fact.select(col("source_type"), col("measurement_unit"),
+        col("careunit"), col("junk_id")).distinct(),
+      "dim_date" -> dimDateFrom(fact),
+      "fact" -> fact)
+  }
+}

@@ -57,7 +57,7 @@ object Relational extends OpGroup {
       col("c_acctbal").as("acct_balance"),
       col("c_nationkey").as("nation_id"))
 
-  private val projectRenameSql =
+  private[graft] val projectRenameSql =
     """SELECT c_custkey AS patient_id, c_mktsegment AS gender,
       |       c_acctbal AS acct_balance, c_nationkey AS nation_id
       |FROM customer""".stripMargin
@@ -84,7 +84,7 @@ object Relational extends OpGroup {
       col("o_orderpriority").as("admission_type"))
   }
 
-  private val sentinelConformSql =
+  private[graft] val sentinelConformSql =
     s"""SELECT o_orderkey AS admission_id, o_custkey AS patient_id,
        |  CASE WHEN o_orderstatus = 'P' THEN TIMESTAMP '$loTs'
        |       ELSE o_orderdate END AS admittime,

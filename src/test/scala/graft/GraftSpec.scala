@@ -1,0 +1,96 @@
+package graft
+
+import graft.etl.{Dwh, Qa, Stage}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level invariants on sf0.001 (fast, in-process). The DuckDB
+  * oracle (tools/check.py / driver t2) covers exact values; these specs
+  * cover semantic invariants the oracle can't see (SURVEY.md §5).
+  */
+class GraftSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query executes at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("every query has an oracle or documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Non-SQL-expressible ops are allowed to omit; list them explicitly.
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+  }
+
+  test("sentinel conform leaves no null timestamps") {
+    val df = ops.Relational.sentinelConform(spark, dir)
+    assert(df.filter(col("admittime").isNull || col("dischtime").isNull)
+      .count() == 0)
+  }
+
+  test("date dim parts are internally consistent") {
+    val df = ops.Relational.dateDim(spark, dir)
+    assert(df.filter(!col("day_of_week").between(1, 7)).count() == 0)
+    // ISO dow 6/7 (Sat/Sun) <=> is_weekend
+    assert(df.filter(col("is_weekend") =!=
+      col("day_of_week").isin(6, 7)).count() == 0)
+    assert(df.filter(col("day_name") === "Sunday" &&
+      col("day_of_week") =!= 7).count() == 0)
+  }
+
+  test("junk dim is bijective: every fact row maps to exactly one junk_id") {
+    val fact = Stage.factEnriched(spark, dir).cache()
+    assert(fact.filter(col("junk_id").isNull).count() == 0)
+    val triples = fact.select("source_type", "measurement_unit", "careunit")
+      .distinct().count()
+    val junkIds = fact.select("junk_id").distinct().count()
+    assert(triples == junkIds)
+  }
+
+  test("interval backfill preserves row count (multi-match dedup)") {
+    val ev = Tables.load(spark, dir, "events").count()
+    assert(ops.Joins.intervalJoinBackfill(spark, dir).count() == ev)
+    assert(ops.Joins.intervalJoinCoalesce(spark, dir).count() == ev)
+  }
+
+  test("guarded orphan delete keeps NULL-FK rows") {
+    val df = ops.Joins.guardedOrphanDelete(spark, dir)
+    assert(df.filter(col("patient_id").isNull).count() > 0)
+  }
+
+  test("fact enrichment: concept backfill leaves no null concept") {
+    val fact = Stage.factEnriched(spark, dir)
+    assert(fact.filter(col("concept_code").isNull).count() == 0)
+  }
+
+  test("dwh fact vs aggregate consistency") {
+    val dwh = Dwh.build(spark, dir)
+    val factCnt = dwh("fact").count()
+    val aggSum = dwh("agg_disorders_per_admission")
+      .agg(sum("total_events")).head.getLong(0)
+    assert(factCnt == aggSum)
+  }
+
+  test("qa report: all expected-zero checks are zero") {
+    val bad = Qa.report(spark, dir)
+      .filter(col("check_name").startsWith("orphans_") ||
+        col("check_name").startsWith("dups_"))
+      .filter(col("diff") =!= 0)
+    assert(bad.count() == 0)
+  }
+}
