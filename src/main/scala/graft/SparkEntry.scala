@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private def groups: Seq[OpGroup] = Seq(Relational, Joins, graft.etl.Pipeline)
+  private def groups: Seq[OpGroup] =
+    Seq(Relational, Joins, graft.etl.Pipeline, TextOps, DedupOps, SimilarityOps)
 
   private lazy val allOps: Seq[Op] = {
     val ops = groups.flatMap(_.ops)

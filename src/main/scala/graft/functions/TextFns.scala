@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reusable text-analysis Column builders for the training-data-pipeline
+  * operators (tokenization, quality signals, fingerprints, shingles,
+  * MinHash). Everything composes `org.apache.spark.sql.functions` only —
+  * codegen-friendly, no UDFs — so filters and projections stay inside
+  * whole-stage codegen and push down to the scan.
+  *
+  * Hash choice: md5 (hex string) rather than Spark's murmur3 `hash()`
+  * because the DuckDB oracle must reproduce the identical value; the
+  * lexicographic MIN over md5 hex strings is a uniform MinHash.
+  */
+object TextFns {
+
+  /** Whitespace tokenizer (leading/trailing trimmed so Spark and DuckDB
+    * agree on empty-token handling).
+    */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish byte-pair-encoding surrogate: letter runs, single digits,
+    * single punctuation marks.
+    */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
+
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
+
+  def stopCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(stopwords: _*)))
+
+  /** Count of non-alphanumeric, non-space characters. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
+
+  /** Canonical normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics, collapse whitespace.
+    */
+  def normalize(c: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(trim(c)), "[^a-z0-9\\s]", ""), "\\s+", " ")
+
+  /** Document fingerprint: md5 of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Distinct word 3-gram shingles. Short docs (<3 words) yield their
+    * whole text as one shingle.
+    */
+  def shingles3(c: Column): Column = {
+    val words = tokens(c)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - 3, lit(0))),
+      i => concat_ws(" ", slice(words, i + lit(1), lit(3)))))
+  }
+
+  /** MinHash signature: for seed s, min over shingles of md5(s|shingle).
+    * Returns an array of `seeds` hex strings.
+    */
+  def minhash(shingles: Column, seeds: Int): Column =
+    transform(sequence(lit(0), lit(seeds - 1)),
+      s => array_min(transform(shingles,
+        x => md5(concat(s.cast(StringType), lit("|"), x)))))
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double with a deterministic left-fold (index order) so the oracle
+    * reproduces it bit-for-bit before rounding.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def d(x: Column) = transform(x, v => v.cast(DoubleType))
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0d), (acc, v) => acc + v)
+    val (ad, bd) = (d(a), d(b))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline over
+  * `documents`: exact (hash group-by), MinHash+LSH banding, SimHash,
+  * n-gram Jaccard on LSH candidates.
+  *
+  * Scale design (100 TB): exact dedup is one shuffle on the content hash;
+  * MinHash banding turns all-pairs O(N²) into a shuffle on (band, sig)
+  * where only bucket-mates join — the self-join runs on the exploded
+  * band table, never the corpus. Jaccard verification touches only LSH
+  * candidate pairs. Signatures are md5-based so the DuckDB oracle
+  * reproduces them exactly (no murmur3 in DuckDB).
+  */
+object DedupOps extends OpGroup {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  val numHashes = 8
+  val numBands = 4 // 4 bands × 2 rows — high recall for near-dups
+
+  // ---------------------------------------------------------------------
+  // Exact dedup: group by content hash, keep the smallest doc_id.
+  // ---------------------------------------------------------------------
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("copies"))
+
+  private val exactDedupSql =
+    """SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH banding: shingle → minhash(8) → 4 bands of 2 →
+  // candidate pairs sharing any band signature.
+  // ---------------------------------------------------------------------
+  private def bandTable(s: SparkSession, dir: String): DataFrame = {
+    val mh = docs(s, dir).select(
+      col("doc_id"),
+      minhash(shingles3(col("text")), numHashes).as("mh"))
+    val rows = numHashes / numBands
+    mh.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => struct(b.as("band"),
+            md5(concat_ws("", slice(col("mh"), b * rows + lit(1), lit(rows))))
+              .as("sig")))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val b = bandTable(s, dir)
+    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val c = b.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(c, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  private val shinglesSql =
+    """SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(words) - 3, 0) + 1),
+      |    i -> array_to_string(words[i+1:i+3], ' '))) AS sh
+      |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      |      FROM documents) w""".stripMargin
+
+  private val bandSql =
+    s"""SELECT doc_id, CAST(t.b AS INT) AS band,
+       |  md5(array_to_string(mh[t.b*2+1:t.b*2+2], '')) AS sig
+       |FROM (
+       |  SELECT doc_id, list_transform(range(0, $numHashes),
+       |    s -> list_min(list_transform(sh, x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS mh
+       |  FROM (%SHINGLES%) shingled) m, range(0, $numBands) t(b)""".stripMargin
+      .replace("%SHINGLES%", shinglesSql)
+
+  private val minhashLshSql =
+    s"""WITH bands AS ($bandSql)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SimHash (8-dim, md5-hex-digit projections): per token, dim j votes
+  // +1/-1 by whether hex digit j of md5(token) is >= '8'; the signature
+  // bit is the sign of the vote sum. One explode + one hash-agg shuffle.
+  // ---------------------------------------------------------------------
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val dims = 8
+    val exploded = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val sums = (1 to dims).map(j =>
+      sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1))
+        .as(s"s$j"))
+    val bits = (1 to dims).map(j =>
+      when(col(s"s$j") > 0, lit("1")).otherwise(lit("0")))
+    exploded.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  private val simhashSql = {
+    val dims = 8
+    val sums = (1 to dims).map(j =>
+      s"SUM(CASE WHEN substring(h, $j, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val bits = (1 to dims).map(j =>
+      s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""SELECT doc_id, $bits AS simhash
+       |FROM (
+       |  SELECT doc_id, $sums
+       |  FROM (SELECT doc_id, md5(t.w) AS h
+       |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |              FROM documents) d, unnest(d.ws) AS t(w)) e
+       |  GROUP BY doc_id) v""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // n-gram Jaccard verification over the LSH candidate pairs: true
+  // similarity on distinct 3-gram shingle sets.
+  // ---------------------------------------------------------------------
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val pairs = minhashLsh(s, dir)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH bands AS ($bandSql),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sh AS ($shinglesSql)
+       |SELECT p.doc_a, p.doc_b,
+       |  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+       |FROM pairs p
+       |JOIN sh x ON x.doc_id = p.doc_a
+       |JOIN sh y ON y.doc_id = p.doc_b""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("dedup_exact", exactDedup, Some(exactDedupSql),
+      "exact dedup via content-hash group-by"),
+    Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql),
+      "MinHash(8) + LSH banding (4x2) candidate pairs"),
+    Op("dedup_simhash", simhash, Some(simhashSql),
+      "SimHash 8-bit signatures from md5-hex projections"),
+    Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql),
+      "3-gram Jaccard verification of LSH candidates"))
+}

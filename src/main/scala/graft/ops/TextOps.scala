@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline over the
+  * `documents` table: token statistics, quality scoring, language-ID
+  * heuristic, fingerprinting. All narrow per-row transforms: at 100 TB
+  * these are embarrassingly parallel map stages with no shuffle; the only
+  * requirement is that the text column is pruned/projected at the scan.
+  */
+object TextOps extends OpGroup {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  // ---------------------------------------------------------------------
+  // Token statistics: whitespace tokens, BPE-ish tokens, char lengths.
+  // ---------------------------------------------------------------------
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(bpeTokens(col("text"))).as("n_bpe_tokens"),
+      length(col("text")).as("len_chars"),
+      round(
+        aggregate(transform(toks, t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("double") / size(toks), 4)
+        .as("mean_token_len"))
+  }
+
+  private val tokenStatsSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+      |  CAST(len(text) AS INT) AS len_chars,
+      |  round(CAST(list_reduce(list_transform(string_split_regex(trim(text), '\s+'), t -> len(t)), (a, x) -> a + x) AS DOUBLE)
+      |        / len(string_split_regex(trim(text), '\s+')), 4) AS mean_token_len
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Quality scoring: stopword ratio, punctuation ratio, label.
+  // ---------------------------------------------------------------------
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopRatio = round(stopCount(toks).cast("double") / size(toks), 4)
+    val punctRatio =
+      round(punctCount(col("text")).cast("double") / length(col("text")), 4)
+    docs(s, dir).select(
+      col("doc_id"),
+      stopRatio.as("stop_ratio"),
+      punctRatio.as("punct_ratio"),
+      when(size(toks) >= 20 && stopRatio >= 0.02, lit("good"))
+        .otherwise(lit("low")).as("quality"))
+  }
+
+  private val qualityScoreSql = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, stop_ratio, punct_ratio,
+       |  CASE WHEN n_tokens >= 20 AND stop_ratio >= 0.02
+       |       THEN 'good' ELSE 'low' END AS quality
+       |FROM (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    round(CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
+       |    round(CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text), 4) AS punct_ratio
+       |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+       |        FROM documents) t) q""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Language-ID heuristic: stopword evidence per candidate language.
+  // (The harness `lang` label is synthetic and uncorrelated with the
+  // word-soup content; `agrees` records the comparison regardless.)
+  // ---------------------------------------------------------------------
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val enHits = stopCount(toks)
+    val predicted = when(enHits >= 1, lit("en")).otherwise(lit("und"))
+    docs(s, dir).select(
+      col("doc_id"),
+      predicted.as("predicted_lang"),
+      col("lang"),
+      (predicted === col("lang")).as("agrees"))
+  }
+
+  private val langIdSql = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, predicted_lang, lang, predicted_lang = lang AS agrees
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                              t -> t IN ($stopList))) >= 1
+       |         THEN 'en' ELSE 'und' END AS predicted_lang
+       |  FROM documents) p""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Document fingerprint: md5 over normalized text.
+  // ---------------------------------------------------------------------
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  private val fingerprintsSql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("text_token_stats", tokenStats, Some(tokenStatsSql),
+      "token counting: whitespace + BPE-ish regex + mean token length"),
+    Op("text_quality_score", qualityScore, Some(qualityScoreSql),
+      "quality scoring: stopword/punctuation ratios + label"),
+    Op("text_lang_id", langId, Some(langIdSql),
+      "language-ID stopword heuristic vs dataset label"),
+    Op("text_fingerprint", fingerprints, Some(fingerprintsSql),
+      "document fingerprinting: md5 over normalized text"))
+}
