@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def groups: Seq[OpGroup] =
-    Seq(Relational, Joins, graft.etl.Pipeline, TextOps, DedupOps, SimilarityOps)
+    Seq(Relational, Joins, graft.etl.Pipeline, TextOps, DedupOps,
+      SimilarityOps, graft.multimodal.Multimodal,
+      graft.streaming.Sessionize, graft.sources.Warehouse)
 
   private lazy val allOps: Seq[Op] = {
     val ops = groups.flatMap(_.ops)

@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import graft.Tables
+import graft.ops.{Op, OpGroup}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed by per-partition JVM pipelines (the Scala analog of
+  * arrow-batched pandas UDFs — an iterator of rows per partition, one
+  * decoder instance per partition, no per-row setup cost).
+  *
+  * The image/audio codecs are NOT in this container, so the decode step is
+  * a clearly-marked deterministic STUB ([[StubCodec]]); everything
+  * Spark-side — binary schema, partitioning, the mapPartitions batch
+  * shape, frame explosion — is real, and the stub's outputs (byte length,
+  * md5, mean byte, frame hashes) are exactly reproducible by the DuckDB
+  * oracle, so even the JVM mapPartitions path is hash-verified.
+  *
+  * Scale notes: decode is an embarrassingly parallel map; `repartition`
+  * by media_id before decode balances skew from variable media sizes.
+  * Frame sampling multiplies rows by a constant (4) — no shuffle.
+  */
+object Multimodal extends OpGroup {
+
+  /** Opaque media row: binary payload + typed metadata. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      declared_len: Long)
+
+  /** Stub "decoded" features; every field derivable from payload bytes. */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      content_md5: String, mean_byte: Double)
+
+  case class FrameRow(media_id: Long, frame_idx: Int, frame_md5: String)
+
+  /** STUB codec: stands in for an image/audio decoder. Deterministic pure
+    * functions of the payload so tests and oracles can verify the
+    * pipeline; swap for a real codec (JavaCV/ImageIO) outside this
+    * container.
+    */
+  object StubCodec {
+    def md5Hex(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map(b => f"${b & 0xff}%02x").mkString
+
+    def decode(m: MediaRow): MediaFeatures = {
+      // Integer byte-sum, then one double division and a half-up round —
+      // the exact operation order the DuckDB oracle performs, so the
+      // double results are bit-identical.
+      val sum = m.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+      val mean =
+        if (m.payload.isEmpty) 0d else sum.toDouble / m.payload.length
+      MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+        md5Hex(m.payload), math.floor(mean * 10000 + 0.5) / 10000)
+    }
+
+    /** Sample `n` fixed-size frames at even byte offsets. */
+    def sampleFrames(m: MediaRow, n: Int, frameLen: Int): Seq[FrameRow] =
+      (0 until n).map { i =>
+        val off = (i * m.payload.length) / n
+        val end = math.min(off + frameLen, m.payload.length)
+        FrameRow(m.media_id, i, md5Hex(m.payload.slice(off, end)))
+      }
+  }
+
+  /** Build a binary media table from `documents` (text bytes stand in for
+    * an opaque payload; ASCII corpus ⇒ bytes == characters, which is what
+    * lets the SQL oracle mirror byte-level operations).
+    */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        col("text").cast("binary").as("payload"),
+        col("n_chars").as("declared_len"))
+      .as[MediaRow]
+  }
+
+  /** Decode pipeline: one codec pass per partition (mapPartitions batch
+    * shape — iterator in, iterator out).
+    */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .mapPartitions(rows => rows.map(StubCodec.decode))
+      .toDF()
+  }
+
+  private val decodeFeaturesSql =
+    """SELECT doc_id AS media_id, 'image' AS kind,
+      |  CAST(len(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  round(CAST(list_reduce(list_transform(range(1, len(text) + 1),
+      |          i -> ascii(substring(text, i, 1))), (a, c) -> a + c) AS DOUBLE)
+      |        / len(text), 4) AS mean_byte
+      |FROM documents""".stripMargin
+
+  /** Frame sampling: 4 frames of 16 bytes at even offsets (flatMap —
+    * constant fan-out, no shuffle).
+    */
+  val numFrames = 4
+  val frameLen = 16
+
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .flatMap(m => StubCodec.sampleFrames(m, numFrames, frameLen))
+      .toDF()
+  }
+
+  private val frameSampleSql =
+    s"""SELECT doc_id AS media_id, CAST(t.i AS INT) AS frame_idx,
+       |  md5(substring(text, (t.i * len(text)) // $numFrames + 1,
+       |      least($frameLen, len(text) - (t.i * len(text)) // $numFrames))) AS frame_md5
+       |FROM documents, range(0, $numFrames) t(i)""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("mm_decode_features", decodeFeatures, Some(decodeFeaturesSql),
+      "binary media decode stub via mapPartitions, oracle-verified"),
+    Op("mm_frame_sample", frameSample, Some(frameSampleSql),
+      "fixed-offset frame sampling over binary payloads"))
+}

@@ -1,0 +1,76 @@
+package graft.sources
+
+import graft.Tables
+import graft.expressions.RollingHash
+import graft.ops.{Op, OpGroup}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink surface (SURVEY.md §2.1): layered materialization (S2-S5),
+  * catalog listing (S8), plus the custom rolling-hash fingerprint query
+  * backed by the native Catalyst expression [[graft.expressions.RollingHash]].
+  *
+  * The reference materializes every statement into MariaDB tables; here a
+  * layer is a `Map[String, DataFrame]` written as parquet in one pass —
+  * the fact partitioned by its low-cardinality source_type so downstream
+  * per-source reads prune partitions (C3's index replacement).
+  */
+object Warehouse extends OpGroup {
+
+  /** S3/S4/S5: materialize a layer (CTAS semantics, overwrite =
+    * idempotent DROP+CREATE).
+    */
+  def writeLayer(layer: Map[String, DataFrame], basePath: String,
+      partitionFact: Boolean = true): Unit =
+    layer.foreach { case (name, df) =>
+      val w = df.write.mode("overwrite")
+      val withPart =
+        if (name == "fact" && partitionFact &&
+          df.columns.contains("source_type")) w.partitionBy("source_type")
+        else w
+      withPart.parquet(s"$basePath/$name")
+    }
+
+  /** Read a materialized layer back (S1). */
+  def readLayer(spark: SparkSession, basePath: String,
+      names: Seq[String]): Map[String, DataFrame] =
+    names.map(n => n -> spark.read.parquet(s"$basePath/$n")).toMap
+
+  /** S2/S8: register the harness tables as namespaced temp views and list
+    * them from the catalog (SHOW TABLES semantics, DWH.sql:215).
+    */
+  def catalogTables(s: SparkSession, dir: String): DataFrame = {
+    Tables.all.foreach(n =>
+      Tables.load(s, dir, n).createOrReplaceTempView(s"graft_$n"))
+    import s.implicits._
+    s.catalog.listTables()
+      .filter(_.name.startsWith("graft_"))
+      .map(_.name.stripPrefix("graft_"))
+      .toDF("table_name")
+  }
+
+  private val catalogTablesSql = Tables.all
+    .map(n => s"SELECT '$n' AS table_name").mkString("\nUNION ALL\n")
+
+  /** Rolling-hash fingerprint via the custom codegen'd Expression. */
+  def rollingHash(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      RollingHash(org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), rollingHash(col("text")).as("rhash"))
+
+  private val rollingFingerprintSql =
+    """SELECT doc_id,
+      |  CAST(list_reduce(list_transform(range(1, len(text) + 1),
+      |    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+      |    (a, c) -> (a * 31 + c) % 1000000007) AS BIGINT) AS rhash
+      |FROM documents""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("s_catalog_tables", catalogTables, Some(catalogTablesSql),
+      "DWH.sql:215 SHOW TABLES via spark.catalog.listTables"),
+    Op("fp_rolling_hash", rollingFingerprint, Some(rollingFingerprintSql),
+      "Rabin-Karp fingerprint via native codegen Catalyst expression"))
+}

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import graft.Tables
+import graft.ops.{Op, OpGroup}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators (SURVEY.md §2.11 notes the reference has none —
+  * streaming is the "real-time clinical decision support" future work,
+  * README.md:151 — so this module IS that extension, built
+  * Structured-Streaming-first).
+  *
+  * Two execution paths share one session-assignment semantic (30-minute
+  * inactivity gap per user):
+  *  - [[sessionizeBatch]]: typed Dataset groupByKey + sorted flatMapGroups;
+  *    deterministic, oracle-checked against a DuckDB lag/cumsum window.
+  *  - [[sessionizeStream]]: flatMapGroupsWithState with event-time state,
+  *    exercised by the ScalaTest memory-sink harness.
+  * [[hourlyWindowed]] runs a watermark + tumbling-window aggregation as a
+  * real streaming query over the parquet source (memory sink, complete
+  * mode) — registered as a query so the driver verifies streaming output
+  * against a batch SQL oracle.
+  *
+  * Scale notes: sessionization shuffles once on user_id; state size is
+  * O(active users). The windowed agg is a streaming hash-agg with
+  * watermark-bounded state.
+  */
+object Sessionize extends OpGroup {
+
+  val gapMinutes = 30L
+  private val gapMicros = gapMinutes * 60L * 1000000L
+
+  case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
+  case class Session(user_id: Long, session_idx: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+  private def toSessions(userId: Long, evs: Iterator[Ev],
+      startIdx: Long): Seq[Session] = {
+    val sorted = evs.toIndexedSeq.sortBy(e => (e.tsMicros, e.event_id))
+    if (sorted.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var idx = startIdx
+    var start = sorted.head.tsMicros
+    var last = start
+    var n = 0L
+    def emit(): Unit = {
+      out += Session(userId, idx, n, microsToTs(start), microsToTs(last))
+      idx += 1
+    }
+    sorted.foreach { e =>
+      if (e.tsMicros - last > gapMicros) { emit(); start = e.tsMicros; n = 0 }
+      n += 1
+      last = e.tsMicros
+    }
+    emit()
+    out.toSeq
+  }
+
+  /** Microsecond-precision Timestamp (a bare `new Timestamp(ms)` would
+    * truncate to millis and drift from the oracle's MIN/MAX(ts)).
+    */
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def eventsTyped(s: SparkSession, dir: String): Dataset[Ev] = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[Ev]
+  }
+
+  /** Batch sessionization — deterministic (events sorted by ts, event_id
+    * within each user group before the gap scan).
+    */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    eventsTyped(s, dir)
+      .groupByKey(_.user_id)
+      .flatMapGroups((uid, evs) => toSessions(uid, evs, 0L).iterator)
+      .toDF()
+  }
+
+  private val sessionizeBatchSql =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+       |           ORDER BY ts ASC, event_id ASC) > INTERVAL $gapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events),
+       |y AS (
+       |  SELECT user_id, ts,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |                   ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM x)
+       |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+       |       COUNT(*) AS n_events,
+       |       MIN(ts) AS session_start, MAX(ts) AS session_end
+       |FROM y GROUP BY user_id, sess""".stripMargin
+
+  /** Streaming sessionization: event-time state per user, sessions emitted
+    * on timeout/ batch close. Used by the streaming test harness.
+    */
+  def sessionizeStream(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, List[Ev]), Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch: Iterator[Ev], state: GroupState[(Long, List[Ev])]) =>
+          val (doneSessions, pending) =
+            state.getOption.getOrElse((0L, Nil))
+          val all = pending ++ batch.toList
+          // emit all closed sessions, keep the open tail as state
+          val sessions = toSessions(uid, all.iterator, doneSessions)
+          if (sessions.isEmpty) Iterator.empty
+          else {
+            val closed = sessions.init
+            val open = sessions.last
+            val keep = all.sortBy(e => (e.tsMicros, e.event_id))
+              .takeRight(open.n_events.toInt)
+            state.update((doneSessions + closed.size, keep))
+            closed.iterator
+          }
+      }
+  }
+
+  /** Tumbling 1-hour windowed aggregation executed as a REAL streaming
+    * query (parquet file source → watermark → window agg → memory sink,
+    * complete mode, processAllAvailable). Decimal-cast sum keeps the
+    * value order-independent for the oracle.
+    */
+  def hourlyWindowed(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // RAW file schema (ts may be the nanos long) — Tables.load's converted
+    // schema would mis-declare the column to the file source.
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // The file source wants a directory (or glob) — an exact file path is
+    // rejected; a wildcard makes it resolve as a glob over the SF dir.
+    val raw = s.readStream.schema(schema).format("parquet")
+      .option("basePath", dir).load(s"$dir/events.parque*")
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value").cast("double").as("sum_value"))
+    // NB: prefix must not collide with Warehouse.catalogTables' graft_ views
+    val name = s"memsink_hourly_${System.identityHashCode(agg).toHexString}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
+  private val hourlyWindowedSql =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("stream_sessionize", sessionizeBatch, Some(sessionizeBatchSql),
+      "30-min-gap sessionization (typed Dataset; streaming twin in sessionizeStream)"),
+    Op("stream_hourly_window", hourlyWindowed, Some(hourlyWindowedSql),
+      "tumbling-window agg executed via Structured Streaming memory sink"))
+}

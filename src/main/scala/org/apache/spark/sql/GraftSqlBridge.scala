@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column↔Expression converters. Spark 4
+  * moved these behind `org.apache.spark.sql.classic`; third-party
+  * extensions conventionally alias them from inside the package (the
+  * same pattern Spark connectors use) rather than forking the API.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.sources.Warehouse
+import graft.streaming.Sessionize
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the extension modules that the DuckDB oracle can't see:
+  * the streaming twin, write/read roundtrips, codegen-vs-interpreted
+  * parity for the custom expression.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("streaming sessionize (flatMapGroupsWithState) matches batch on closed sessions") {
+    import spark.implicits._
+    val batch = Sessionize.sessionizeBatch(spark, dir)
+    // batch Dataset run through the streaming-state function: closed
+    // sessions (all but each user's last) must agree exactly
+    val evs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[Sessionize.Ev]
+    val streamed = Sessionize.sessionizeStream(evs).toDF()
+    val lastIdx = batch.groupBy("user_id")
+      .agg(max("session_idx").as("last_idx"))
+    val closedBatch = batch.join(lastIdx, Seq("user_id"))
+      .filter(col("session_idx") < col("last_idx"))
+      .drop("last_idx")
+    assert(streamed.count() == closedBatch.count())
+    assert(streamed.exceptAll(closedBatch).count() == 0)
+  }
+
+  test("rolling hash: codegen and interpreted agree") {
+    val df = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        Warehouse.rollingHash(col("text")).as("rh"))
+    // interpreted reference implementation
+    val expected = df.collect().map { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val acc = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+      (r.getLong(0), acc)
+    }.toMap
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == expected(r.getLong(0)),
+        s"doc ${r.getLong(0)} codegen/interpreted mismatch")
+    }
+  }
+
+  test("warehouse layer write/read roundtrip with partitioned fact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val layer = graft.etl.Stage.build(spark, dir)
+    Warehouse.writeLayer(layer, tmp)
+    val back = Warehouse.readLayer(spark, tmp, layer.keys.toSeq)
+    assert(back("fact").count() == layer("fact").count())
+    assert(back("dim_patients").count() == layer("dim_patients").count())
+    // partition pruning: per-source read should hit one partition dir
+    val labOnly = spark.read.parquet(s"$tmp/fact")
+      .filter(col("source_type") === "lab")
+    assert(labOnly.count() ==
+      layer("fact").filter(col("source_type") === "lab").count())
+  }
+
+  test("multimodal frame sampling: constant fan-out, stable hashes") {
+    val frames = Multimodal.frameSample(spark, dir)
+    val docs = Tables.load(spark, dir, "documents").count()
+    assert(frames.count() == docs * Multimodal.numFrames)
+    assert(frames.filter(length(col("frame_md5")) =!= 32).count() == 0)
+  }
+
+  test("lsh signatures bucket near-identical vectors together") {
+    // identical vectors must land in the same bucket by construction
+    val sigs = graft.ops.SimilarityOps.lshSignatures(spark, dir)
+    assert(sigs.select("bucket").distinct().count() > 1)
+    assert(sigs.filter(length(col("bucket")) =!= graft.ops.SimilarityOps.lshBits)
+      .count() == 0)
+  }
+}
