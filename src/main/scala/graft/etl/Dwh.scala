@@ -47,7 +47,8 @@ object Dwh {
       if (guarded) col(key).isNull || col(s"_m$i").isNotNull
       else col(s"_m$i").isNotNull
     }.reduce(_ && _)
-    withFlags.filter(pred).drop(guards.indices.map(i => s"_m$i"): _*)
+    // Cached: pipe_dwh_fact, pipe_dwh_agg and ~10 QA checks all read this.
+    withFlags.filter(pred).drop(guards.indices.map(i => s"_m$i"): _*).cache()
   }
 
   /** agg_disorders_per_admission (DWH.sql:203-210). The NULL admission

@@ -114,7 +114,7 @@ object PipelineSql {
        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY
        |    source_type ASC NULLS LAST, patient_id ASC NULLS LAST,
        |    admission_id ASC NULLS LAST, event_datetime ASC NULLS LAST,
-       |    concept_code ASC NULLS LAST, measurement_value ASC NULLS LAST) AS INT) AS event_key
+       |    concept_code ASC NULLS LAST, measurement_value ASC NULLS LAST) AS BIGINT) AS event_key
        |  FROM (SELECT * FROM fact_lab UNION ALL SELECT * FROM fact_dx
        |        UNION ALL SELECT * FROM fact_omr) u),
        |fact_m2 AS (

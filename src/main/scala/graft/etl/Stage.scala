@@ -2,7 +2,7 @@ package graft.etl
 
 import graft.Tables
 import graft.ops.Relational
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -171,18 +171,20 @@ object Stage {
   }
 
   /** Raw fact: U2 union + deterministic surrogate event_key (W1/C1,
-    * SURVEY.md §7.4.1 total order).
+    * SURVEY.md §7.4.1 total order). Assigned via the range-partitioned
+    * zipWithIndex in [[graft.ops.SurrogateKeys]] — a bare
+    * `row_number().over(Window.orderBy(..))` would single-partition the
+    * whole fact, which does not survive a 100× scale-up.
     */
   def factRaw(s: SparkSession, dir: String): DataFrame = {
     val u = factLab(s, dir)
       .unionByName(factDx(s, dir))
       .unionByName(factOmr(s, dir))
-    val w = Window.orderBy(
+    graft.ops.SurrogateKeys.withGlobalRowNumber(u, "event_key", Seq(
       col("source_type").asc_nulls_last, col("patient_id").asc_nulls_last,
       col("admission_id").asc_nulls_last, col("event_datetime").asc_nulls_last,
       col("concept_code").asc_nulls_last,
-      col("measurement_value").asc_nulls_last)
-    u.withColumn("event_key", row_number().over(w))
+      col("measurement_value").asc_nulls_last))
   }
 
   /** Enrichment chain (Stage_area.sql:225-283), order-sensitive:
@@ -190,12 +192,29 @@ object Stage {
     * NULL) → M4 provider interval link (INNER-update: no match ⇒ untouched,
     * here NULL) → M5 junk-dim null-safe linkage.
     */
-  def factEnriched(s: SparkSession, dir: String): DataFrame = {
+  def factEnriched(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.of(s, dir, "factEnriched")(buildFactEnriched(s, dir))
+
+  private def buildFactEnriched(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
 
     // M2: scalar Unknown backfill (Stage_area.sql:225-231)
     val f2 = factRaw(s, dir)
       .withColumn("concept_code", coalesce(col("concept_code"), lit("UNK")))
+
+    // Multi-match resolution for the interval joins: the tie-break
+    // (earliest intime, then smallest window id — SURVEY.md §7.4.2) is a
+    // min_by hash-aggregate rather than a row_number window: partial
+    // aggregation keeps the per-mapper best match, so the shuffle carries
+    // one row per fact row instead of one per candidate match, and no
+    // sort is needed. A left-join group is either one null-extended row
+    // or k matched rows, never mixed, so the struct ordering never
+    // compares NULL tie-break keys against non-NULL ones.
+    def bestMatch(joined: DataFrame, carried: Seq[String],
+        ord: Column): DataFrame =
+      joined.groupBy(col("event_key"))
+        .agg(min_by(struct(carried.map(col): _*), ord).as("r"))
+        .select(col("r.*"))
 
     // M3: careunit backfill from signup windows (Stage_area.sql:237-245)
     val cuW = ev.filter(col("event_type") === "signup").select(
@@ -203,30 +222,29 @@ object Stage {
       (col("ts") + expr("INTERVAL 3 DAY")).as("outtime"),
       (col("event_id") % 4).cast(StringType).as("w_careunit"),
       col("event_id").as("w_id"))
-    val r3 = Window.partitionBy(col("event_key"))
-      .orderBy(col("intime").asc_nulls_last, col("w_id").asc_nulls_last)
-    val f3 = f2.join(cuW,
-        f2("patient_id") === cuW("w_user") &&
-          f2("event_datetime").between(cuW("intime"), cuW("outtime")), "left")
-      .withColumn("rn", row_number().over(r3))
-      .filter(col("rn") === 1)
-      .select((("event_key" +: factCols).map(col) :+
-        col("w_careunit").as("careunit")): _*)
+    val j3 = f2.join(broadcast(cuW),
+      f2("patient_id") === cuW("w_user") &&
+        f2("event_datetime").between(cuW("intime"), cuW("outtime")), "left")
+    // min_by skips rows whose ordering key is NULL, which would drop
+    // unmatched (null-extended) fact rows — coalesce to a sentinel.
+    def ord(t: Column, id: Column): Column = struct(
+      coalesce(t, to_timestamp(lit(hiTs))), coalesce(id, lit(Long.MaxValue)))
+
+    val f3 = bestMatch(j3, "event_key" +: factCols :+ "w_careunit",
+        ord(col("intime"), col("w_id")))
+      .withColumnRenamed("w_careunit", "careunit")
 
     // M4: provider linkage from purchase windows (Stage_area.sql:251-256)
     val pvW = ev.filter(col("event_type") === "purchase").select(
       col("user_id").as("w_user"), col("ts").as("intime"),
       (col("ts") + expr("INTERVAL 2 DAY")).as("outtime"),
       col("event_id").as("w_provider"))
-    val r4 = Window.partitionBy(col("event_key"))
-      .orderBy(col("intime").asc_nulls_last, col("w_provider").asc_nulls_last)
-    val f4 = f3.join(pvW,
-        f3("patient_id") === pvW("w_user") &&
-          f3("event_datetime").between(pvW("intime"), pvW("outtime")), "left")
-      .withColumn("rn", row_number().over(r4))
-      .filter(col("rn") === 1)
-      .select((("event_key" +: factCols).map(col) :+ col("careunit") :+
-        col("w_provider").as("provider_id")): _*)
+    val j4 = f3.join(broadcast(pvW),
+      f3("patient_id") === pvW("w_user") &&
+        f3("event_datetime").between(pvW("intime"), pvW("outtime")), "left")
+    val f4 = bestMatch(j4, ("event_key" +: factCols :+ "careunit") :+ "w_provider",
+        ord(col("intime"), col("w_provider")))
+      .withColumnRenamed("w_provider", "provider_id")
 
     // M5: junk dim + null-safe linkage (Stage_area.sql:262-283).
     // The enriched fact is referenced by dim_date, dim_junk, the DWH dedup

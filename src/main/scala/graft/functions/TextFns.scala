@@ -56,23 +56,22 @@ object TextFns {
       i => concat_ws(" ", slice(words, i + lit(1), lit(3)))))
   }
 
-  /** MinHash signature: for seed s, min over shingles of md5(s|shingle).
-    * Returns an array of `seeds` hex strings.
+  /** Dot product of two float-array columns, computed in double with a
+    * deterministic left-fold (index order) so the oracle reproduces it
+    * bit-for-bit before rounding.
     */
-  def minhash(shingles: Column, seeds: Int): Column =
-    transform(sequence(lit(0), lit(seeds - 1)),
-      s => array_min(transform(shingles,
-        x => md5(concat(s.cast(StringType), lit("|"), x)))))
-
-  /** Cosine similarity between two float-array columns, computed in
-    * double with a deterministic left-fold (index order) so the oracle
-    * reproduces it bit-for-bit before rounding.
-    */
-  def cosine(a: Column, b: Column): Column = {
+  def dotProduct(a: Column, b: Column): Column = {
     def d(x: Column) = transform(x, v => v.cast(DoubleType))
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0d), (acc, v) => acc + v)
-    val (ad, bd) = (d(a), d(b))
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+    aggregate(zip_with(d(a), d(b), (p, q) => p * q), lit(0d),
+      (acc, v) => acc + v)
   }
+
+  def l2norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity. For pairwise scans, precompute [[l2norm]] per
+    * vector BEFORE the join — array lambdas evaluate interpreted, and
+    * three 64-element folds per pair is ~3× the cost of one.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2norm(a) * l2norm(b))
 }

@@ -40,19 +40,36 @@ object DedupOps extends OpGroup {
   // ---------------------------------------------------------------------
   // MinHash + LSH banding: shingle → minhash(8) → 4 bands of 2 →
   // candidate pairs sharing any band signature.
+  //
+  // Shape matters at scale: shingles are EXPLODED and min-aggregated
+  // (partial map-side combine, codegen'd projections) rather than folded
+  // with nested array lambdas — higher-order functions evaluate
+  // interpreted, and per-(seed × shingle) md5 calls made the lambda
+  // version ~20× slower. Two md5s per shingle yield 64 hex chars,
+  // carved into eight 8-char lanes; the lexicographic MIN of a lane is
+  // a uniform MinHash.
   // ---------------------------------------------------------------------
-  private def bandTable(s: SparkSession, dir: String): DataFrame = {
-    val mh = docs(s, dir).select(
-      col("doc_id"),
-      minhash(shingles3(col("text")), numHashes).as("mh"))
-    val rows = numHashes / numBands
-    mh.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(numBands - 1)),
-          b => struct(b.as("band"),
-            md5(concat_ws("", slice(col("mh"), b * rows + lit(1), lit(rows))))
-              .as("sig")))).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-  }
+  private def bandTable(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "dedupBandTable") {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), explode(shingles3(col("text"))).as("x"))
+        .select(col("doc_id"), md5(col("x")).as("h1"),
+          md5(concat(lit("#"), col("x"))).as("h2"))
+      val lanes = (0 until numHashes).map { i =>
+        val src = if (i < 4) "h1" else "h2"
+        min(substring(col(src), (i % 4) * 8 + 1, 8)).as(s"mh$i")
+      }
+      val mh = sh.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
+      val rows = numHashes / numBands
+      val bands = (0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
+            .as("sig"))
+      }
+      mh.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"),
+          col("bs.sig").as("sig"))
+    }
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val b = bandTable(s, dir)
@@ -71,14 +88,23 @@ object DedupOps extends OpGroup {
       |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
       |      FROM documents) w""".stripMargin
 
-  private val bandSql =
+  private val bandSql = {
+    val lanes = (0 until numHashes).map { i =>
+      val src = if (i < 4) "h1" else "h2"
+      s"min(substring($src, ${(i % 4) * 8 + 1}, 8)) AS mh$i"
+    }.mkString(", ")
+    val sigs = (0 until numBands)
+      .map(b => s"WHEN $b THEN md5(mh${b * 2} || mh${b * 2 + 1})")
+      .mkString(" ")
     s"""SELECT doc_id, CAST(t.b AS INT) AS band,
-       |  md5(array_to_string(mh[t.b*2+1:t.b*2+2], '')) AS sig
+       |  CASE t.b $sigs END AS sig
        |FROM (
-       |  SELECT doc_id, list_transform(range(0, $numHashes),
-       |    s -> list_min(list_transform(sh, x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS mh
-       |  FROM (%SHINGLES%) shingled) m, range(0, $numBands) t(b)""".stripMargin
+       |  SELECT doc_id, $lanes
+       |  FROM (SELECT doc_id, md5(t.x) AS h1, md5('#' || t.x) AS h2
+       |        FROM (%SHINGLES%) shingled, unnest(shingled.sh) AS t(x)) h
+       |  GROUP BY doc_id) m, range(0, $numBands) t(b)""".stripMargin
       .replace("%SHINGLES%", shinglesSql)
+  }
 
   private val minhashLshSql =
     s"""WITH bands AS ($bandSql)

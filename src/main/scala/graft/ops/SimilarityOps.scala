@@ -66,15 +66,18 @@ object SimilarityOps extends OpGroup {
   val nearDupThreshold = 0.35
 
   def ivfNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+    // Norms precomputed per vector (N of them), not per pair (N²/2k).
+    val e = emb(s, dir).select(col("label"), col("vec_id"), col("embedding"),
+      graft.functions.TextFns.l2norm(col("embedding")).as("nrm"))
     val a = e.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
+        round(graft.functions.TextFns.dotProduct(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")), 6).as("sim"))
       .filter(col("sim") >= nearDupThreshold)
   }
 

@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Scalable deterministic surrogate keys (SURVEY.md §7.4.1).
+  *
+  * `ROW_NUMBER() OVER (ORDER BY …)` with no partition moves every row to
+  * ONE partition — fine for dimension tables, fatal for a 100 TB fact.
+  * This assigns the identical numbering with a range-repartitioned sort
+  * (each partition holds a contiguous key range) + `zipWithIndex` (which
+  * runs one lightweight count job over the first N-1 partitions to
+  * compute offsets). Rows that tie on the full sort key are bit-identical
+  * rows in our fact (the key includes every distinguishing column), so
+  * their relative numbering is immaterial.
+  */
+object SurrogateKeys {
+
+  def withGlobalRowNumber(df: DataFrame, keyName: String,
+      order: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add(keyName, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
