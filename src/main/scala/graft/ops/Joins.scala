@@ -348,7 +348,34 @@ object Joins extends OpGroup {
       |WHERE patient_id IS NULL
       |   OR EXISTS (SELECT 1 FROM d WHERE d.c_custkey = f.patient_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // As-of join via the custom operator (graft.plans.AsOfJoinExec): for
+  // each event, the most recent signup of the same user at-or-before the
+  // event time. DuckDB verifies with its native ASOF LEFT JOIN.
+  // ---------------------------------------------------------------------
+  def asofLastSignup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val sgn = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_id"))
+    graft.plans.AsOf.join(e, sgn, "user_id", "s_user", "ts", "s_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("s_id").as("last_signup_id"), col("s_ts").as("last_signup_ts"))
+  }
+
+  private val asofLastSignupSql =
+    """WITH s AS (SELECT user_id AS s_user, ts AS s_ts, event_id AS s_id
+      |           FROM events WHERE event_type = 'signup')
+      |SELECT e.event_id, e.user_id, e.ts,
+      |       s.s_id AS last_signup_id, s.s_ts AS last_signup_ts
+      |FROM events e ASOF LEFT JOIN s
+      |  ON e.user_id = s.s_user AND e.ts >= s.s_ts""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("asof_last_signup", asofLastSignup, Some(asofLastSignupSql),
+      "point-in-time join via custom AsOfJoinExec (LogicalPlan+Strategy+SparkPlan)"),
     Op("j1_left_join_conformed_key", leftJoinConformedKey, Some(leftJoinConformedKeySql),
       "Stage_area.sql:180-182 cast-key LEFT JOIN with constant predicate"),
     Op("j2_multiway_left_join", multiWayLeftJoin, Some(multiWayLeftJoinSql),

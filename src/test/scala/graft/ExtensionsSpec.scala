@@ -77,6 +77,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(frames.filter(length(col("frame_md5")) =!= 32).count() == 0)
   }
 
+  test("as-of join: custom operator plans AsOfJoinExec and matches window equivalent") {
+    import org.apache.spark.sql.expressions.Window
+    val df = ops.Joins.asofLastSignup(spark, dir)
+    // the custom physical operator must actually be in the plan
+    // node name prints without the Exec suffix
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    // reference implementation: range join + row_number
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val sgn = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_id"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("s_ts").desc_nulls_last, col("s_id").desc_nulls_last)
+    val ref = e.join(sgn,
+        e("user_id") === sgn("s_user") && sgn("s_ts") <= e("ts"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("s_id").as("last_signup_id"), col("s_ts").as("last_signup_ts"))
+    assert(df.exceptAll(ref).count() == 0 && ref.exceptAll(df).count() == 0)
+  }
+
   test("lsh signatures bucket near-identical vectors together") {
     // identical vectors must land in the same bucket by construction
     val sigs = graft.ops.SimilarityOps.lshSignatures(spark, dir)
