@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen/parquet-reader warm-up so the first measured query isn't
+    // charged for one-time JVM startup costs.
+    try {
+      spark.range(1L << 20).selectExpr("sum(id)").collect()
+      SparkEntry.entry(spark).count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

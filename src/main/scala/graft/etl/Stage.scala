@@ -177,9 +177,13 @@ object Stage {
     * whole fact, which does not survive a 100× scale-up.
     */
   def factRaw(s: SparkSession, dir: String): DataFrame = {
+    // Cached: key assignment scans the union three times (range-partition
+    // sampling, the sort, zipWithIndex's offset count) — without the
+    // cache each pass would recompute the three source joins.
     val u = factLab(s, dir)
       .unionByName(factDx(s, dir))
       .unionByName(factOmr(s, dir))
+      .cache()
     graft.ops.SurrogateKeys.withGlobalRowNumber(u, "event_key", Seq(
       col("source_type").asc_nulls_last, col("patient_id").asc_nulls_last,
       col("admission_id").asc_nulls_last, col("event_datetime").asc_nulls_last,

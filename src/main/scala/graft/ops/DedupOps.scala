@@ -69,6 +69,7 @@ object DedupOps extends OpGroup {
       mh.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"),
           col("bs.sig").as("sig"))
+        .cache() // shared by minhash_lsh, ngram_jaccard, survivors
     }
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
@@ -152,8 +153,10 @@ object DedupOps extends OpGroup {
   // similarity on distinct 3-gram shingle sets.
   // ---------------------------------------------------------------------
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir)
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val sh = Memo.of(s, dir, "dedupShingles") {
+      docs(s, dir)
+        .select(col("doc_id"), shingles3(col("text")).as("sh")).cache()
+    }
     val pairs = minhashLsh(s, dir)
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -178,7 +181,33 @@ object DedupOps extends OpGroup {
        |JOIN sh x ON x.doc_id = p.doc_a
        |JOIN sh y ON y.doc_id = p.doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Near-dup survivor selection (one-pass): verify LSH candidates with
+  // true Jaccard, then drop the larger doc_id of every pair above the
+  // threshold. (Full transitive clustering needs connected components —
+  // iterated pair-contraction at scale; the one-pass rule is the standard
+  // first sweep and is what most training-data dedup pipelines ship.)
+  // ---------------------------------------------------------------------
+  val jaccardThreshold = 0.8
+
+  def nearDupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val losers = ngramJaccard(s, dir)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs(s, dir).join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
+  // lazy: ngramJaccardSql is defined later in this object body
+  private lazy val nearDupSurvivorsSql =
+    s"""WITH j AS ($ngramJaccardSql)
+       |SELECT doc_id FROM documents
+       |WHERE NOT EXISTS (SELECT 1 FROM j
+       |  WHERE j.doc_b = documents.doc_id AND j.jaccard >= $jaccardThreshold)""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("dedup_survivors", nearDupSurvivors, Some(nearDupSurvivorsSql),
+      "one-pass near-dup survivor selection (LSH -> Jaccard -> drop doc_b)"),
     Op("dedup_exact", exactDedup, Some(exactDedupSql),
       "exact dedup via content-hash group-by"),
     Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql),

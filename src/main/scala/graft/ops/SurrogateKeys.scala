@@ -21,9 +21,22 @@ object SurrogateKeys {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val schema = sorted.schema.add(keyName, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + 1L))
-    }
-    spark.createDataFrame(rdd, schema)
+    // Stay on InternalRow — boxing 800k+ wide rows through the public Row
+    // API costs more than the numbering itself. JoinedRow reuse follows
+    // the standard per-partition iterator contract (consumers copy when
+    // they buffer).
+    val internal = sorted.queryExecution.toRdd.zipWithIndex()
+      .mapPartitions { it =>
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val idxRow = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(1)
+        it.map { case (row, idx) =>
+          idxRow.setLong(0, idx + 1L)
+          joined(row, idxRow)
+            : org.apache.spark.sql.catalyst.InternalRow
+        }
+      }
+    org.apache.spark.sql.GraftSqlBridge
+      .internalCreateDataFrame(spark, internal, schema)
   }
 }
