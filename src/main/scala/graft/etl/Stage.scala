@@ -265,7 +265,7 @@ object Stage {
   }
 
   /** dim_junk from the enriched fact (Stage_area.sql:262-275). */
-  private[etl] def dimJunkFrom(f: DataFrame): DataFrame = {
+  private[graft] def dimJunkFrom(f: DataFrame): DataFrame = {
     val w = Window.orderBy(col("j_source_type").asc_nulls_last,
       col("j_unit").asc_nulls_last, col("j_careunit").asc_nulls_last)
     f.select(col("source_type").as("j_source_type"),

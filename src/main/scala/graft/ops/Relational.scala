@@ -71,6 +71,16 @@ object Relational extends OpGroup {
   private val loTs = "1900-01-01 00:00:00"
   private val hiTs = "2999-12-31 23:59:59"
 
+  /** String-typed sentinel conform — the reference's exact shape
+    * (Stage_area.sql:41-48: raw timestamps arrive as strings; NULL or
+    * blank → sentinel, otherwise CAST; unparseable casts yield NULL like
+    * MariaDB's CAST). The harness tables carry typed timestamps, so this
+    * path is exercised by generated fixtures (PropertySpec).
+    */
+  def sentinelTs(c: Column, sentinel: String): Column =
+    when(c.isNull || trim(c) === "", to_timestamp(lit(sentinel)))
+      .otherwise(try_to_timestamp(trim(c)))
+
   def sentinelConform(s: SparkSession, dir: String): DataFrame = {
     val admitRaw = when(col("o_orderstatus") === "P",
       lit(null).cast(TimestampType)).otherwise(col("o_orderdate"))

@@ -1,0 +1,143 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck properties (SURVEY.md §5): semantic invariants over
+  * GENERATED inputs — null/blank/garbage cases the harness parquet never
+  * contains. Spark jobs are expensive, so each property runs a reduced
+  * number of generated cases with batched evaluation (whole generated
+  * dataset in one DataFrame per case).
+  */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // --- P2: string-timestamp sentinel conform -----------------------------
+  private val rawTsGen: Gen[String] = Gen.oneOf(
+    Gen.const(null: String), Gen.const(""), Gen.const("   "),
+    Gen.const("not a date"),
+    Gen.choose(0L, 4102444800L).map(s => new Timestamp(s * 1000L).toString),
+    Gen.choose(0L, 4102444800L)
+      .map(s => "  " + new Timestamp(s * 1000L).toString + " "))
+
+  property("sentinel conform: null/blank -> sentinel, never blank output") =
+    Prop.forAll(Gen.listOfN(20, rawTsGen)) { raws =>
+      val df = raws.toDF("raw").select(
+        col("raw"),
+        ops.Relational.sentinelTs(col("raw"), "1900-01-01 00:00:00")
+          .as("ts"))
+      val rows = df.collect()
+      rows.forall { r =>
+        val raw = r.getString(0)
+        val ts = r.getTimestamp(1)
+        if (raw == null || raw.trim.isEmpty)
+          ts == Timestamp.valueOf("1900-01-01 00:00:00")
+        else if (raw.trim == "not a date") ts == null // MariaDB CAST semantics
+        else ts == Timestamp.valueOf(raw.trim)
+      }
+    }
+
+  // --- F8/F11: date-part consistency --------------------------------------
+  property("date parts: isodow vs dayofweek vs names agree") =
+    Prop.forAll(Gen.listOfN(20, Gen.choose(0L, 4102444800L))) { secs =>
+      val df = secs.map(s => new Timestamp(s * 1000L)).toDF("ts").select(
+        (weekday(col("ts")) + 1).as("isodow"),
+        dayofweek(col("ts")).as("dow"),
+        date_format(col("ts"), "EEEE").as("day_name"))
+      df.collect().forall { r =>
+        val iso = r.getInt(0); val dow = r.getInt(1)
+        val expectIso = if (dow == 1) 7 else dow - 1 // 1=Sun → ISO 7
+        iso == expectIso &&
+          (iso != 6 || r.getString(2) == "Saturday") &&
+          (iso != 7 || r.getString(2) == "Sunday")
+      }
+    }
+
+  // --- RollingHash: codegen matches the byte-fold model -------------------
+  property("rolling hash equals reference fold for arbitrary strings") =
+    Prop.forAll(Gen.listOfN(15, Gen.asciiPrintableStr)) { strs =>
+      val got = strs.toDF("s")
+        .select(col("s"), sources.Warehouse.rollingHash(col("s")).as("h"))
+        .collect()
+      got.forall { r =>
+        val bytes = r.getString(0).getBytes("UTF-8")
+        r.getLong(1) == bytes.foldLeft(0L)((a, b) =>
+          (a * 31 + (b & 0xff)) % 1000000007L)
+      }
+    }
+
+  // --- J6/M5: junk-dim bijectivity under generated nulls -------------------
+  private val tripleGen: Gen[(String, Option[String], Option[String])] =
+    for {
+      src <- Gen.oneOf("lab", "omr", "diagnosis")
+      unit <- Gen.option(Gen.oneOf("mg", "ml", "qty"))
+      care <- Gen.option(Gen.oneOf("0", "1", "2"))
+    } yield (src, unit, care)
+
+  property("junk dim: every row maps to exactly one junk_id incl. nulls") =
+    Prop.forAll(Gen.listOfN(30, tripleGen)) { triples =>
+      val f = triples.toDF("source_type", "measurement_unit", "careunit")
+        .withColumn("event_key", monotonically_increasing_id())
+      val junk = etl.Stage.dimJunkFrom(f)
+      val joined = f.join(junk,
+        f("source_type") <=> junk("j_source_type") &&
+          f("measurement_unit") <=> junk("j_unit") &&
+          f("careunit") <=> junk("j_careunit"), "left")
+      joined.count() == triples.size &&
+        joined.filter(col("junk_id").isNull).count() == 0
+    }
+
+  // --- as-of join vs model on generated events -----------------------------
+  private val evGen: Gen[(Long, Long, Long)] = for {
+    user <- Gen.choose(0L, 4L)
+    id <- Gen.choose(0L, 1000000L)
+    ts <- Gen.choose(0L, 100000L)
+  } yield (user, id, ts)
+
+  property("as-of join matches scala model on generated events") =
+    Prop.forAll(Gen.listOfN(25, evGen), Gen.listOfN(8, evGen)) { (ls, rs) =>
+      val left = ls.toDF("user_id", "event_id", "t")
+        .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+      val right = rs.distinct.toDF("s_user", "s_id", "t")
+        .withColumn("s_ts", timestamp_micros(col("t"))).drop("t")
+      val got = plans.AsOf
+        .join(left, right, "user_id", "s_user", "ts", "s_ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("s_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      // model: for each left event, right row with max s_ts <= ts
+      val rModel = rs.distinct.groupBy(_._1)
+      val model = ls.map { case (u, id, t) =>
+        val cands = rModel.getOrElse(u, Nil).filter(_._3 <= t)
+        val best =
+          if (cands.isEmpty) -1L
+          else {
+            val mx = cands.map(_._3).max
+            cands.filter(_._3 == mx).map(_._2).max
+          }
+        (id, u, t, best)
+      }.toSet
+      // ties on (user, s_ts) make the picked s_id implementation-defined;
+      // compare ignoring those groups
+      val tieUsers = rs.distinct.groupBy(e => (e._1, e._3))
+        .filter(_._2.size > 1).keySet.map(_._1)
+      val gotF = got.filterNot(e => tieUsers.contains(e._2))
+      val modelF = model.filterNot(e => tieUsers.contains(e._2))
+      gotF == modelF
+    }
+}
