@@ -29,7 +29,10 @@ object Profile {
     t("factEnriched(cold)")(Stage.factEnriched(spark, sfDir).count())
     t("factEnriched(cached)")(Stage.factEnriched(spark, sfDir).count())
     t("dwh fact")(Dwh.factDwh(Stage.build(spark, sfDir)).count())
+    t("dwh fact(2nd)")(Dwh.factDwh(Stage.build(spark, sfDir)).count())
     t("dwh agg")(Dwh.build(spark, sfDir)("agg_disorders_per_admission").count())
+    t("qa report")(etl.Qa.report(spark, sfDir).count())
+    t("qa report(2nd)")(etl.Qa.report(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -10,74 +10,126 @@ import org.apache.spark.sql.functions._
   *  3. orphan counts ×5 on the DWH fact (QA.sql:79-116), expected 0
   *  4. duplicate-PK counts ×5 on DWH dims (QA.sql:124-176), expected 0
   *
-  * Every check is a 1-row aggregate; the report is their UNION ALL (U1,
-  * J11 scalar-subquery shape). Shared layers are cached so the ~20 scalar
-  * branches don't recompute the pipeline.
+  * Scale design: the naive shape — 18 scalar-subquery branches crossed
+  * and unioned into one plan (QA.sql's literal structure) — optimizes
+  * and schedules ~40 tiny stages per run (measured ~10 s at sf0.1 even
+  * with hot caches). Instead each table is scanned ONCE:
+  *  - per dim, a single two-level aggregation yields (stage rows,
+  *    distinct rows, duplicate keys) — families 1 and 4 in one job;
+  *  - the fact gets one pass with 5 broadcast flag-joins (dim keys are
+  *    deduped, so no row multiplication) yielding its count and all 5
+  *    orphan counts — families 1 and 3 in one job, no fact shuffle;
+  *  - family 2 reuses the cached fact for one hash-agg job.
+  * The 18 scalars then form a local 18-row DataFrame. At 100 TB the
+  * cost is 8 passes over cached/columnar data instead of ~20.
   */
 object Qa {
 
-  private def check(name: String, lhs: DataFrame, rhs: DataFrame): DataFrame =
-    lhs.crossJoin(rhs).select(
-      lit(name).as("check_name"), col("lhs"), col("rhs"),
-      (col("lhs") - col("rhs")).as("diff"))
-
-  private def cnt(df: DataFrame, as: String): DataFrame =
-    df.agg(count(lit(1)).as(as))
-
-  private def zero(as: String, s: SparkSession): DataFrame = {
-    import s.implicits._
-    Seq(0L).toDF(as)
+  private val prof = sys.env.contains("GRAFT_QA_PROF")
+  private def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    if (prof) println(f"QAPROF $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    r
   }
 
   def report(s: SparkSession, dir: String): DataFrame = {
     val stage = Stage.build(s, dir)
-      .map { case (k, v) => k -> v.cache() }
     val fact = Dwh.factDwh(stage).cache()
-    val dwh: Map[String, DataFrame] =
-      Map("fact" -> fact,
-        "agg_disorders_per_admission" -> Dwh.aggPerAdmission(fact)) ++
-        (stage - "fact").map { case (k, v) => k -> v.distinct() }
 
-    // family 1: row-count parity
-    val parityTables = Seq("dim_patients", "dim_admissions", "dim_provider",
-      "dim_concepts", "dim_junk", "dim_date", "fact")
-    val parity = parityTables.map { t =>
-      check(s"parity_$t", cnt(stage(t), "lhs"), cnt(dwh(t), "rhs"))
+    // Per-dim fused scalars: stage row count (family 1 lhs), distinct row
+    // count (family 1 rhs — DWH dims are dedup copies), duplicate-PK-key
+    // count over the deduped dim (family 4).
+    def dimStats(dim: DataFrame, key: String): (Long, Long, Long) = {
+      val byRow = dim.groupBy(dim.columns.map(col): _*)
+        .agg(count(lit(1)).as("_rows"))
+      val byKey = byRow.groupBy(col(key))
+        .agg(sum("_rows").as("_rows"), count(lit(1)).as("_distinct"))
+      val r = byKey.agg(
+        sum("_rows"), sum("_distinct"),
+        sum(when(col("_distinct") > 1, 1L).otherwise(0L))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
 
-    // family 2: fact vs aggregate consistency
-    val factVsAgg = check("fact_vs_agg",
-      cnt(fact, "lhs"),
-      dwh("agg_disorders_per_admission")
-        .agg(sum(col("total_events")).as("rhs")))
+    val dimSpecs = Seq(
+      ("dim_patients", "patient_id"),
+      ("dim_admissions", "admission_id"),
+      ("dim_provider", "provider_id"),
+      ("dim_concepts", "code"),
+      ("dim_junk", "junk_id"),
+      ("dim_date", "date_id"))
+    // Warm the two shared caches sequentially (every scalar below reads
+    // them; concurrent first-materialization would duplicate the work),
+    // then run the per-table scalar jobs concurrently — Spark's scheduler
+    // interleaves small jobs, so wall time ≈ the slowest scalar, not the sum.
+    val factStageCnt = timed("stageFactCount")(stage("fact").count())
+    val factDwhCnt = timed("dwhFactCount")(fact.count())
 
-    // family 3: orphan counts (anti-join J7/J9 shape), expected 0
-    val orphanChecks = Seq(
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+
+    val statsF = dimSpecs.map { case (t, key) =>
+      Future(t -> timed(s"dimStats($t)")(dimStats(stage(t), key)))
+    }
+
+    // Fact fused pass: COUNT(*) + the 5 orphan counts (J7 anti-join
+    // semantics: FK not null and no dim match) via broadcast flag-joins.
+    val orphanSpecs = Seq(
       ("orphans_patients", "patient_id", "dim_patients", "patient_id"),
       ("orphans_admissions", "admission_id", "dim_admissions", "admission_id"),
       ("orphans_concepts", "concept_code", "dim_concepts", "code"),
       ("orphans_dates", "event_datetime", "dim_date", "date_id"),
       ("orphans_junk", "junk_id", "dim_junk", "junk_id"))
-    val orphans = orphanChecks.map { case (name, key, dim, dimKey) =>
-      val lhs = cnt(fact.filter(col(key).isNotNull)
-        .join(dwh(dim).select(col(dimKey).as(key)), Seq(key), "left_anti"),
-        "lhs")
-      check(name, lhs, zero("rhs", s))
+    // dim_date/dim_junk are distinct-built (and QA's own dup checks assert
+    // key uniqueness), so their key sides skip the extra dedup shuffle.
+    val preDeduped = Set("dim_date", "dim_junk")
+    val flagged = orphanSpecs.zipWithIndex.foldLeft(fact) {
+      case (f, ((_, key, dim, dimKey), i)) =>
+        val keys = stage(dim).select(col(dimKey).as(key))
+        f.join(
+          broadcast(if (preDeduped(dim)) keys else keys.distinct())
+            .withColumn(s"_f$i", lit(true)),
+          Seq(key), "left")
     }
+    val factRow = flagged.agg(
+      count(lit(1)),
+      orphanSpecs.zipWithIndex.map { case ((_, key, _, _), i) =>
+        sum(when(col(key).isNotNull && col(s"_f$i").isNull, 1L).otherwise(0L))
+      }: _*)
+    val factRowF = Future(timed("factFused")(factRow.head))
+    val aggSumF = Future(timed("aggSum")(Dwh.aggPerAdmission(fact)
+      .agg(sum(col("total_events"))).head.getLong(0)))
 
-    // family 4: duplicate-PK counts (A5 shape), expected 0
-    val dupChecks = Seq(
-      ("dups_patients", "dim_patients", "patient_id"),
-      ("dups_admissions", "dim_admissions", "admission_id"),
-      ("dups_provider", "dim_provider", "provider_id"),
-      ("dups_concepts", "dim_concepts", "code"),
-      ("dups_date", "dim_date", "date_id"))
-    val dups = dupChecks.map { case (name, dim, key) =>
-      val lhs = dwh(dim).groupBy(col(key)).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).agg(count(lit(1)).as("lhs"))
-      check(name, lhs, zero("rhs", s))
-    }
+    val (stats, factRow2, aggSum) =
+      try {
+        (Await.result(Future.sequence(statsF), Duration.Inf).toMap,
+          Await.result(factRowF, Duration.Inf),
+          Await.result(aggSumF, Duration.Inf))
+      } finally pool.shutdown()
+    require(factRow2.getLong(0) == factDwhCnt,
+      s"fused fact count ${factRow2.getLong(0)} != cached count $factDwhCnt")
+    val orphanCnts = orphanSpecs.indices.map(i => factRow2.getLong(i + 1))
 
-    (parity ++ Seq(factVsAgg) ++ orphans ++ dups).reduce(_ unionByName _)
+    // Assemble the 18-row report (U1 union order preserved from QA.sql).
+    val rows =
+      dimSpecs.map { case (t, _) =>
+        (s"parity_$t", stats(t)._1, stats(t)._2)
+      } ++
+      Seq(("parity_fact", factStageCnt, factDwhCnt),
+          ("fact_vs_agg", factDwhCnt, aggSum)) ++
+      orphanSpecs.zipWithIndex.map { case ((name, _, _, _), i) =>
+        (name, orphanCnts(i), 0L)
+      } ++
+      Seq("dups_patients" -> "dim_patients", "dups_admissions" -> "dim_admissions",
+          "dups_provider" -> "dim_provider", "dups_concepts" -> "dim_concepts",
+          "dups_date" -> "dim_date").map { case (name, t) =>
+        (name, stats(t)._3, 0L)
+      }
+
+    import s.implicits._
+    rows.toDF("check_name", "lhs", "rhs")
+      .withColumn("diff", col("lhs") - col("rhs"))
   }
 }

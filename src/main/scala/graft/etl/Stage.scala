@@ -37,25 +37,32 @@ object Stage {
 
   // ---- dims --------------------------------------------------------------
 
-  /** dim_patients (Stage_area.sql:25-30). */
+  /** dim_patients (Stage_area.sql:25-30). Broadcast-sized; cached because
+    * the fact build, DWH guards and QA families all re-read it.
+    */
   def dimPatients(s: SparkSession, dir: String): DataFrame =
-    Relational.projectRename(s, dir)
+    graft.ops.Memo.of(s, dir, "dimPatients")(
+      Relational.projectRename(s, dir).cache())
 
   /** dim_admissions with sentinel conform (Stage_area.sql:36-50). */
   def dimAdmissions(s: SparkSession, dir: String): DataFrame =
-    Relational.sentinelConform(s, dir)
+    graft.ops.Memo.of(s, dir, "dimAdmissions")(
+      Relational.sentinelConform(s, dir).cache())
 
   /** dim_provider (Stage_area.sql:56-70): transfers analog = purchase
     * events; ROW_NUMBER surrogate key over a pinned natural order.
+    * Cached — the key window is single-partition, don't re-run it.
     */
   def dimProvider(s: SparkSession, dir: String): DataFrame =
-    events(s, dir).filter(col("event_type") === "purchase")
-      .select(col("event_id").as("provider_id"),
-        col("user_id").as("patient_id"),
-        col("ts").as("intime"),
-        (col("ts") + expr("INTERVAL 2 DAY")).as("outtime"))
-      .withColumn("provider_key",
-        row_number().over(Window.orderBy(col("provider_id").asc)))
+    graft.ops.Memo.of(s, dir, "dimProvider")(
+      events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("provider_id"),
+          col("user_id").as("patient_id"),
+          col("ts").as("intime"),
+          (col("ts") + expr("INTERVAL 2 DAY")).as("outtime"))
+        .withColumn("provider_key",
+          row_number().over(Window.orderBy(col("provider_id").asc)))
+        .cache())
 
   /** Lab concepts (Stage_area.sql:85-95 keyword-filtered d_labitems). */
   def conceptsLab(s: SparkSession, dir: String): DataFrame =
@@ -93,18 +100,19 @@ object Stage {
   /** dim_concepts: 3-source union + conditional Unknown member
     * (Stage_area.sql:76-113, S6/J8).
     */
-  def dimConcepts(s: SparkSession, dir: String): DataFrame = {
-    val all3 = conceptsLab(s, dir)
-      .unionByName(conceptsDx(s, dir))
-      .unionByName(conceptsOmr(s, dir))
-    val unknown = s.createDataFrame(
-      java.util.List.of(Row("UNK", "Unknown concept", "NA")),
-      StructType(Seq(
-        StructField("code", StringType, nullable = false),
-        StructField("concept_name", StringType, nullable = false),
-        StructField("concept_type", StringType, nullable = false))))
-    all3.unionByName(unknown.join(all3, Seq("code"), "left_anti"))
-  }
+  def dimConcepts(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.of(s, dir, "dimConcepts") {
+      val all3 = conceptsLab(s, dir)
+        .unionByName(conceptsDx(s, dir))
+        .unionByName(conceptsOmr(s, dir))
+      val unknown = s.createDataFrame(
+        java.util.List.of(Row("UNK", "Unknown concept", "NA")),
+        StructType(Seq(
+          StructField("code", StringType, nullable = false),
+          StructField("concept_name", StringType, nullable = false),
+          StructField("concept_type", StringType, nullable = false))))
+      all3.unionByName(unknown.join(all3, Seq("code"), "left_anti")).cache()
+    }
 
   // ---- fact (U2: 3-source union, Stage_area.sql:153-222) -----------------
 
@@ -274,17 +282,23 @@ object Stage {
       .withColumn("junk_id", row_number().over(w))
   }
 
-  def dimJunk(s: SparkSession, dir: String): DataFrame = {
-    val f = factEnriched(s, dir)
-    f.select(col("source_type"), col("measurement_unit"), col("careunit"),
-      col("junk_id")).distinct()
-  }
+  def dimJunk(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.of(s, dir, "dimJunk") {
+      val f = factEnriched(s, dir)
+      f.select(col("source_type"), col("measurement_unit"), col("careunit"),
+        col("junk_id")).distinct().cache()
+    }
 
   /** dim_date at distinct-timestamp grain from the fact
     * (Stage_area.sql:119-127, 289-301).
     */
   def dimDate(s: SparkSession, dir: String): DataFrame =
-    dimDateFrom(factEnriched(s, dir))
+    graft.ops.Memo.of(s, dir, "dimDate") {
+      // Distinct-timestamp grain ⇒ ~1 row per fact event; cached because
+      // the DWH guards, QA parity/dup/orphan checks and pipe_stage_dim_date
+      // all re-derive it from the fact (a full-fact shuffle each time).
+      dimDateFrom(factEnriched(s, dir)).cache()
+    }
 
   private[etl] def dimDateFrom(fact: DataFrame): DataFrame =
     fact.select(col("event_datetime").as("date_id")).distinct()
@@ -305,9 +319,8 @@ object Stage {
       "dim_admissions" -> dimAdmissions(s, dir),
       "dim_provider" -> dimProvider(s, dir),
       "dim_concepts" -> dimConcepts(s, dir),
-      "dim_junk" -> fact.select(col("source_type"), col("measurement_unit"),
-        col("careunit"), col("junk_id")).distinct(),
-      "dim_date" -> dimDateFrom(fact),
+      "dim_junk" -> dimJunk(s, dir),
+      "dim_date" -> dimDate(s, dir),
       "fact" -> fact)
   }
 }
