@@ -43,8 +43,18 @@ object TextFns {
     regexp_replace(
       regexp_replace(lower(trim(c)), "[^a-z0-9\\s]", ""), "\\s+", " ")
 
+  /** MD5 hex digest via the native [[graft.expressions.FastMd5]] — same
+    * output as `functions.md5` but without its per-row
+    * `MessageDigest.getInstance` (~10 µs/call); use this for every
+    * per-token/per-shingle hash.
+    */
+  def fastMd5(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.FastMd5(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
   /** Document fingerprint: md5 of the normalized text. */
-  def fingerprint(c: Column): Column = md5(normalize(c))
+  def fingerprint(c: Column): Column = fastMd5(normalize(c))
 
   /** Distinct word 3-gram shingles. Short docs (<3 words) yield their
     * whole text as one shingle.

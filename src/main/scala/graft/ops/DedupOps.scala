@@ -29,7 +29,7 @@ object DedupOps extends OpGroup {
   // ---------------------------------------------------------------------
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .groupBy(md5(col("text")).as("fp"))
+      .groupBy(fastMd5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("copies"))
 
@@ -49,12 +49,32 @@ object DedupOps extends OpGroup {
   // carved into eight 8-char lanes; the lexicographic MIN of a lane is
   // a uniform MinHash.
   // ---------------------------------------------------------------------
+  /** Exploded word-3-gram shingles as (doc_id, x) rows. Overlapping
+    * trigrams are pulled straight from the whitespace-normalized text by
+    * a zero-width lookahead regex (`(?<![^ ])` anchors each match at a
+    * word start), so generation is one narrow codegen'd pass — no array
+    * lambdas (`transform(sequence, slice ...)` evaluates interpreted,
+    * ~3 s at sf0.1 on its own) and no doc-partitioned window shuffle.
+    * Docs shorter than 3 words contribute their whole text as one
+    * shingle (same rule as the oracle's list_transform slice).
+    */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "dedupShingleRows") {
+      val d = docs(s, dir)
+      val tri = d.select(col("doc_id"), explode(regexp_extract_all(
+          regexp_replace(trim(col("text")), "\\s+", " "),
+          lit("(?<![^ ])(?=([^ ]+ [^ ]+ [^ ]+))"), lit(1))).as("x"))
+      val short = d.filter(size(tokens(col("text"))) < 3)
+        .select(col("doc_id"),
+          concat_ws(" ", tokens(col("text"))).as("x"))
+      tri.unionByName(short).cache()
+    }
+
   private def bandTable(s: SparkSession, dir: String): DataFrame =
     Memo.of(s, dir, "dedupBandTable") {
-      val sh = docs(s, dir)
-        .select(col("doc_id"), explode(shingles3(col("text"))).as("x"))
-        .select(col("doc_id"), md5(col("x")).as("h1"),
-          md5(concat(lit("#"), col("x"))).as("h2"))
+      val sh = shingleRows(s, dir)
+        .select(col("doc_id"), fastMd5(col("x")).as("h1"),
+          fastMd5(concat(lit("#"), col("x"))).as("h2"))
       val lanes = (0 until numHashes).map { i =>
         val src = if (i < 4) "h1" else "h2"
         min(substring(col(src), (i % 4) * 8 + 1, 8)).as(s"mh$i")
@@ -63,7 +83,7 @@ object DedupOps extends OpGroup {
       val rows = numHashes / numBands
       val bands = (0 until numBands).map { b =>
         struct(lit(b).as("band"),
-          md5(concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
+          fastMd5(concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
             .as("sig"))
       }
       mh.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
@@ -122,7 +142,7 @@ object DedupOps extends OpGroup {
     val dims = 8
     val exploded = docs(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .withColumn("h", md5(col("w")))
+      .withColumn("h", fastMd5(col("w")))
     val sums = (1 to dims).map(j =>
       sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1))
         .as(s"s$j"))
@@ -153,9 +173,12 @@ object DedupOps extends OpGroup {
   // similarity on distinct 3-gram shingle sets.
   // ---------------------------------------------------------------------
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // Distinct shingle sets per doc, rebuilt from the exploded rows
+    // (collect_set = the array_distinct the set-ratio needs; element
+    // order is irrelevant to intersect/union sizes).
     val sh = Memo.of(s, dir, "dedupShingles") {
-      docs(s, dir)
-        .select(col("doc_id"), shingles3(col("text")).as("sh")).cache()
+      shingleRows(s, dir).groupBy(col("doc_id"))
+        .agg(collect_set(col("x")).as("sh")).cache()
     }
     val pairs = minhashLsh(s, dir)
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
