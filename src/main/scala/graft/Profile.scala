@@ -22,7 +22,11 @@ object Profile {
       val n = f
       println(f"PROF $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
     }
+    if (sys.env.contains("GRAFT_WARM"))
+      try etl.Qa.report(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
     t("factLab")(Stage.factLab(spark, sfDir).count())
+    t("factLab(2nd)")(Stage.factLab(spark, sfDir).count())
     t("factDx")(Stage.factDx(spark, sfDir).count())
     t("factOmr")(Stage.factOmr(spark, sfDir).count())
     t("factRaw+key")(Stage.factRaw(spark, sfDir).count())

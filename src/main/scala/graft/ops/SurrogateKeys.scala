@@ -21,11 +21,17 @@ object SurrogateKeys {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val schema = sorted.schema.add(keyName, LongType, nullable = false)
+    // zipWithIndex launches an offset-count job over partitions 0..N-2
+    // before the real pass — without a persist the range sort executes
+    // twice. Rows must be copied before caching (the scan reuses one
+    // UnsafeRow per partition).
+    val sortedRdd = sorted.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Stay on InternalRow — boxing 800k+ wide rows through the public Row
     // API costs more than the numbering itself. JoinedRow reuse follows
     // the standard per-partition iterator contract (consumers copy when
     // they buffer).
-    val internal = sorted.queryExecution.toRdd.zipWithIndex()
+    val internal = sortedRdd.zipWithIndex()
       .mapPartitions { it =>
         val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
         val idxRow = new org.apache.spark.sql.catalyst.expressions
