@@ -26,7 +26,10 @@ object Explain {
         val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
         val bcast = "BroadcastHashJoin".r.findAllIn(plan).size
         val smj = "SortMergeJoin".r.findAllIn(plan).size
-        val wsc = "WholeStageCodegen".r.findAllIn(plan).size
+        // toString marks codegen stages as "*(n)" prefixes, not the word
+        // "WholeStageCodegen"; distinct ids = number of codegen spans.
+        val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+          .map(_.group(1)).toSet.size
         val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
         println(f"PLAN $n%-28s shuffles=$shuffles bcastJoin=$bcast " +
           f"sortMergeJoin=$smj codegenSpans=$wsc pushedFilterScans=$pushed")

@@ -56,6 +56,18 @@ object TextFns {
   /** Document fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = fastMd5(normalize(c))
 
+  /** All overlapping word trigrams of the whitespace-normalized text, in
+    * order with duplicates, via a zero-width lookahead regex (`(?<![^ ])`
+    * anchors each match at a word start). One narrow codegen'd pass — the
+    * per-element [[shingles3]] lambda evaluates interpreted and was ~6×
+    * slower. Texts with fewer than 3 words yield an empty array (callers
+    * add the whole-text shingle; see DedupOps.shingleRows).
+    */
+  def overlappingTrigrams(c: Column): Column =
+    regexp_extract_all(
+      regexp_replace(trim(c), "\\s+", " "),
+      lit("(?<![^ ])(?=([^ ]+ [^ ]+ [^ ]+))"), lit(1))
+
   /** Distinct word 3-gram shingles. Short docs (<3 words) yield their
     * whole text as one shingle.
     */

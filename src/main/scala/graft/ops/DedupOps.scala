@@ -61,9 +61,8 @@ object DedupOps extends OpGroup {
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     Memo.of(s, dir, "dedupShingleRows") {
       val d = docs(s, dir)
-      val tri = d.select(col("doc_id"), explode(regexp_extract_all(
-          regexp_replace(trim(col("text")), "\\s+", " "),
-          lit("(?<![^ ])(?=([^ ]+ [^ ]+ [^ ]+))"), lit(1))).as("x"))
+      val tri = d.select(col("doc_id"),
+        explode(overlappingTrigrams(col("text"))).as("x"))
       val short = d.filter(size(tokens(col("text"))) < 3)
         .select(col("doc_id"),
           concat_ws(" ", tokens(col("text"))).as("x"))

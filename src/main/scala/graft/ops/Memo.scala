@@ -15,8 +15,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Memo {
   private val store = new ConcurrentHashMap[String, DataFrame]()
 
+  /** Memoized builds nest (e.g. the band table builds the shingle table),
+    * so this must NOT use computeIfAbsent: a recursive update of the same
+    * map throws IllegalStateException whenever the two keys share a hash
+    * bin. get + putIfAbsent is reentrant; a concurrent duplicate build is
+    * harmless (identical plans share one cache entry anyway).
+    */
   def of(s: SparkSession, dir: String, tag: String)(
-      build: => DataFrame): DataFrame =
-    store.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$dir|$tag", _ => build)
+      build: => DataFrame): DataFrame = {
+    val key = s"${System.identityHashCode(s)}|$dir|$tag"
+    val existing = store.get(key)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = store.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 }

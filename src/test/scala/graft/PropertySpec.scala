@@ -79,6 +79,43 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // --- FastMd5: bit-identical to functions.md5 ----------------------------
+  private val anyStrGen: Gen[String] = Gen.oneOf(
+    Gen.const(""), Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf("é", "中", "🙂", "a", " "))
+      .map(_.mkString))
+
+  property("fast_md5 equals functions.md5 on arbitrary unicode strings") =
+    Prop.forAll(Gen.listOfN(15, anyStrGen)) { strs =>
+      strs.toDF("s")
+        .select(functions.TextFns.fastMd5(col("s")).as("fast"),
+          md5(col("s").cast("binary")).as("ref"))
+        .collect()
+        .forall(r => r.getString(0) == r.getString(1))
+    }
+
+  // --- dedup: regex trigram extraction equals the array-lambda shingles ---
+  private val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOf(wordGen)
+    sep <- Gen.oneOf(" ", "  ", "\t", " \n ")
+  } yield words.mkString(sep)
+
+  property("regex trigram shingles equal transform/slice shingles as sets") =
+    Prop.forAll(Gen.listOfN(12, textGen)) { texts =>
+      texts.toDF("text")
+        .select(
+          array_sort(array_distinct(concat(
+            functions.TextFns.overlappingTrigrams(col("text")),
+            when(size(functions.TextFns.tokens(col("text"))) < 3,
+              array(concat_ws(" ", functions.TextFns.tokens(col("text")))))
+              .otherwise(array())))).as("regex"),
+          array_sort(functions.TextFns.shingles3(col("text"))).as("lambda"))
+        .collect()
+        .forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+    }
+
   // --- J6/M5: junk-dim bijectivity under generated nulls -------------------
   private val tripleGen: Gen[(String, Option[String], Option[String])] =
     for {
