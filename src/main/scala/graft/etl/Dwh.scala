@@ -36,11 +36,15 @@ object Dwh {
       ("event_datetime", stage("dim_date"), "date_id", true),
       ("junk_id", stage("dim_junk"), "junk_id", true),
       ("provider_id", stage("dim_provider"), "provider_id", true))
+    // No broadcast hint: AQE broadcasts each dim-key side while it fits
+    // (always true at bench scale) but may fall back to shuffle joins with
+    // injected runtime bloom filters at 100 TB, where dim_date's key side
+    // is fact-sized and a forced broadcast would OOM the executors.
     val withFlags = guards.zipWithIndex.foldLeft(deduped) {
       case (f, ((key, dim, dimKey, _), i)) =>
         f.join(
-          broadcast(dim.select(col(dimKey).as(key)).distinct()
-            .withColumn(s"_m$i", lit(true))),
+          dim.select(col(dimKey).as(key)).distinct()
+            .withColumn(s"_m$i", lit(true)),
           Seq(key), "left")
     }
     val pred = guards.zipWithIndex.map { case ((key, _, _, guarded), i) =>

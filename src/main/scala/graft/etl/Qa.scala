@@ -87,9 +87,10 @@ object Qa {
     val preDeduped = Set("dim_date", "dim_junk")
     val flagged = orphanSpecs.zipWithIndex.foldLeft(fact) {
       case (f, ((_, key, dim, dimKey), i)) =>
+        // No broadcast hint — AQE decides (see Dwh.factDwh's guard note).
         val keys = stage(dim).select(col(dimKey).as(key))
         f.join(
-          broadcast(if (preDeduped(dim)) keys else keys.distinct())
+          (if (preDeduped(dim)) keys else keys.distinct())
             .withColumn(s"_f$i", lit(true)),
           Seq(key), "left")
     }

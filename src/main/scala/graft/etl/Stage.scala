@@ -234,7 +234,9 @@ object Stage {
       (col("ts") + expr("INTERVAL 3 DAY")).as("outtime"),
       (col("event_id") % 4).cast(StringType).as("w_careunit"),
       col("event_id").as("w_id"))
-    val j3 = f2.join(broadcast(cuW),
+    // No broadcast hint on the window sides: they derive from events and
+    // grow with the data — AQE broadcasts while small, shuffles at scale.
+    val j3 = f2.join(cuW,
       f2("patient_id") === cuW("w_user") &&
         f2("event_datetime").between(cuW("intime"), cuW("outtime")), "left")
     // min_by skips rows whose ordering key is NULL, which would drop
@@ -251,7 +253,7 @@ object Stage {
       col("user_id").as("w_user"), col("ts").as("intime"),
       (col("ts") + expr("INTERVAL 2 DAY")).as("outtime"),
       col("event_id").as("w_provider"))
-    val j4 = f3.join(broadcast(pvW),
+    val j4 = f3.join(pvW,
       f3("patient_id") === pvW("w_user") &&
         f3("event_datetime").between(pvW("intime"), pvW("outtime")), "left")
     val f4 = bestMatch(j4, ("event_key" +: factCols :+ "careunit") :+ "w_provider",
