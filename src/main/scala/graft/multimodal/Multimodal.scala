@@ -61,7 +61,22 @@ object Multimodal extends OpGroup {
         val end = math.min(off + frameLen, m.payload.length)
         FrameRow(m.media_id, i, md5Hex(m.payload.slice(off, end)))
       }
+
+    /** Nearest-neighbor byte resample to `target` bytes (the 1-D stand-in
+      * for an image resize): out(i) = payload((i * len) / target).
+      */
+    def resize(m: MediaRow, target: Int): ResizedMedia = {
+      val n = m.payload.length
+      val out =
+        if (n == 0) Array.empty[Byte]
+        else Array.tabulate(target)(i => m.payload((i * n) / target))
+      ResizedMedia(m.media_id, m.kind, n.toLong, out.length.toLong,
+        md5Hex(out))
+    }
   }
+
+  case class ResizedMedia(media_id: Long, kind: String, orig_bytes: Long,
+      resized_bytes: Long, resized_md5: String)
 
   /** Build a binary media table from `documents` (text bytes stand in for
     * an opaque payload; ASCII corpus ⇒ bytes == characters, which is what
@@ -115,9 +130,34 @@ object Multimodal extends OpGroup {
        |      least($frameLen, len(text) - (t.i * len(text)) // $numFrames))) AS frame_md5
        |FROM documents, range(0, $numFrames) t(i)""".stripMargin
 
+  /** Resize pipeline: constant-size nearest-neighbor resample per row
+    * (embarrassingly parallel map, no shuffle).
+    */
+  val resizeTarget = 64
+
+  def resizeMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .mapPartitions(rows => rows.map(StubCodec.resize(_, resizeTarget)))
+      .toDF()
+  }
+
+  private val resizeMediaSql =
+    s"""SELECT doc_id AS media_id, 'image' AS kind,
+       |  CAST(len(text) AS BIGINT) AS orig_bytes,
+       |  CAST(CASE WHEN len(text) = 0 THEN 0 ELSE $resizeTarget END AS BIGINT)
+       |    AS resized_bytes,
+       |  md5(CASE WHEN len(text) = 0 THEN ''
+       |      ELSE array_to_string(list_transform(range(0, $resizeTarget),
+       |        i -> substring(text, (i * len(text)) // $resizeTarget + 1, 1)), '')
+       |      END) AS resized_md5
+       |FROM documents""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("mm_decode_features", decodeFeatures, Some(decodeFeaturesSql),
       "binary media decode stub via mapPartitions, oracle-verified"),
     Op("mm_frame_sample", frameSample, Some(frameSampleSql),
-      "fixed-offset frame sampling over binary payloads"))
+      "fixed-offset frame sampling over binary payloads"),
+    Op("mm_resize", resizeMedia, Some(resizeMediaSql),
+      "nearest-neighbor byte resample (resize stub), oracle-verified"))
 }

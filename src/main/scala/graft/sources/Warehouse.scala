@@ -36,6 +36,40 @@ object Warehouse extends OpGroup {
       names: Seq[String]): Map[String, DataFrame] =
     names.map(n => n -> spark.read.parquet(s"$basePath/$n")).toMap
 
+  /** S4 in other interchange formats: CSV (header) and JSON lines.
+    * Text formats erase types, so reads take the original schema
+    * explicitly — the round-trip op below hash-verifies fidelity.
+    */
+  def writeTable(df: DataFrame, path: String, format: String): Unit =
+    df.write.mode("overwrite").format(format)
+      .option("header", "true").save(path)
+
+  def readTable(s: SparkSession, path: String, format: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.format(format).option("header", "true").schema(schema).load(path)
+
+  /** CSV + JSON round-trip of the nation table: write both formats, read
+    * both back with the source schema, require they agree row-for-row,
+    * return the CSV read (oracle = the source table, so the hash check
+    * proves end-to-end fidelity through both text formats).
+    */
+  def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(s, dir, "nation")
+    val base = s"target/format_roundtrip/${math.abs(dir.hashCode.toLong)}"
+    val csvBack = {
+      writeTable(src, s"$base/csv", "csv")
+      readTable(s, s"$base/csv", "csv", src.schema)
+    }
+    val jsonBack = {
+      writeTable(src, s"$base/json", "json")
+      readTable(s, s"$base/json", "json", src.schema)
+    }
+    require(csvBack.exceptAll(jsonBack).isEmpty &&
+      jsonBack.exceptAll(csvBack).isEmpty,
+      "csv and json round-trips disagree")
+    csvBack
+  }
+
   /** S2/S8: register the harness tables as namespaced temp views and list
     * them from the catalog (SHOW TABLES semantics, DWH.sql:215).
     */
@@ -72,5 +106,8 @@ object Warehouse extends OpGroup {
     Op("s_catalog_tables", catalogTables, Some(catalogTablesSql),
       "DWH.sql:215 SHOW TABLES via spark.catalog.listTables"),
     Op("fp_rolling_hash", rollingFingerprint, Some(rollingFingerprintSql),
-      "Rabin-Karp fingerprint via native codegen Catalyst expression"))
+      "Rabin-Karp fingerprint via native codegen Catalyst expression"),
+    Op("s_format_roundtrip", formatRoundtrip,
+      Some("SELECT * FROM nation"),
+      "CSV + JSON write/read round-trip with schema-pinned text reads"))
 }
