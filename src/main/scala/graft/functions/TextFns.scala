@@ -78,15 +78,17 @@ object TextFns {
       i => concat_ws(" ", slice(words, i + lit(1), lit(3)))))
   }
 
-  /** Dot product of two float-array columns, computed in double with a
+  /** Dot product of two numeric-array columns, computed in double with a
     * deterministic left-fold (index order) so the oracle reproduces it
-    * bit-for-bit before rounding.
+    * bit-for-bit before rounding. Backed by the native codegen'd
+    * [[graft.expressions.DotProduct]] — the equivalent
+    * `aggregate(zip_with(...))` lambdas evaluate interpreted per element.
     */
-  def dotProduct(a: Column, b: Column): Column = {
-    def d(x: Column) = transform(x, v => v.cast(DoubleType))
-    aggregate(zip_with(d(a), d(b), (p, q) => p * q), lit(0d),
-      (acc, v) => acc + v)
-  }
+  def dotProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   def l2norm(a: Column): Column = sqrt(dotProduct(a, a))
 

@@ -98,11 +98,8 @@ object SimilarityOps extends OpGroup {
   def lshSignatures(s: SparkSession, dir: String): DataFrame = {
     // hyperplane sign for (bit j, dim i): md5("j|i") first hex >= '8'
     val bits = (0 until lshBits).map { j =>
-      val proj = aggregate(
-        zip_with(col("embedding"),
-          typedLit((0 until 64).map(i => hyperplane(j, i))),
-          (v, h) => v.cast("double") * h),
-        lit(0d), (acc, v) => acc + v)
+      val proj = graft.functions.TextFns.dotProduct(col("embedding"),
+        typedLit((0 until 64).map(i => hyperplane(j, i))))
       when(proj > 0, lit("1")).otherwise(lit("0"))
     }
     emb(s, dir).select(col("vec_id"), concat(bits: _*).as("bucket"))

@@ -94,6 +94,24 @@ object PropertySpec extends Properties("graft") {
         .forall(r => r.getString(0) == r.getString(1))
     }
 
+  // --- DotProduct: codegen matches a plain-Scala left fold ----------------
+  private val vecGen: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.choose(-100f, 100f))
+
+  property("dot_product equals scala left-fold on generated float arrays") =
+    Prop.forAll(Gen.listOfN(10, Gen.zip(vecGen, vecGen))) { pairs =>
+      pairs.toDF("a", "b")
+        .select(col("a"), col("b"),
+          functions.TextFns.dotProduct(col("a"), col("b")).as("dp"))
+        .collect()
+        .forall { r =>
+          val a = r.getSeq[Float](0); val b = r.getSeq[Float](1)
+          val expect = a.zip(b)
+            .foldLeft(0d)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+          r.getDouble(2) == expect
+        }
+    }
+
   // --- dedup: regex trigram extraction equals the array-lambda shingles ---
   private val wordGen: Gen[String] =
     Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
