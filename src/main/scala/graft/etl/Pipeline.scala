@@ -111,10 +111,11 @@ object PipelineSql {
        |    ON trim(lower(m.event_type)) = trim(lower(c.concept_name))
        |  WHERE m.user_id IS NOT NULL),
        |fact_raw AS (
-       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY
-       |    source_type ASC NULLS LAST, patient_id ASC NULLS LAST,
-       |    admission_id ASC NULLS LAST, event_datetime ASC NULLS LAST,
-       |    concept_code ASC NULLS LAST, measurement_value ASC NULLS LAST) AS BIGINT) AS event_key
+       |  SELECT *, CAST(patient_id * 1000000000 + ROW_NUMBER() OVER (
+       |    PARTITION BY patient_id ORDER BY
+       |    source_type ASC NULLS LAST, admission_id ASC NULLS LAST,
+       |    event_datetime ASC NULLS LAST, concept_code ASC NULLS LAST,
+       |    measurement_value ASC NULLS LAST) AS BIGINT) AS event_key
        |  FROM (SELECT * FROM fact_lab UNION ALL SELECT * FROM fact_dx
        |        UNION ALL SELECT * FROM fact_omr) u),
        |fact_m2 AS (

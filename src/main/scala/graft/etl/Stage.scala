@@ -179,24 +179,28 @@ object Stage {
   }
 
   /** Raw fact: U2 union + deterministic surrogate event_key (W1/C1,
-    * SURVEY.md §7.4.1 total order). Assigned via the range-partitioned
-    * zipWithIndex in [[graft.ops.SurrogateKeys]] — a bare
-    * `row_number().over(Window.orderBy(..))` would single-partition the
-    * whole fact, which does not survive a 100× scale-up.
+    * SURVEY.md §7.4.1). The key is composite: `patient_id * 1e9 +
+    * row_number within the patient` over a pinned order — AUTO_INCREMENT
+    * semantics need unique, deterministic BIGINTs, not dense ones (MariaDB
+    * auto-increment has gaps too). One hash shuffle + per-partition sort,
+    * no sampling pass, no global coordination, and a pure DataFrame plan
+    * (an RDD zipWithIndex hop would break cache-plan canonicalization).
+    * A bare `row_number().over(Window.orderBy(..))` would single-partition
+    * the fact; dense global numbering, when a consumer really needs it,
+    * lives in [[graft.ops.SurrogateKeys]].
     */
   def factRaw(s: SparkSession, dir: String): DataFrame = {
-    // Cached: key assignment scans the union three times (range-partition
-    // sampling, the sort, zipWithIndex's offset count) — without the
-    // cache each pass would recompute the three source joins.
     val u = factLab(s, dir)
       .unionByName(factDx(s, dir))
       .unionByName(factOmr(s, dir))
-      .cache()
-    graft.ops.SurrogateKeys.withGlobalRowNumber(u, "event_key", Seq(
-      col("source_type").asc_nulls_last, col("patient_id").asc_nulls_last,
-      col("admission_id").asc_nulls_last, col("event_datetime").asc_nulls_last,
+    val w = Window.partitionBy(col("patient_id")).orderBy(
+      col("source_type").asc_nulls_last,
+      col("admission_id").asc_nulls_last,
+      col("event_datetime").asc_nulls_last,
       col("concept_code").asc_nulls_last,
-      col("measurement_value").asc_nulls_last))
+      col("measurement_value").asc_nulls_last)
+    u.withColumn("event_key",
+      col("patient_id") * lit(1000000000L) + row_number().over(w))
   }
 
   /** Enrichment chain (Stage_area.sql:225-283), order-sensitive:
@@ -256,9 +260,13 @@ object Stage {
     val j4 = f3.join(pvW,
       f3("patient_id") === pvW("w_user") &&
         f3("event_datetime").between(pvW("intime"), pvW("outtime")), "left")
+    // Cached: the junk-dim distinct AND the junk linkage join both scan
+    // f4 — uncached, the whole union + key window + two interval-join
+    // rounds would execute twice.
     val f4 = bestMatch(j4, ("event_key" +: factCols :+ "careunit") :+ "w_provider",
         ord(col("intime"), col("w_provider")))
       .withColumnRenamed("w_provider", "provider_id")
+      .cache()
 
     // M5: junk dim + null-safe linkage (Stage_area.sql:262-283).
     // The enriched fact is referenced by dim_date, dim_junk, the DWH dedup
