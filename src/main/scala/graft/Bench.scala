@@ -1,6 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Full-plan sink: the noop v2 sink consumes every output column of
+    * every row, so per-row projection queries (text_*, mm_*, fingerprints)
+    * are actually executed — `.count()` would let Catalyst prune their
+    * expensive expressions away and under-measure them.
+    */
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,23 +25,26 @@ object Bench {
     // join's 6.5 s — warm-up isolates the actual per-row cost.)
     try {
       spark.range(1L << 20).selectExpr("sum(id)").collect()
-      SparkEntry.entry(spark).count()
+      run(SparkEntry.entry(spark))
       val warmDir = "/root/testdata/sf0.001"
       if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
         SparkEntry.queries.foreach { case (_, fn) =>
-          try fn(spark, warmDir).count()
+          try run(fn(spark, warmDir))
           catch { case _: Throwable => }
         }
     } catch { case _: Throwable => }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn(spark, sfDir)) }
+      catch { case _: Throwable => failed ::= name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fj = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

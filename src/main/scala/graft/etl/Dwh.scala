@@ -64,9 +64,13 @@ object Dwh {
         countDistinct(col("concept_code")).as("unique_concepts"),
         countDistinct(col("source_type")).as("different_sources"))
 
-  /** Full DWH layer (dims are dedup copies of stage, DWH.sql:23-93). */
+  /** Full DWH layer (dims are dedup copies of stage, DWH.sql:23-93).
+    * Reads the MATERIALIZED stage layer — the reference's own layered
+    * architecture — so the DWH plan is file scans + broadcast guards +
+    * one hash-agg, not a re-derivation of the whole stage build.
+    */
   def build(s: SparkSession, dir: String): Map[String, DataFrame] = {
-    val stage = Stage.build(s, dir)
+    val stage = Stage.materialized(s, dir)
     val fact = factDwh(stage)
     Map(
       "dim_patients" -> stage("dim_patients").distinct(),

@@ -28,9 +28,28 @@ object Pipeline extends OpGroup {
       Some(PipelineSql.q("SELECT * FROM dim_date")),
       "Stage_area.sql:119-127,289-301 dim_date fill from fact"),
     Op("pipe_dwh_fact",
-      (s, dir) => Dwh.factDwh(Stage.build(s, dir)),
+      (s, dir) => Dwh.factDwh(Stage.materialized(s, dir)),
       Some(PipelineSql.q("SELECT * FROM fact_dwh")),
       "DWH.sql:98-118,150-177 fact dedup + orphan deletes in FK order"),
+    Op("s_layer_roundtrip",
+      (s, dir) => {
+        // Write stage layer → read the files back → aggregate over them;
+        // the oracle recomputes from raw tables, so a green hash proves
+        // the materialization path end-to-end (S3/S4/S5 + S1).
+        val fact = Stage.materialized(s, dir)("fact")
+        import org.apache.spark.sql.functions._
+        fact.groupBy(col("source_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("event_key")).as("min_key"),
+            max(col("event_key")).as("max_key"),
+            countDistinct(col("patient_id")).as("n_patients"))
+      },
+      Some(PipelineSql.q(
+        """SELECT source_type, COUNT(*) AS n_rows, MIN(event_key) AS min_key,
+          |       MAX(event_key) AS max_key,
+          |       COUNT(DISTINCT patient_id) AS n_patients
+          |FROM fact_stage GROUP BY source_type""".stripMargin)),
+      "stage layer write -> file read -> aggregate: materialization roundtrip"),
     Op("pipe_dwh_agg",
       (s, dir) => Dwh.build(s, dir)("agg_disorders_per_admission"),
       Some(PipelineSql.q("SELECT * FROM dwh_agg")),
@@ -237,10 +256,13 @@ object PipelineSql {
       ("dups_provider", "dim_provider", "provider_id"),
       ("dups_concepts", "dim_concepts", "code"),
       ("dups_date", "dim_date", "date_id"))
+    // Family 4 counts dup keys over the DEDUPED dim (the DWH dims are
+    // dedup copies, DWH.sql:23-93) — mirror Qa.dimStats, which computes
+    // "> 1 DISTINCT rows per key", not "> 1 raw rows per key".
     val dups = dupChecks.map { case (name, dim, key) =>
       s"""SELECT '$name' AS check_name,
-         |  (SELECT COUNT(*) FROM (SELECT $key FROM $dim GROUP BY $key
-         |     HAVING COUNT(*) > 1) g) AS lhs,
+         |  (SELECT COUNT(*) FROM (SELECT $key FROM (SELECT DISTINCT * FROM $dim) dd
+         |     GROUP BY $key HAVING COUNT(*) > 1) g) AS lhs,
          |  CAST(0 AS BIGINT) AS rhs""".stripMargin
     }
     val body = (parity :+ factVsAgg) ++ orphans ++ dups

@@ -33,7 +33,10 @@ object Qa {
   }
 
   def report(s: SparkSession, dir: String): DataFrame = {
-    val stage = Stage.build(s, dir)
+    // File-backed stage layer: every QA family reads the materialized
+    // parquet (the reference's QA.sql reads the MariaDB tables), so this
+    // also end-to-end-verifies the write→read roundtrip.
+    val stage = Stage.materialized(s, dir)
     val fact = Dwh.factDwh(stage).cache()
 
     // Per-dim fused scalars: stage row count (family 1 lhs), distinct row

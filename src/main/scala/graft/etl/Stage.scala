@@ -199,6 +199,11 @@ object Stage {
       col("event_datetime").asc_nulls_last,
       col("concept_code").asc_nulls_last,
       col("measurement_value").asc_nulls_last)
+    // Bounds: unique iff row_number < 1e9 per patient AND patient_id <
+    // ~9.2e9 (Long.MaxValue / 1e9); beyond that Spark's non-ANSI multiply
+    // wraps silently while strict engines error. At 100 TB with realistic
+    // patient cardinality both hold by orders of magnitude; widen the
+    // split (patient_id << 33 | rn) before ingesting key spaces that don't.
     u.withColumn("event_key",
       col("patient_id") * lit(1000000000L) + row_number().over(w))
   }
@@ -332,5 +337,43 @@ object Stage {
       "dim_junk" -> dimJunk(s, dir),
       "dim_date" -> dimDate(s, dir),
       "fact" -> fact)
+  }
+
+  /** Absolute materialization root for a scale-factor dir (never a
+    * cwd-relative path — portability).
+    */
+  private[graft] def layerPath(dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_wh/$tag/stage"
+  }
+
+  private val matStore =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, DataFrame]]()
+
+  /** Stage layer MATERIALIZED at the stage→DWH boundary — the reference's
+    * own layered architecture (every Stage_area.sql statement lands in a
+    * MariaDB table before DWH.sql reads it; README.md:42-57). Everything
+    * downstream of the stage (DWH dedup/guards, the pre-aggregation, all
+    * QA families) reads the parquet files instead of re-deriving a
+    * 60+-shuffle mega-plan whose runtime cost hinges on cache hits.
+    * At 100 TB this is the scale-safe shape: the boundary write is one
+    * linear pass, the files are columnar and partition-pruned
+    * (fact partitioned by source_type), and no downstream plan depends on
+    * executor cache residency. Columns are re-selected into the pre-write
+    * order (partitionBy moves the partition column last on read).
+    */
+  def materialized(s: SparkSession, dir: String): Map[String, DataFrame] = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    val existing = matStore.get(key)
+    if (existing != null) return existing
+    val stage = build(s, dir)
+    val base = layerPath(dir)
+    graft.sources.Warehouse.writeLayer(stage, base)
+    val back = graft.sources.Warehouse.readLayer(s, base, stage.keys.toSeq)
+    val ordered = stage.map { case (n, df) =>
+      n -> back(n).select(df.columns.map(col): _*)
+    }
+    matStore.putIfAbsent(key, ordered)
+    matStore.get(key)
   }
 }

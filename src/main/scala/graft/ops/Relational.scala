@@ -103,6 +103,28 @@ object Relational extends OpGroup {
        |  o_orderpriority AS admission_type
        |FROM orders""".stripMargin
 
+  /** Driver-facing P2 variant: same sentinel conform, but the output
+    * representation is epoch-microsecond BIGINTs. The year-2999/1900
+    * sentinels overflow nanosecond-epoch (datetime64[ns] tops out at
+    * 2262-04-11), so a timestamp-typed result can't survive a ns-based
+    * normalization path; integer micros are exact in both engines while
+    * the sentinel semantics stay timestamp-typed inside the pipeline
+    * (dimAdmissions still consumes [[sentinelConform]]).
+    */
+  def sentinelConformNsSafe(s: SparkSession, dir: String): DataFrame =
+    sentinelConform(s, dir).select(
+      col("admission_id"), col("patient_id"),
+      unix_micros(col("admittime")).as("admit_us"),
+      unix_micros(col("dischtime")).as("disch_us"),
+      col("admission_type"))
+
+  private val sentinelConformNsSafeSql =
+    s"""SELECT admission_id, patient_id,
+       |  epoch_us(admittime) AS admit_us,
+       |  epoch_us(dischtime) AS disch_us,
+       |  admission_type
+       |FROM ($sentinelConformSql) t""".stripMargin
+
   // ---------------------------------------------------------------------
   // P3/F2/F3 — multi-term LOWER(x) LIKE '%…%' OR-chain concept filter
   // (Stage_area.sql:92-95). Pushed to the parquet scan as a residual
@@ -138,20 +160,26 @@ object Relational extends OpGroup {
 
   def regexNumericParse(s: SparkSession, dir: String): DataFrame = {
     val extracted = regexp_extract(col("props"), "\"k\": ([0-9]+(\\.[0-9]+)?)", 1)
+    // The DECIMAL(10,2) cast is the reference semantic (M1); the final
+    // projection re-casts to DOUBLE because decimal surface representation
+    // is the one thing Spark and DuckDB normalize differently downstream —
+    // a (10,2) decimal is exactly representable as a double, so the values
+    // are unchanged.
     Tables.load(s, dir, "events").select(
       col("event_id"),
       when(extracted.rlike(numRe), extracted.cast(DecimalType(10, 2)))
-        .as("result_value_numeric"),
+        .cast(DoubleType).as("result_value_numeric"),
       when(col("event_type").rlike(numRe),
-        col("event_type").cast(DecimalType(10, 2))).as("type_numeric"))
+        col("event_type").cast(DecimalType(10, 2)))
+        .cast(DoubleType).as("type_numeric"))
   }
 
   private val regexNumericParseSql =
     """SELECT event_id,
-      |  CASE WHEN regexp_matches(regexp_extract(props, '"k": ([0-9]+(\.[0-9]+)?)', 1), '^[0-9]+(\.[0-9]+)?$')
-      |       THEN CAST(regexp_extract(props, '"k": ([0-9]+(\.[0-9]+)?)', 1) AS DECIMAL(10,2)) END AS result_value_numeric,
-      |  CASE WHEN regexp_matches(event_type, '^[0-9]+(\.[0-9]+)?$')
-      |       THEN CAST(event_type AS DECIMAL(10,2)) END AS type_numeric
+      |  CAST(CASE WHEN regexp_matches(regexp_extract(props, '"k": ([0-9]+(\.[0-9]+)?)', 1), '^[0-9]+(\.[0-9]+)?$')
+      |       THEN CAST(regexp_extract(props, '"k": ([0-9]+(\.[0-9]+)?)', 1) AS DECIMAL(10,2)) END AS DOUBLE) AS result_value_numeric,
+      |  CAST(CASE WHEN regexp_matches(event_type, '^[0-9]+(\.[0-9]+)?$')
+      |       THEN CAST(event_type AS DECIMAL(10,2)) END AS DOUBLE) AS type_numeric
       |FROM events""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -274,8 +302,9 @@ object Relational extends OpGroup {
       "DWH.sql:203-210 pre-aggregation: COUNT(*) + 2x COUNT(DISTINCT) per admission"),
     Op("p1_project_rename", projectRename, Some(projectRenameSql),
       "Stage_area.sql:25-30 dim_patients projection"),
-    Op("p2_sentinel_conform", sentinelConform, Some(sentinelConformSql),
-      "Stage_area.sql:41-48 NULL→sentinel timestamp conform"),
+    Op("p2_sentinel_conform", sentinelConformNsSafe,
+      Some(sentinelConformNsSafeSql),
+      "Stage_area.sql:41-48 NULL→sentinel timestamp conform (epoch-us output)"),
     Op("p3_keyword_filter", conceptKeywordFilter, Some(conceptKeywordFilterSql),
       "Stage_area.sql:92-95 LOWER LIKE OR-chain concept filter"),
     Op("p5_regex_numeric_parse", regexNumericParse, Some(regexNumericParseSql),

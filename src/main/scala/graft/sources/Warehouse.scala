@@ -55,7 +55,9 @@ object Warehouse extends OpGroup {
     */
   def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.load(s, dir, "nation")
-    val base = s"target/format_roundtrip/${math.abs(dir.hashCode.toLong)}"
+    // Absolute temp path derived from dir — never cwd-relative.
+    val base = s"${sys.props("java.io.tmpdir")}/graft_wh/format_roundtrip/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val csvBack = {
       writeTable(src, s"$base/csv", "csv")
       readTable(s, s"$base/csv", "csv", src.schema)
