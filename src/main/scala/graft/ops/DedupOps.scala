@@ -45,9 +45,10 @@ object DedupOps extends OpGroup {
   // (partial map-side combine, codegen'd projections) rather than folded
   // with nested array lambdas — higher-order functions evaluate
   // interpreted, and per-(seed × shingle) md5 calls made the lambda
-  // version ~20× slower. Two md5s per shingle yield 64 hex chars,
-  // carved into eight 8-char lanes; the lexicographic MIN of a lane is
-  // a uniform MinHash.
+  // version ~20× slower. ONE md5 per shingle yields 32 hex chars,
+  // carved into eight 4-char lanes; the lexicographic MIN of a lane is
+  // a uniform 16-bit MinHash (two digests with 8-char lanes measured 2×
+  // the hash cost for no recall gain at these band sizes).
   // ---------------------------------------------------------------------
   /** Exploded word-3-gram shingles as (doc_id, x) rows. Overlapping
     * trigrams are pulled straight from the whitespace-normalized text by
@@ -72,11 +73,9 @@ object DedupOps extends OpGroup {
   private def bandTable(s: SparkSession, dir: String): DataFrame =
     Memo.of(s, dir, "dedupBandTable") {
       val sh = shingleRows(s, dir)
-        .select(col("doc_id"), fastMd5(col("x")).as("h1"),
-          fastMd5(concat(lit("#"), col("x"))).as("h2"))
+        .select(col("doc_id"), fastMd5(col("x")).as("h"))
       val lanes = (0 until numHashes).map { i =>
-        val src = if (i < 4) "h1" else "h2"
-        min(substring(col(src), (i % 4) * 8 + 1, 8)).as(s"mh$i")
+        min(substring(col("h"), i * 4 + 1, 4)).as(s"mh$i")
       }
       val mh = sh.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
       val rows = numHashes / numBands
@@ -91,8 +90,27 @@ object DedupOps extends OpGroup {
         .cache() // shared by minhash_lsh, ngram_jaccard, survivors
     }
 
+  /** Skew guard: a degenerate band signature (near-empty docs, boilerplate)
+    * puts B docs in one bucket and the self-join emits B² pairs — the
+    * classic LSH skew failure at scale. Buckets larger than this cap are
+    * dropped entirely (standard practice: such buckets carry no
+    * discriminating signal, and their members still pair up via their
+    * other numBands-1 band signatures when genuinely similar).
+    */
+  val hotBucketCap = 64
+
+  private def cappedBands(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "dedupCappedBands") {
+      val b = bandTable(s, dir)
+      val ok = b.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") <= hotBucketCap)
+        .drop("_bn")
+      b.join(ok, Seq("band", "sig")).cache()
+    }
+
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val b = bandTable(s, dir)
+    val b = cappedBands(s, dir)
     val a = b.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val c = b.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(c, Seq("band", "sig"))
@@ -110,8 +128,7 @@ object DedupOps extends OpGroup {
 
   private val bandSql = {
     val lanes = (0 until numHashes).map { i =>
-      val src = if (i < 4) "h1" else "h2"
-      s"min(substring($src, ${(i % 4) * 8 + 1}, 8)) AS mh$i"
+      s"min(substring(h, ${i * 4 + 1}, 4)) AS mh$i"
     }.mkString(", ")
     val sigs = (0 until numBands)
       .map(b => s"WHEN $b THEN md5(mh${b * 2} || mh${b * 2 + 1})")
@@ -120,16 +137,25 @@ object DedupOps extends OpGroup {
        |  CASE t.b $sigs END AS sig
        |FROM (
        |  SELECT doc_id, $lanes
-       |  FROM (SELECT doc_id, md5(t.x) AS h1, md5('#' || t.x) AS h2
+       |  FROM (SELECT doc_id, md5(t.x) AS h
        |        FROM (%SHINGLES%) shingled, unnest(shingled.sh) AS t(x)) h
        |  GROUP BY doc_id) m, range(0, $numBands) t(b)""".stripMargin
       .replace("%SHINGLES%", shinglesSql)
   }
 
+  /** Shared oracle CTE list: raw bands + hot-bucket-capped bands. */
+  private val bandsCte =
+    s"""bands AS ($bandSql),
+       |bands_capped AS (
+       |  SELECT b.* FROM bands b
+       |  JOIN (SELECT band, sig FROM bands GROUP BY band, sig
+       |        HAVING COUNT(*) <= $hotBucketCap) ok
+       |    ON b.band = ok.band AND b.sig = ok.sig)""".stripMargin
+
   private val minhashLshSql =
-    s"""WITH bands AS ($bandSql)
+    s"""WITH $bandsCte
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
+       |FROM bands_capped a JOIN bands_capped b
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -189,47 +215,119 @@ object DedupOps extends OpGroup {
             size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
   }
 
-  private val ngramJaccardSql =
-    s"""WITH bands AS ($bandSql),
+  /** Shared oracle CTE list through the verified-jaccard pair table. */
+  private val jaccardCtes =
+    s"""$bandsCte,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM bands_capped a JOIN bands_capped b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |sh AS ($shinglesSql)
-       |SELECT p.doc_a, p.doc_b,
-       |  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-       |        / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
-       |FROM pairs p
-       |JOIN sh x ON x.doc_id = p.doc_a
-       |JOIN sh y ON y.doc_id = p.doc_b""".stripMargin
+       |sh AS ($shinglesSql),
+       |jaccard AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+       |  FROM pairs p
+       |  JOIN sh x ON x.doc_id = p.doc_a
+       |  JOIN sh y ON y.doc_id = p.doc_b)""".stripMargin
+
+  private val ngramJaccardSql =
+    s"""WITH $jaccardCtes
+       |SELECT doc_a, doc_b, jaccard FROM jaccard""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Near-dup survivor selection (one-pass): verify LSH candidates with
-  // true Jaccard, then drop the larger doc_id of every pair above the
-  // threshold. (Full transitive clustering needs connected components —
-  // iterated pair-contraction at scale; the one-pass rule is the standard
-  // first sweep and is what most training-data dedup pipelines ship.)
+  // Transitive near-dup clustering: connected components over the
+  // verified (jaccard >= threshold) pair graph, labels = component-min
+  // doc_id. A one-pass "drop doc_b of each pair" rule misses chains
+  // (A~B, B~C keeps C even though it duplicates A's cluster).
+  //
+  // Algorithm: deterministic min-label propagation iterated to fixpoint —
+  // each round every node takes min(own label, neighbors' labels); the
+  // candidate graph (not the corpus) carries the iteration, so per-round
+  // cost is O(|edges|) with one shuffle on the node id. Convergence is
+  // diameter-bounded; near-dup components are overwhelmingly tiny, and
+  // each round localCheckpoints to keep the plan flat. (At extreme
+  // diameters switch to large-star/small-star contraction — same
+  // join+min building block, O(log n) rounds.)
   // ---------------------------------------------------------------------
   val jaccardThreshold = 0.8
 
-  def nearDupSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val losers = ngramJaccard(s, dir)
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = ngramJaccard(s, dir)
       .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
-    docs(s, dir).join(losers, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"))
+      .select(col("doc_a"), col("doc_b"))
+    val sym = edges.unionByName(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint() // verified pairs: computed once, reread per round
+    // Only nodes that touch an edge can change label; everything else
+    // keeps its own id and is unioned back at the end.
+    var labels = sym.select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("doc_b"),
+          col("cluster_id").as("nbr_label")), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      // Labels only ever decrease, so an unchanged sum means fixpoint.
+      val s2 = updated.agg(sum(col("cluster_id"))).head.getLong(0)
+      labels = updated
+      converged = s2 == prevSum
+      prevSum = s2
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    docs(s, dir).select(col("doc_id")).join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
-  // lazy: ngramJaccardSql is defined later in this object body
-  private lazy val nearDupSurvivorsSql =
-    s"""WITH j AS ($ngramJaccardSql)
-       |SELECT doc_id FROM documents
-       |WHERE NOT EXISTS (SELECT 1 FROM j
-       |  WHERE j.doc_b = documents.doc_id AND j.jaccard >= $jaccardThreshold)""".stripMargin
+  /** Oracle transitive closure: min reachable doc_id per node over the
+    * symmetric verified-pair graph (recursive CTE; UNION-dedup bounds it).
+    */
+  private val clusterCtes =
+    s"""$jaccardCtes,
+       |jp AS (SELECT doc_a, doc_b FROM jaccard WHERE jaccard >= $jaccardThreshold),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM jp
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM jp),
+       |reach(d, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.d = s.b),
+       |clusters AS (SELECT d AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY d)""".stripMargin
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT doc_id, cluster_id FROM clusters""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Near-dup survivor selection: keep each cluster's minimum doc_id —
+  // transitive (chains collapse to one survivor), not the one-pass
+  // pair-drop rule.
+  // ---------------------------------------------------------------------
+  def nearDupSurvivors(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir)
+      .filter(col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"))
+
+  private val nearDupSurvivorsSql =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT doc_id FROM clusters WHERE cluster_id = doc_id""".stripMargin
 
   override val ops: Seq[Op] = Seq(
+    Op("dedup_clusters", dedupClusters, Some(dedupClustersSql),
+      "transitive near-dup clustering: min-label propagation to fixpoint"),
     Op("dedup_survivors", nearDupSurvivors, Some(nearDupSurvivorsSql),
-      "one-pass near-dup survivor selection (LSH -> Jaccard -> drop doc_b)"),
+      "near-dup survivors = cluster minima (transitive, chain-safe)"),
     Op("dedup_exact", exactDedup, Some(exactDedupSql),
       "exact dedup via content-hash group-by"),
     Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql),

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.TextFns.cosine
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,32 +60,134 @@ object SimilarityOps extends OpGroup {
        |FROM sims ORDER BY sim DESC, vec_id ASC LIMIT $topK""".stripMargin
 
   // ---------------------------------------------------------------------
-  // IVF-style near-duplicate scan: compare only within the coarse
-  // partition (label = posting list), emit pairs above threshold.
+  // IVF near-duplicate scan: REAL inverted-file cells — deterministic
+  // k-means over the corpus (seeded from the 3-bit LSH prefix, two fixed
+  // Lloyd iterations), then pairs compared only within a cell.
+  //
+  // Determinism across engines: per-dimension centroid means are computed
+  // over micro-unit-quantized BIGINTs (exact integer sums in any engine,
+  // any order) divided and rounded to 6 dp; every cosine is a
+  // deterministic index-order fold rounded to 6 dp before compare.
+  // Centroids (k×64 doubles) are collected to the driver per iteration —
+  // the standard k-means shape (k stays small while the corpus scales;
+  // MLlib does the same) — and re-enter the plan as broadcast literals,
+  // so assignment is ONE codegen'd map stage over the corpus, no shuffle.
   // ---------------------------------------------------------------------
   val nearDupThreshold = 0.35
+  val ivfSeedBits = 3 // 2^3 = 8 seed cells
+
+  /** Coarse seed cell: integer value of the first 3 signature bits. */
+  private def seedCell(bucket: Column): Column =
+    (0 until ivfSeedBits).map { b =>
+      when(substring(bucket, b + 1, 1) === "1",
+        lit(1 << (ivfSeedBits - 1 - b))).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Per-cell per-dimension mean over micro-quantized values: the BIGINT
+    * sum is exact (order-independent), the single double divide + round
+    * is IEEE-deterministic — identical in Spark and DuckDB.
+    */
+  private def centroidsOf(assigned: DataFrame): Seq[(Int, Array[Double])] = {
+    val rows = assigned
+      .select(col("cell"), posexplode(col("embedding")))
+      .select(col("cell"), col("pos"),
+        round(col("col").cast("double") * 1000000).cast("long").as("q"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(sum(col("q")).cast("double") / (count(lit(1)) * 1000000.0), 6)
+        .as("c"))
+      .collect()
+    rows.groupBy(_.getInt(0)).toSeq.map { case (cell, rs) =>
+      val arr = new Array[Double](64)
+      rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      cell -> arr
+    }.sortBy(_._1)
+  }
+
+  /** Nearest-centroid assignment as one codegen'd expression: per cell a
+    * (rounded cosine, -cell) struct; `greatest` picks max sim with ties
+    * to the smallest cell id.
+    */
+  private def assignCells(e: DataFrame,
+      cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val choices = cents.map { case (c, v) =>
+      val cn = math.sqrt(v.map(x => x * x).sum) // index-order fold, = oracle
+      struct(
+        round(graft.functions.TextFns.dotProduct(col("embedding"),
+          typedLit(v.toSeq)) / (col("nrm") * lit(cn)), 6).as("sim"),
+        lit(-c).as("negc"))
+    }
+    e.withColumn("cell", -greatest(choices: _*).getField("negc"))
+  }
+
+  /** Final IVF cell per vector: seed from LSH prefix, 2 Lloyd rounds. */
+  def ivfCells(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "ivfCells") {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()
+      val seeded = lshSignatures(s, dir)
+        .select(col("vec_id"), seedCell(col("bucket")).as("cell"))
+        .join(e, Seq("vec_id"))
+      val assign1 = assignCells(e, centroidsOf(seeded))
+      val assign2 = assignCells(e, centroidsOf(assign1))
+      assign2.cache()
+    }
 
   def ivfNearDup(s: SparkSession, dir: String): DataFrame = {
     // Norms precomputed per vector (N of them), not per pair (N²/2k).
-    val e = emb(s, dir).select(col("label"), col("vec_id"), col("embedding"),
-      graft.functions.TextFns.l2norm(col("embedding")).as("nrm"))
-    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+    val e = ivfCells(s, dir)
+    val a = e.select(col("cell"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+    val b = e.select(col("cell"), col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("label"))
+    a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("label"), col("vec_a"), col("vec_b"),
+      .select(col("cell"), col("vec_a"), col("vec_b"),
         round(graft.functions.TextFns.dotProduct(col("emb_a"), col("emb_b"))
           / (col("nrm_a") * col("nrm_b")), 6).as("sim"))
       .filter(col("sim") >= nearDupThreshold)
   }
 
-  private val ivfNearDupSql =
-    s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+  /** Oracle mirror of the full k-means path. `%SRC%` = the cell table a
+    * round reads; each round quantizes, means, re-lists the centroids and
+    * re-assigns by max rounded cosine (ties to smallest cell).
+    */
+  private def centRoundSql(src: String, n: Int): String =
+    s"""q$n AS (
+       |  SELECT c.cell, e.vec_id, t.i,
+       |         CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+       |  FROM $src c JOIN embeddings e ON e.vec_id = c.vec_id, range(1, 65) t(i)),
+       |cent$n AS (
+       |  SELECT cell, i, round(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS c
+       |  FROM q$n GROUP BY cell, i),
+       |centl$n AS (SELECT cell, list(c ORDER BY i) AS cv FROM cent$n GROUP BY cell),
+       |assign$n AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(${cosSql("e.embedding", "s.cv")}, 6) DESC, s.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN centl$n s) t
+       |  WHERE rn = 1)""".stripMargin
+
+  private val seedCellSql = (0 until ivfSeedBits).map { b =>
+    s"CASE WHEN substring(bucket, ${b + 1}, 1) = '1' THEN ${1 << (ivfSeedBits - 1 - b)} ELSE 0 END"
+  }.mkString(" + ")
+
+  // lazy: lshSignaturesSql is declared later in this object body
+  private lazy val ivfCellsCtes =
+    s"""sigs AS ($lshSignaturesSql),
+       |cells0 AS (SELECT vec_id, $seedCellSql AS cell FROM sigs),
+       |${centRoundSql("cells0", 1)},
+       |${centRoundSql("assign1", 2)},
+       |cells AS (
+       |  SELECT a.cell, e.vec_id, e.embedding
+       |  FROM assign2 a JOIN embeddings e ON e.vec_id = a.vec_id)""".stripMargin
+
+  private lazy val ivfNearDupSql =
+    s"""WITH $ivfCellsCtes
+       |SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |FROM cells a JOIN cells b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= $nearDupThreshold""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -122,11 +224,66 @@ object SimilarityOps extends OpGroup {
     s"SELECT vec_id, $bits AS bucket FROM embeddings"
   }
 
+  // ---------------------------------------------------------------------
+  // ANN retrieval: the query path over the LSH index. For each query
+  // vector, candidates = vectors sharing its signature bucket; verify
+  // candidates with the exact cosine; keep top-k per query.
+  //
+  // Scale shape: the query side is bounded (k queries), so Spark
+  // broadcasts it and the corpus streams through ONE codegen'd probe
+  // stage — no corpus shuffle, no all-pairs. Per-query work is
+  // O(bucket size), the point of the index. Recall tuning = fewer bits
+  // (bigger buckets) or multi-probe (flip one bit per probe) — both
+  // leave this plan shape intact.
+  // ---------------------------------------------------------------------
+  val lshQueryCount = 5
+  val lshTopK = 5
+
+  def lshTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+      graft.functions.TextFns.l2norm(col("embedding")).as("nrm"))
+    val withSig = lshSignatures(s, dir).join(e, Seq("vec_id"))
+    val q = withSig.filter(col("vec_id") < lshQueryCount)
+      .select(col("vec_id").as("q_id"), col("bucket"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val sims = withSig.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.TextFns.dotProduct(col("embedding"), col("q_emb"))
+          / (col("nrm") * col("q_nrm")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lshTopK)
+  }
+
+  private val lshTopkSql =
+    s"""WITH sigs AS ($lshSignaturesSql),
+       |q AS (
+       |  SELECT s.vec_id AS q_id, s.bucket, e.embedding AS q_emb
+       |  FROM sigs s JOIN embeddings e ON e.vec_id = s.vec_id
+       |  WHERE s.vec_id < $lshQueryCount),
+       |c AS (
+       |  SELECT s.vec_id, s.bucket, e.embedding
+       |  FROM sigs s JOIN embeddings e ON e.vec_id = s.vec_id),
+       |sims AS (
+       |  SELECT q.q_id, c.vec_id,
+       |         round(${cosSql("c.embedding", "q.q_emb")}, 6) AS sim
+       |  FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id <> q.q_id)
+       |SELECT q_id, vec_id, sim, rank FROM (
+       |  SELECT q_id, vec_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+       |  FROM sims) r
+       |WHERE rank <= $lshTopK""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("sim_cosine_topk", cosineTopK, Some(cosineTopKSql),
       "brute-force cosine top-k vs query vector (baseline)"),
     Op("sim_ivf_neardup", ivfNearDup, Some(ivfNearDupSql),
-      "IVF-partitioned (label posting list) near-dup pair scan"),
+      "IVF near-dup pair scan (k-means cells, see ivfCells)"),
     Op("sim_lsh_buckets", lshSignatures, Some(lshSignaturesSql),
-      "random-hyperplane LSH signatures for ANN bucketing"))
+      "random-hyperplane LSH signatures for ANN bucketing"),
+    Op("sim_lsh_topk", lshTopk, Some(lshTopkSql),
+      "ANN retrieval: LSH bucket probe + exact-cosine verify + top-k"))
 }
