@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.LongType
 
 /** Scalable deterministic surrogate keys (SURVEY.md §7.4.1).
@@ -13,25 +13,31 @@ import org.apache.spark.sql.types.LongType
   * compute offsets). Rows that tie on the full sort key are bit-identical
   * rows in our fact (the key includes every distinguishing column), so
   * their relative numbering is immaterial.
+  *
+  * The fact pipeline itself uses composite per-patient keys (no global
+  * sort at all, `Stage.factRaw`); this module is the dense-global-number
+  * fallback for consumers that genuinely need gap-free ids.
   */
 object SurrogateKeys {
 
   def withGlobalRowNumber(df: DataFrame, keyName: String,
       order: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    // localCheckpoint materializes the sorted rows once (zipWithIndex's
+    // offset-count job would otherwise run the range sort twice) and —
+    // unlike a bare persist — is released by the ContextCleaner when the
+    // result becomes unreferenced, so repeated calls don't accumulate
+    // executor storage for the life of the session. It also copies rows
+    // internally (the scan reuses one UnsafeRow per partition).
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint()
     val schema = sorted.schema.add(keyName, LongType, nullable = false)
-    // zipWithIndex launches an offset-count job over partitions 0..N-2
-    // before the real pass — without a persist the range sort executes
-    // twice. Rows must be copied before caching (the scan reuses one
-    // UnsafeRow per partition).
-    val sortedRdd = sorted.queryExecution.toRdd.map(_.copy())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Stay on InternalRow — boxing 800k+ wide rows through the public Row
     // API costs more than the numbering itself. JoinedRow reuse follows
     // the standard per-partition iterator contract (consumers copy when
     // they buffer).
-    val internal = sortedRdd.zipWithIndex()
+    val internal = sorted.queryExecution.toRdd.zipWithIndex()
       .mapPartitions { it =>
         val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
         val idxRow = new org.apache.spark.sql.catalyst.expressions

@@ -26,9 +26,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * 100 TB this is the difference between a bounded merge and an
   * intermediate table of every (event × window) candidate pair.
   *
-  * v1 restrictions (checked by the [[AsOf]] wrapper): key must be an
-  * integral type and time a timestamp/long (both evaluated as Long);
-  * right-side ties on (key, time) resolve to the last row in sort order.
+  * v1 restrictions (enforced by [[AsOf.asLong]]): key must be an integral
+  * type and time a timestamp/long (both evaluated as Long; narrower
+  * integrals are Cast-widened, other types rejected at plan time).
+  * NULL semantics match DuckDB ASOF: a NULL left key/time null-extends,
+  * a NULL right key/time never matches. Right-side ties on (key, time)
+  * resolve to the last row in sort order.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
@@ -81,22 +84,34 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
         override def next(): InternalRow = {
           val l = lIter.next()
-          val key = lk.eval(l).asInstanceOf[Long]
-          val time = lt.eval(l).asInstanceOf[Long]
+          val keyRaw = lk.eval(l)
+          val timeRaw = lt.eval(l)
+          // NULL key/time on the left can match nothing → null-extended
+          // row, same as DuckDB ASOF. (NULLs sort first under the required
+          // Ascending ordering, so the right cursor hasn't moved yet.)
+          if (keyRaw == null || timeRaw == null) return joined(l, nullRight)
+          val key = keyRaw.asInstanceOf[Long]
+          val time = timeRaw.asInstanceOf[Long]
           var scanning = true
           while (scanning && rBuf.hasNext) {
             val r = rBuf.head
-            val rkey = rk.eval(r).asInstanceOf[Long]
-            val rtime = rt.eval(r).asInstanceOf[Long]
-            if (rkey < key || (rkey == key && rtime <= time)) {
-              if (rkey == key) {
-                // iterator rows are reused buffers — copy the keeper
-                lastMatch = r.copy()
-                lastMatchKey = rkey
-                hasMatch = true
-              }
-              rBuf.next()
-            } else scanning = false
+            val rkeyRaw = rk.eval(r)
+            val rtimeRaw = rt.eval(r)
+            if (rkeyRaw == null || rtimeRaw == null) {
+              rBuf.next() // NULL-keyed right rows never match — skip
+            } else {
+              val rkey = rkeyRaw.asInstanceOf[Long]
+              val rtime = rtimeRaw.asInstanceOf[Long]
+              if (rkey < key || (rkey == key && rtime <= time)) {
+                if (rkey == key) {
+                  // iterator rows are reused buffers — copy the keeper
+                  lastMatch = r.copy()
+                  lastMatchKey = rkey
+                  hasMatch = true
+                }
+                rBuf.next()
+              } else scanning = false
+            }
           }
           val ok = hasMatch && lastMatchKey == key
           joined(l, if (ok) lastMatch else nullRight)
@@ -131,6 +146,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * `withExtensions`, e.g. the driver's).
   */
 object AsOf {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampType}
+
+  /** v1 input contract, enforced here: keys/times must evaluate as Long.
+    * Narrower integrals are widened with a Cast; anything else (string,
+    * decimal, …) is rejected eagerly instead of failing at execution.
+    * TimestampType already evaluates as Long (epoch micros).
+    */
+  private def asLong(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): org.apache.spark.sql.catalyst.expressions.Expression =
+    e.dataType match {
+      case LongType | TimestampType => e
+      case ByteType | ShortType | IntegerType => Cast(e, LongType)
+      case t => throw new IllegalArgumentException(
+        s"as-of join $what must be integral or timestamp, got $t")
+    }
+
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
@@ -141,10 +173,10 @@ object AsOf {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val plan = AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
-      GraftSqlBridge.expression(left(leftKey)),
-      GraftSqlBridge.expression(right(rightKey)),
-      GraftSqlBridge.expression(left(leftTime)),
-      GraftSqlBridge.expression(right(rightTime)))
+      asLong(GraftSqlBridge.expression(left(leftKey)), "left key"),
+      asLong(GraftSqlBridge.expression(right(rightKey)), "right key"),
+      asLong(GraftSqlBridge.expression(left(leftTime)), "left time"),
+      asLong(GraftSqlBridge.expression(right(rightTime)), "right time"))
     GraftSqlBridge.ofRows(spark, plan)
   }
 }

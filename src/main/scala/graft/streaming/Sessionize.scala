@@ -128,13 +128,11 @@ object Sessionize extends OpGroup {
       }
   }
 
-  /** Tumbling 1-hour windowed aggregation executed as a REAL streaming
-    * query (parquet file source → watermark → window agg → memory sink,
-    * complete mode, processAllAvailable). Decimal-cast sum keeps the
-    * value order-independent for the oracle.
+  /** Watermarked tumbling 1-hour window aggregation over the streaming
+    * parquet source. Decimal-cast sum keeps the value order-independent
+    * for the oracle. Shared by both sink variants below.
     */
-  def hourlyWindowed(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def hourlyAgg(s: SparkSession, dir: String): DataFrame = {
     // RAW file schema (ts may be the nanos long) — Tables.load's converted
     // schema would mis-declare the column to the file source.
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -146,20 +144,66 @@ object Sessionize extends OpGroup {
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else raw
-    val agg = stream
+    stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value").cast("double").as("sum_value"))
-    // NB: prefix must not collide with Warehouse.catalogTables' graft_ views
-    val name = s"memsink_hourly_${System.identityHashCode(agg).toHexString}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
+  }
+
+  /** Run `body` with the nanos-as-long flag set, restoring the previous
+    * session value after — the flag must not leak into unrelated queries.
+    */
+  private def withNanosAsLong[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** ORACLE-HARNESS variant: memory sink in complete mode, so the driver
+    * can hash-compare the full window set against a batch SQL oracle.
+    * Complete mode holds every window on the driver — fine for a
+    * verification harness, NOT the shipped pattern; deployments use
+    * [[hourlyWindowedAppend]].
+    */
+  def hourlyWindowed(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s) {
+      val agg = hourlyAgg(s, dir)
+      // NB: prefix must not collide with Warehouse.catalogTables' graft_ views
+      val name = s"memsink_hourly_${System.identityHashCode(agg).toHexString}"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+    }
+
+  /** SCALE variant: append mode + parquet file sink. A window row is
+    * emitted exactly once, after the watermark passes its window end, and
+    * its state is then evicted — state is watermark-bounded (O(open
+    * windows), not O(all windows)) and nothing ever aggregates on the
+    * driver; output lands distributed, exactly-once via the sink's commit
+    * log. The trailing windows still inside the watermark horizon remain
+    * unemitted by design (they'd emit on the next arriving batch).
+    * Returns the emitted windows read back from the sink.
+    */
+  def hourlyWindowedAppend(s: SparkSession, dir: String,
+      outDir: String): DataFrame = withNanosAsLong(s) {
+    val q = hourlyAgg(s, dir).writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    s.read.parquet(s"$outDir/data")
   }
 
   private val hourlyWindowedSql =

@@ -100,6 +100,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.exceptAll(ref).count() == 0 && ref.exceptAll(df).count() == 0)
   }
 
+  test("append-mode windowed agg emits exactly the watermark-finalized windows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val appended = Sessionize.hourlyWindowedAppend(spark, dir, tmp)
+    // expected: batch windows whose end precedes the final watermark
+    // (max event time - 1h delay), i.e. window_start + 1h <= max_ts - 1h
+    val ev = Tables.load(spark, dir, "events")
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .filter(col("window_start") + expr("INTERVAL 2 HOUR") <=
+        lit(maxTs))
+    assert(appended.count() > 0, "append sink emitted nothing")
+    assert(appended.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(appended).count() == 0,
+      "append-mode output != watermark-finalized batch windows")
+  }
+
   test("lsh signatures bucket near-identical vectors together") {
     // identical vectors must land in the same bucket by construction
     val sigs = graft.ops.SimilarityOps.lshSignatures(spark, dir)
