@@ -48,6 +48,24 @@ object Relational extends OpGroup {
       |FROM events GROUP BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A1 approx twin (SURVEY.md §7.3): HyperLogLog++ distinct counts. At
+  // 100 TB COUNT(DISTINCT x) expands every row per distinct-agg
+  // (ExpandExec ×N) and shuffles the expansion; approx_count_distinct
+  // keeps one fixed-size sketch per group and merges map-side — same
+  // single-shuffle shape as a plain COUNT. rsd=5% default. No DuckDB
+  // oracle: HLL implementations differ by engine, so the driver records
+  // the weaker rows-only check (row count still must match = one row per
+  // admission) — the exact twin above stays the correctness anchor.
+  // ---------------------------------------------------------------------
+  def aggPerAdmissionApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id").as("admission_id"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        approx_count_distinct(col("event_type")).as("unique_concepts"),
+        approx_count_distinct(col("ts").cast(DateType)).as("active_days"))
+
+  // ---------------------------------------------------------------------
   // P1 — project + rename (Stage_area.sql:25-30 dim_patients).
   // ---------------------------------------------------------------------
   def projectRename(s: SparkSession, dir: String): DataFrame =
@@ -300,6 +318,8 @@ object Relational extends OpGroup {
   override val ops: Seq[Op] = Seq(
     Op("a1_agg_per_admission", aggPerAdmission, Some(aggPerAdmissionSql),
       "DWH.sql:203-210 pre-aggregation: COUNT(*) + 2x COUNT(DISTINCT) per admission"),
+    Op("a1_agg_approx", aggPerAdmissionApprox, None,
+      "A1 HLL++ twin: sketch-merge distinct counts, no expand/second shuffle"),
     Op("p1_project_rename", projectRename, Some(projectRenameSql),
       "Stage_area.sql:25-30 dim_patients projection"),
     Op("p2_sentinel_conform", sentinelConformNsSafe,
