@@ -19,10 +19,17 @@ object Warehouse extends OpGroup {
 
   /** S3/S4/S5: materialize a layer (CTAS semantics, overwrite =
     * idempotent DROP+CREATE).
+    *
+    * The fact is written FIRST and alone — every dim derives from the
+    * (cached) enriched fact, so its write is the one that fills the
+    * cache; racing the dims against it would materialize the fact build
+    * 2-7×. The small dim writes then run concurrently: each is a tiny
+    * job and Spark's scheduler interleaves them, so wall time ≈ the
+    * slowest dim, not the sum.
     */
   def writeLayer(layer: Map[String, DataFrame], basePath: String,
-      partitionFact: Boolean = true): Unit =
-    layer.foreach { case (name, df) =>
+      partitionFact: Boolean = true): Unit = {
+    def write(name: String, df: DataFrame): Unit = {
       val w = df.write.mode("overwrite")
       val withPart =
         if (name == "fact" && partitionFact &&
@@ -30,6 +37,21 @@ object Warehouse extends OpGroup {
         else w
       withPart.parquet(s"$basePath/$name")
     }
+    layer.get("fact").foreach(write("fact", _))
+    val dims = (layer - "fact").toSeq
+    if (dims.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(dims.size, 8))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      try Await.result(
+        Future.sequence(dims.map { case (n, df) => Future(write(n, df)) }),
+        Duration.Inf)
+      finally pool.shutdown()
+    }
+  }
 
   /** Read a materialized layer back (S1). */
   def readLayer(spark: SparkSession, basePath: String,
