@@ -15,6 +15,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Memo {
   private val store = new ConcurrentHashMap[String, DataFrame]()
 
+  /** Bounded retention: beyond this many live entries the oldest are
+    * dropped and their cache blocks released. Eviction is safe for
+    * correctness — an evicted DataFrame is still a valid lazy plan, it
+    * just recomputes (or re-caches) on next use — so a long-lived
+    * service can't accumulate executor storage across many sessions or
+    * scale-factor dirs.
+    */
+  private val MaxEntries =
+    sys.env.getOrElse("SPARK_GRAFT_MEMO_MAX", "64").toInt
+  private val order = new java.util.ArrayDeque[String]()
+
+  private def recordInsert(key: String): Unit = {
+    val evicted = order.synchronized {
+      order.addLast(key)
+      if (order.size > MaxEntries) Option(order.pollFirst()) else None
+    }
+    evicted.foreach { k =>
+      val df = store.remove(k)
+      if (df != null)
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () } // session may already be stopped
+    }
+  }
+
   /** Memoized builds nest (e.g. the band table builds the shingle table),
     * so this must NOT use computeIfAbsent: a recursive update of the same
     * map throws IllegalStateException whenever the two keys share a hash
@@ -29,7 +53,8 @@ object Memo {
     else {
       val built = build
       val prev = store.putIfAbsent(key, built)
-      if (prev != null) prev else built
+      if (prev != null) prev
+      else { recordInsert(key); built }
     }
   }
 }

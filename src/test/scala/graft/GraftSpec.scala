@@ -34,7 +34,11 @@ class GraftSpec extends AnyFunSuite {
   test("every query has an oracle or documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Non-SQL-expressible ops are allowed to omit; list them explicitly.
-    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    // a1_agg_approx: HLL++ sketch counts are estimates — no exact SQL
+    // equivalent exists, so the driver records a rows-only check.
+    val documented = Set("a1_agg_approx")
+    assert((noOracle -- documented).isEmpty,
+      s"queries without oracle: ${noOracle -- documented}")
   }
 
   test("sentinel conform leaves no null timestamps") {
