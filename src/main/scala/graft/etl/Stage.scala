@@ -225,17 +225,23 @@ object Stage {
 
     // Multi-match resolution for the interval joins: the tie-break
     // (earliest intime, then smallest window id — SURVEY.md §7.4.2) is a
-    // min_by hash-aggregate rather than a row_number window: partial
-    // aggregation keeps the per-mapper best match, so the shuffle carries
-    // one row per fact row instead of one per candidate match, and no
-    // sort is needed. A left-join group is either one null-extended row
-    // or k matched rows, never mixed, so the struct ordering never
-    // compares NULL tie-break keys against non-NULL ones.
+    // row_number window, not min_by: min_by's aggregation buffer holds a
+    // struct, which UnsafeRow can't mutate in place, so Spark demotes the
+    // whole agg to SortAggregate — a full-width Sort before the partial
+    // AND after the shuffle (4 sorts of the fact per enrichment round).
+    // The window is one Exchange + ONE sort on (event_key, ord). Match
+    // multiplicity is near 1 (3-day windows), so the partial-agg shuffle
+    // reduction min_by would buy is negligible. A left-join group is
+    // either one null-extended row or k matched rows, never mixed, so
+    // NULLS LAST ordering never interleaves matched and unmatched rows.
     def bestMatch(joined: DataFrame, carried: Seq[String],
-        ord: Column): DataFrame =
-      joined.groupBy(col("event_key"))
-        .agg(min_by(struct(carried.map(col): _*), ord).as("r"))
-        .select(col("r.*"))
+        ordCols: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(col("event_key"))
+        .orderBy(ordCols.map(_.asc_nulls_last): _*)
+      joined.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(carried.map(col): _*)
+    }
 
     // M3: careunit backfill from signup windows (Stage_area.sql:237-245)
     val cuW = ev.filter(col("event_type") === "signup").select(
@@ -248,13 +254,8 @@ object Stage {
     val j3 = f2.join(cuW,
       f2("patient_id") === cuW("w_user") &&
         f2("event_datetime").between(cuW("intime"), cuW("outtime")), "left")
-    // min_by skips rows whose ordering key is NULL, which would drop
-    // unmatched (null-extended) fact rows — coalesce to a sentinel.
-    def ord(t: Column, id: Column): Column = struct(
-      coalesce(t, to_timestamp(lit(hiTs))), coalesce(id, lit(Long.MaxValue)))
-
     val f3 = bestMatch(j3, "event_key" +: factCols :+ "w_careunit",
-        ord(col("intime"), col("w_id")))
+        Seq(col("intime"), col("w_id")))
       .withColumnRenamed("w_careunit", "careunit")
 
     // M4: provider linkage from purchase windows (Stage_area.sql:251-256)
@@ -269,7 +270,7 @@ object Stage {
     // f4 — uncached, the whole union + key window + two interval-join
     // rounds would execute twice.
     val f4 = bestMatch(j4, ("event_key" +: factCols :+ "careunit") :+ "w_provider",
-        ord(col("intime"), col("w_provider")))
+        Seq(col("intime"), col("w_provider")))
       .withColumnRenamed("w_provider", "provider_id")
       .cache()
 
