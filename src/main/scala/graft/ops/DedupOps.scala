@@ -268,15 +268,17 @@ object DedupOps extends OpGroup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 64) {
-      val nbrMin = sym
+      // One join + one agg per round: candidate labels = self label ∪
+      // neighbor labels, then min per node. (A second join to merge the
+      // neighbor-min back into the label table would cost an extra
+      // shuffle per round for nothing — the union already carries self.)
+      val updated = sym
         .join(labels.select(col("doc_id").as("doc_b"),
-          col("cluster_id").as("nbr_label")), Seq("doc_b"))
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("nbr_label")).as("nbr_min"))
-      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"),
-            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          col("cluster_id").as("lab")), Seq("doc_b"))
+        .select(col("doc_a").as("doc_id"), col("lab"))
+        .unionByName(labels.select(col("doc_id"), col("cluster_id").as("lab")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("lab")).as("cluster_id"))
         .localCheckpoint()
       // Labels only ever decrease, so an unchanged sum means fixpoint.
       val s2 = updated.agg(sum(col("cluster_id"))).head.getLong(0)
