@@ -252,15 +252,18 @@ object DedupOps extends OpGroup {
   // ---------------------------------------------------------------------
   val jaccardThreshold = 0.8
 
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = ngramJaccard(s, dir)
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("doc_a"), col("doc_b"))
+  /** Connected components over an undirected edge list `(doc_a, doc_b)`
+    * of Long node ids: returns `(doc_id, cluster_id)` for every node that
+    * touches an edge, where cluster_id = the component's minimum node id.
+    * Standalone graph operator — [[dedupClusters]] applies it to the
+    * verified near-dup pair graph, but any id-pair relation works.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges.unionByName(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint() // verified pairs: computed once, reread per round
     // Only nodes that touch an edge can change label; everything else
-    // keeps its own id and is unioned back at the end.
+    // keeps its own id and is unioned back by the caller.
     var labels = sym.select(col("doc_a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
@@ -288,6 +291,14 @@ object DedupOps extends OpGroup {
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
+    labels
+  }
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = ngramJaccard(s, dir)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(edges)
     docs(s, dir).select(col("doc_id")).join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

@@ -128,4 +128,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sigs.filter(length(col("bucket")) =!= graft.ops.SimilarityOps.lshBits)
       .count() == 0)
   }
+
+  test("connected components collapse duplicate chains transitively") {
+    import spark.implicits._
+    // Chain 1-2, 2-3, 3-4 plus pair 10-11: a one-pass pair-drop rule
+    // would keep 3 (it only loses to 2), label propagation must not.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.ops.DedupOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
 }
