@@ -20,6 +20,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A reused outDir may hold this query's dump from an earlier run —
+        // delete it, or the downstream compare would pass on stale data.
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(stale).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -223,54 +223,42 @@ object Stage {
     val f2 = factRaw(s, dir)
       .withColumn("concept_code", coalesce(col("concept_code"), lit("UNK")))
 
-    // Multi-match resolution for the interval joins: the tie-break
-    // (earliest intime, then smallest window id — SURVEY.md §7.4.2) is a
-    // row_number window, not min_by: min_by's aggregation buffer holds a
-    // struct, which UnsafeRow can't mutate in place, so Spark demotes the
-    // whole agg to SortAggregate — a full-width Sort before the partial
-    // AND after the shuffle (4 sorts of the fact per enrichment round).
-    // The window is one Exchange + ONE sort on (event_key, ord). Match
-    // multiplicity is near 1 (3-day windows), so the partial-agg shuffle
-    // reduction min_by would buy is negligible. A left-join group is
-    // either one null-extended row or k matched rows, never mixed, so
-    // NULLS LAST ordering never interleaves matched and unmatched rows.
-    def bestMatch(joined: DataFrame, carried: Seq[String],
-        ordCols: Seq[Column]): DataFrame = {
-      val w = Window.partitionBy(col("event_key"))
-        .orderBy(ordCols.map(_.asc_nulls_last): _*)
-      joined.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(carried.map(col): _*)
-    }
+    // The interval backfills (match = earliest window covering the event,
+    // tie-break smallest window id — SURVEY.md §7.4.2) run as the custom
+    // as-of MERGE on a mirrored timeline (AsOf.joinEarliestInWindow):
+    // one shuffle+sort per side, a single O(|L|+|R|) scan per partition,
+    // and NO (event × window) candidate table — the relational
+    // join+row_number form (kept as the standalone J4/J5 ops in
+    // ops/Joins.scala) shuffles every candidate match and re-sorts the
+    // full-width fact per round. Because the merge's left ordering is a
+    // pure function of (patient_id, event_datetime), the M4 merge reuses
+    // the M3 output's partitioning AND sort — EnsureRequirements inserts
+    // nothing for its left side.
+    val dayUs = 24L * 3600 * 1000000
 
     // M3: careunit backfill from signup windows (Stage_area.sql:237-245)
     val cuW = ev.filter(col("event_type") === "signup").select(
       col("user_id").as("w_user"), col("ts").as("intime"),
-      (col("ts") + expr("INTERVAL 3 DAY")).as("outtime"),
       (col("event_id") % 4).cast(StringType).as("w_careunit"),
       col("event_id").as("w_id"))
-    // No broadcast hint on the window sides: they derive from events and
-    // grow with the data — AQE broadcasts while small, shuffles at scale.
-    val j3 = f2.join(cuW,
-      f2("patient_id") === cuW("w_user") &&
-        f2("event_datetime").between(cuW("intime"), cuW("outtime")), "left")
-    val f3 = bestMatch(j3, "event_key" +: factCols :+ "w_careunit",
-        Seq(col("intime"), col("w_id")))
+    val f3 = graft.plans.AsOf.joinEarliestInWindow(
+        f2, cuW, "patient_id", "w_user", "event_datetime", "intime",
+        3 * dayUs, "w_id")
+      .select((("event_key" +: factCols) :+ "w_careunit").map(col): _*)
       .withColumnRenamed("w_careunit", "careunit")
 
     // M4: provider linkage from purchase windows (Stage_area.sql:251-256)
     val pvW = ev.filter(col("event_type") === "purchase").select(
       col("user_id").as("w_user"), col("ts").as("intime"),
-      (col("ts") + expr("INTERVAL 2 DAY")).as("outtime"),
       col("event_id").as("w_provider"))
-    val j4 = f3.join(pvW,
-      f3("patient_id") === pvW("w_user") &&
-        f3("event_datetime").between(pvW("intime"), pvW("outtime")), "left")
     // Cached: the junk-dim distinct AND the junk linkage join both scan
-    // f4 — uncached, the whole union + key window + two interval-join
-    // rounds would execute twice.
-    val f4 = bestMatch(j4, ("event_key" +: factCols :+ "careunit") :+ "w_provider",
-        Seq(col("intime"), col("w_provider")))
+    // f4 — uncached, the whole union + key window + two as-of merges
+    // would execute twice.
+    val f4 = graft.plans.AsOf.joinEarliestInWindow(
+        f3, pvW, "patient_id", "w_user", "event_datetime", "intime",
+        2 * dayUs, "w_provider")
+      .select((("event_key" +: factCols :+ "careunit") :+ "w_provider")
+        .map(col): _*)
       .withColumnRenamed("w_provider", "provider_id")
       .cache()
 

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, GenericInternalRow, JoinedRow, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -30,12 +30,28 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * type and time a timestamp/long (both evaluated as Long; narrower
   * integrals are Cast-widened, other types rejected at plan time).
   * NULL semantics match DuckDB ASOF: a NULL left key/time null-extends,
-  * a NULL right key/time never matches. Right-side ties on (key, time)
-  * resolve to the last row in sort order.
+  * a NULL right key/time never matches.
+  *
+  * `tolerance`: when set, a remembered match only joins if
+  * `leftTime - rightTime <= tolerance` (same unit as the time columns —
+  * micros for timestamps). The best backward match is the closest one,
+  * so if it misses the tolerance every earlier row does too.
+  *
+  * `rightTie`: extra right-side sort expressions appended to the (key,
+  * time) ordering requirement. Ties on (key, time) resolve to the LAST
+  * row in sort order — without `rightTie` that last row is whichever the
+  * upstream sort happened to place last (fine when (key, time) is unique;
+  * pass a tie order for determinism otherwise, e.g. a DESCENDING id to
+  * resolve ties to the smallest id).
+  *
+  * Forward ("earliest right time in a window") joins are the same merge
+  * on a mirrored timeline — see [[AsOf.joinEarliestInWindow]].
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None,
+    rightTie: Seq[SortOrder] = Nil) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -47,7 +63,9 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long], rightTie: Seq[SortOrder])
+  extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -58,7 +76,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTie)
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -72,10 +91,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rt = BindReferences.bindReference(rightTime, right.output)
     val nRight = right.output.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val tol = tolerance
       new Iterator[InternalRow] {
         private val rBuf = rIter.buffered
         private var lastMatch: InternalRow = _
         private var lastMatchKey = 0L
+        private var lastMatchTime = 0L
         private var hasMatch = false
         private val nullRight = new GenericInternalRow(nRight)
         private val joined = new JoinedRow
@@ -107,13 +128,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                   // iterator rows are reused buffers — copy the keeper
                   lastMatch = r.copy()
                   lastMatchKey = rkey
+                  lastMatchTime = rtime
                   hasMatch = true
                 }
                 rBuf.next()
               } else scanning = false
             }
           }
-          val ok = hasMatch && lastMatchKey == key
+          // The remembered match has the greatest rightTime <= leftTime;
+          // if even it misses the tolerance, every earlier row does too.
+          val ok = hasMatch && lastMatchKey == key &&
+            tol.forall(time - lastMatchTime <= _)
           joined(l, if (ok) lastMatch else nullRight)
         }
       }
@@ -127,8 +152,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, tie) :: Nil
     case _ => Nil
   }
 }
@@ -165,18 +190,85 @@ object AsOf {
 
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String): DataFrame =
+    join(left, right, left(leftKey), right(rightKey),
+      left(leftTime), right(rightTime))
+
+  /** Column-expression form with the full option surface. `tolerance`
+    * is in the time columns' unit (micros for timestamps); `rightTieDesc`
+    * columns are required DESCENDING after (key, time) on the right, so
+    * (key, time) ties resolve to the smallest tie value.
+    */
+  /** Resolve a Column against `df`'s plan and return the typed
+    * expression over `df`'s output attributes. A composed Column
+    * (`-unix_micros(col)`) converts to an UNRESOLVED function node via
+    * the bridge (dataType = NullType) — running it through a throwaway
+    * `select`'s analysis yields the resolved child, which also keeps
+    * chained as-of merges sort-reusable (the expression references the
+    * same attribute ids the previous merge's output ordering carries).
+    */
+  private def resolved(df: DataFrame,
+      c: org.apache.spark.sql.Column): Expression =
+    df.select(c).queryExecution.analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.head match {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+          case e => e
+        }
+      case _ => GraftSqlBridge.expression(c)
+    }
+
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: org.apache.spark.sql.Column,
+      rightKey: org.apache.spark.sql.Column,
+      leftTime: org.apache.spark.sql.Column,
+      rightTime: org.apache.spark.sql.Column,
+      tolerance: Option[Long] = None,
+      rightTieDesc: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val spark = left.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val tie = rightTieDesc.map(c => SortOrder(resolved(right, c), Descending))
     val plan = AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
-      asLong(GraftSqlBridge.expression(left(leftKey)), "left key"),
-      asLong(GraftSqlBridge.expression(right(rightKey)), "right key"),
-      asLong(GraftSqlBridge.expression(left(leftTime)), "left time"),
-      asLong(GraftSqlBridge.expression(right(rightTime)), "right time"))
+      asLong(resolved(left, leftKey), "left key"),
+      asLong(resolved(right, rightKey), "right key"),
+      asLong(resolved(left, leftTime), "left time"),
+      asLong(resolved(right, rightTime), "right time"),
+      tolerance, tie)
     GraftSqlBridge.ofRows(spark, plan)
+  }
+
+  /** Interval-backfill as an as-of merge: for every left row, the right
+    * row with the same key and the EARLIEST rightTime inside
+    * `[leftTime - windowMicros, leftTime]` (i.e. the earliest window
+    * `[rightTime, rightTime + windowMicros]` that covers leftTime,
+    * bounds inclusive), ties on rightTime resolved to the smallest
+    * `tieId`. NULLs when no window covers the row.
+    *
+    * This is the backward as-of on a MIRRORED timeline: with
+    * `lt' = -leftTime` and `rt' = -rightTime - windowMicros`,
+    * "greatest rt' <= lt' within tolerance windowMicros" is exactly
+    * "smallest rightTime >= leftTime - windowMicros with
+    * rightTime <= leftTime". Same one-merge-scan execution — no
+    * (row × window) candidate join, no per-key window sort — and because
+    * `lt'` is a pure function of the left time, chained backfills over
+    * the same key reuse both the partitioning and the sort of the
+    * previous merge's output (EnsureRequirements inserts nothing).
+    * Both time columns must be TimestampType.
+    */
+  def joinEarliestInWindow(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      windowMicros: Long, tieId: String): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, unix_micros}
+    join(left, right,
+      left(leftKey), right(rightKey),
+      -unix_micros(left(leftTime)),
+      -unix_micros(right(rightTime)) - lit(windowMicros),
+      tolerance = Some(windowMicros),
+      rightTieDesc = Seq(right(tieId)))
   }
 }

@@ -129,6 +129,30 @@ class ExtensionsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("earliest-in-window as-of merge matches the relational interval join") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val win = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("w_user"), col("ts").as("intime"),
+        col("event_id").as("w_id"))
+    val dayUs = 24L * 3600 * 1000000
+    val got = graft.plans.AsOf.joinEarliestInWindow(
+        e, win, "user_id", "w_user", "ts", "intime", 2 * dayUs, "w_id")
+      .select(col("event_id"), col("w_id"), col("intime"))
+    // reference implementation: interval join + earliest-window row_number
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("intime").asc_nulls_last, col("w_id").asc_nulls_last)
+    val ref = e.join(win,
+        e("user_id") === win("w_user") &&
+          e("ts").between(win("intime"),
+            win("intime") + expr("INTERVAL 2 DAY")), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_id"), col("w_id"), col("intime"))
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+  }
+
   test("connected components collapse duplicate chains transitively") {
     import spark.implicits._
     // Chain 1-2, 2-3, 3-4 plus pair 10-11: a one-pass pair-drop rule
