@@ -195,4 +195,36 @@ object PropertySpec extends Properties("graft") {
       val modelF = model.filterNot(e => tieUsers.contains(e._2))
       gotF == modelF
     }
+
+  property("earliest-in-window as-of matches scala model, ties included") =
+    Prop.forAll(Gen.listOfN(25, evGen), Gen.listOfN(8, evGen)) { (ls, rs) =>
+      val W = 40000L // window length in micros, ~half the ts range
+      val left = ls.toDF("user_id", "event_id", "t")
+        .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+      val right = rs.distinct.toDF("w_user", "w_id", "t")
+        .withColumn("intime", timestamp_micros(col("t"))).drop("t")
+      val got = plans.AsOf
+        .joinEarliestInWindow(left, right,
+          "user_id", "w_user", "ts", "intime", W, "w_id")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("w_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      // model: earliest intime in [t-W, t], ties to the SMALLEST w_id —
+      // the DESC tie order makes this deterministic, so no tie exclusion.
+      val rModel = rs.distinct.groupBy(_._1)
+      val model = ls.map { case (u, id, t) =>
+        val cands = rModel.getOrElse(u, Nil)
+          .filter(w => w._3 >= t - W && w._3 <= t)
+        val best =
+          if (cands.isEmpty) -1L
+          else {
+            val mn = cands.map(_._3).min
+            cands.filter(_._3 == mn).map(_._2).min
+          }
+        (id, u, t, best)
+      }.toSet
+      got == model
+    }
 }
