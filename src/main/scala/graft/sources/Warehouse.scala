@@ -110,6 +110,26 @@ object Warehouse extends OpGroup {
   private val catalogTablesSql = Tables.all
     .map(n => s"SELECT '$n' AS table_name").mkString("\nUNION ALL\n")
 
+  /** The switch path for reference users: register the whole warehouse —
+    * raw tables, the materialized stage layer (`stage_*`), the DWH layer
+    * (`dwh_*` dedup dims + guarded fact + pre-aggregation), and the QA
+    * report (`qa_report`) — as temp views, so reference-style SQL runs
+    * directly via `spark.sql`. Views over the stage/DWH names resolve to
+    * the parquet-materialized layer (file scans, partition-pruned), not
+    * re-derivations.
+    */
+  def registerWarehouse(s: SparkSession, dir: String): Unit = {
+    Tables.registerAll(s, dir)
+    graft.etl.Stage.materialized(s, dir).foreach { case (n, df) =>
+      df.createOrReplaceTempView(
+        if (n == "fact") "stage_fact" else s"stage_$n")
+    }
+    graft.etl.Dwh.build(s, dir).foreach { case (n, df) =>
+      df.createOrReplaceTempView(if (n.startsWith("dwh_")) n else s"dwh_$n")
+    }
+    graft.etl.Qa.report(s, dir).createOrReplaceTempView("qa_report")
+  }
+
   /** Rolling-hash fingerprint via the custom codegen'd Expression. */
   def rollingHash(c: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(

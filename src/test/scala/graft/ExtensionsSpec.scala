@@ -153,6 +153,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
   }
 
+  test("registerWarehouse exposes every layer to plain spark.sql") {
+    Warehouse.registerWarehouse(spark, dir)
+    // raw, stage, DWH, and QA views all resolve; reference-style SQL
+    // joins across layers without touching the programmatic API
+    val n = spark.sql(
+      """SELECT COUNT(*) FROM dwh_fact f
+        |JOIN dwh_dim_patients p ON f.patient_id = p.patient_id""".stripMargin)
+      .head.getLong(0)
+    assert(n > 0)
+    assert(spark.sql("SELECT COUNT(*) FROM stage_fact").head.getLong(0) >=
+      spark.sql("SELECT COUNT(*) FROM dwh_fact").head.getLong(0))
+    assert(spark.sql("SELECT COUNT(*) FROM qa_report").head.getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM dwh_agg_disorders_per_admission")
+      .head.getLong(0) > 0)
+  }
+
   test("connected components collapse duplicate chains transitively") {
     import spark.implicits._
     // Chain 1-2, 2-3, 3-4 plus pair 10-11: a one-pass pair-drop rule
