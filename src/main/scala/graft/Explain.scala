@@ -23,8 +23,15 @@ object Explain {
       SparkEntry.queries.get(n).foreach { fn =>
         val plan = try fn(spark, sfDir).queryExecution.executedPlan.toString
         catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
-        val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
-        val bcast = "BroadcastHashJoin".r.findAllIn(plan).size
+        // Cached subtrees print their whole child plan at EVERY
+        // InMemoryTableScan reference, so a raw substring count
+        // multiplies shared subplans. plan_ids are stable across those
+        // reprints — count distinct ids (execution runs each once).
+        def distinctIds(kind: String): Int =
+          (kind + "[^\\n]*?\\[plan_id=(\\d+)\\]").r
+            .findAllMatchIn(plan).map(_.group(1)).toSet.size
+        val shuffles = distinctIds("Exchange hashpartitioning")
+        val bcast = distinctIds("BroadcastExchange")
         val smj = "SortMergeJoin".r.findAllIn(plan).size
         // toString marks codegen stages as "*(n)" prefixes, not the word
         // "WholeStageCodegen"; distinct ids = number of codegen spans.
