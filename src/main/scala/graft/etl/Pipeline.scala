@@ -57,7 +57,32 @@ object Pipeline extends OpGroup {
     Op("pipe_qa_report",
       (s, dir) => Qa.report(s, dir),
       Some(PipelineSql.qaReportSql),
-      "QA.sql four reconciliation families as one report"))
+      "QA.sql four reconciliation families as one report"),
+    Op("s_warehouse_sql",
+      (s, dir) => {
+        // The switch path, end-to-end: register every layer as views and
+        // run a reference-style cross-layer analytic through spark.sql —
+        // no programmatic API. COUNT(CASE …) not SUM: DuckDB widens
+        // SUM(int) to HUGEINT, COUNT is BIGINT in both engines.
+        graft.sources.Warehouse.registerWarehouse(s, dir)
+        s.sql(
+          """SELECT d.year, f.source_type,
+            |       COUNT(*) AS n_events,
+            |       COUNT(DISTINCT f.patient_id) AS n_patients,
+            |       COUNT(CASE WHEN d.is_weekend THEN 1 END) AS weekend_events
+            |FROM dwh_fact f
+            |JOIN dwh_dim_date d ON f.event_datetime = d.date_id
+            |GROUP BY d.year, f.source_type""".stripMargin)
+      },
+      Some(PipelineSql.q(
+        """SELECT d.year, f.source_type,
+          |       COUNT(*) AS n_events,
+          |       COUNT(DISTINCT f.patient_id) AS n_patients,
+          |       COUNT(CASE WHEN d.is_weekend THEN 1 END) AS weekend_events
+          |FROM fact_dwh f
+          |JOIN dim_date d ON f.event_datetime = d.date_id
+          |GROUP BY d.year, f.source_type""".stripMargin)),
+      "registerWarehouse views: cross-layer SQL (dwh fact x date dim rollup)"))
 }
 
 /** DuckDB mirror of the full pipeline. Window orderings carry explicit
