@@ -33,9 +33,10 @@ object Profile {
     t("factEnriched(cold)")(Stage.factEnriched(spark, sfDir).count())
     t("factEnriched(cached)")(Stage.factEnriched(spark, sfDir).count())
     t("materialize+read")(Stage.materialized(spark, sfDir)("fact").count())
-    t("dwh fact")(Dwh.factDwh(Stage.materialized(spark, sfDir)).count())
-    t("dwh fact(2nd)")(Dwh.factDwh(Stage.materialized(spark, sfDir)).count())
-    t("dwh agg")(Dwh.build(spark, sfDir)("agg_disorders_per_admission").count())
+    t("dwh fact")(Dwh.materialized(spark, sfDir)("fact").count())
+    t("dwh fact(2nd)")(Dwh.materialized(spark, sfDir)("fact").count())
+    t("dwh agg")(
+      Dwh.materialized(spark, sfDir)("agg_disorders_per_admission").count())
     t("qa report")(etl.Qa.report(spark, sfDir).count())
     t("qa report(2nd)")(etl.Qa.report(spark, sfDir).count())
     spark.stop()

@@ -82,4 +82,13 @@ object Dwh {
       "fact" -> fact,
       "agg_disorders_per_admission" -> aggPerAdmission(fact))
   }
+
+  /** DWH layer MATERIALIZED at the DWH→consumer boundary, like the
+    * reference's DWH.sql tables: the guarded fact, dedup dims, and the
+    * pre-aggregation land in parquet once per (session, dir), and QA /
+    * the SQL-view surface / repeated analytics read the files instead of
+    * re-running the dedup + six orphan guards per consumer.
+    */
+  def materialized(s: SparkSession, dir: String): Map[String, DataFrame] =
+    graft.sources.Warehouse.materializedLayer(s, dir, "dwh")(build(s, dir))
 }

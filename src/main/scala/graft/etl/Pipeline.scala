@@ -28,7 +28,7 @@ object Pipeline extends OpGroup {
       Some(PipelineSql.q("SELECT * FROM dim_date")),
       "Stage_area.sql:119-127,289-301 dim_date fill from fact"),
     Op("pipe_dwh_fact",
-      (s, dir) => Dwh.factDwh(Stage.materialized(s, dir)),
+      (s, dir) => Dwh.materialized(s, dir)("fact"),
       Some(PipelineSql.q("SELECT * FROM fact_dwh")),
       "DWH.sql:98-118,150-177 fact dedup + orphan deletes in FK order"),
     Op("s_layer_roundtrip",
@@ -51,7 +51,7 @@ object Pipeline extends OpGroup {
           |FROM fact_stage GROUP BY source_type""".stripMargin)),
       "stage layer write -> file read -> aggregate: materialization roundtrip"),
     Op("pipe_dwh_agg",
-      (s, dir) => Dwh.build(s, dir)("agg_disorders_per_admission"),
+      (s, dir) => Dwh.materialized(s, dir)("agg_disorders_per_admission"),
       Some(PipelineSql.q("SELECT * FROM dwh_agg")),
       "DWH.sql:203-210 pre-aggregation over the cleaned fact"),
     Op("pipe_qa_report",

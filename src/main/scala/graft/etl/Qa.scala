@@ -32,12 +32,21 @@ object Qa {
     r
   }
 
-  def report(s: SparkSession, dir: String): DataFrame = {
+  /** The report is EAGER (fused scalars collected and assembled locally),
+    * so memoize per (session, dir): a caller that merely registers the
+    * qa_report view must not re-run the 18 reconciliation jobs.
+    */
+  def report(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.of(s, dir, "qaReport")(buildReport(s, dir))
+
+  private def buildReport(s: SparkSession, dir: String): DataFrame = {
     // File-backed stage layer: every QA family reads the materialized
     // parquet (the reference's QA.sql reads the MariaDB tables), so this
     // also end-to-end-verifies the write→read roundtrip.
     val stage = Stage.materialized(s, dir)
-    val fact = Dwh.factDwh(stage).cache()
+    // DWH fact from the materialized DWH layer: file scans, shared with
+    // every other DWH consumer instead of a per-report dedup+guard run.
+    val fact = Dwh.materialized(s, dir)("fact")
 
     // Per-dim fused scalars: stage row count (family 1 lhs), distinct row
     // count (family 1 rhs — DWH dims are dedup copies), duplicate-PK-key

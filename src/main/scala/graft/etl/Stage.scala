@@ -331,14 +331,6 @@ object Stage {
   /** Absolute materialization root for a scale-factor dir (never a
     * cwd-relative path — portability).
     */
-  private[graft] def layerPath(dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_wh/$tag/stage"
-  }
-
-  private val matStore =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, DataFrame]]()
-
   /** Stage layer MATERIALIZED at the stage→DWH boundary — the reference's
     * own layered architecture (every Stage_area.sql statement lands in a
     * MariaDB table before DWH.sql reads it; README.md:42-57). Everything
@@ -348,21 +340,8 @@ object Stage {
     * At 100 TB this is the scale-safe shape: the boundary write is one
     * linear pass, the files are columnar and partition-pruned
     * (fact partitioned by source_type), and no downstream plan depends on
-    * executor cache residency. Columns are re-selected into the pre-write
-    * order (partitionBy moves the partition column last on read).
+    * executor cache residency.
     */
-  def materialized(s: SparkSession, dir: String): Map[String, DataFrame] = {
-    val key = s"${System.identityHashCode(s)}|$dir"
-    val existing = matStore.get(key)
-    if (existing != null) return existing
-    val stage = build(s, dir)
-    val base = layerPath(dir)
-    graft.sources.Warehouse.writeLayer(stage, base)
-    val back = graft.sources.Warehouse.readLayer(s, base, stage.keys.toSeq)
-    val ordered = stage.map { case (n, df) =>
-      n -> back(n).select(df.columns.map(col): _*)
-    }
-    matStore.putIfAbsent(key, ordered)
-    matStore.get(key)
-  }
+  def materialized(s: SparkSession, dir: String): Map[String, DataFrame] =
+    graft.sources.Warehouse.materializedLayer(s, dir, "stage")(build(s, dir))
 }

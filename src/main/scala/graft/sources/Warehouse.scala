@@ -58,6 +58,40 @@ object Warehouse extends OpGroup {
       names: Seq[String]): Map[String, DataFrame] =
     names.map(n => n -> spark.read.parquet(s"$basePath/$n")).toMap
 
+  /** Absolute materialization root for a (scale-factor dir, layer) pair —
+    * never a cwd-relative path.
+    */
+  private[graft] def layerPath(dir: String, layer: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_wh/$tag/$layer"
+  }
+
+  private val matStore =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, DataFrame]]()
+
+  /** Materialize a layer ONCE per (session, dir, layer): write it with
+    * [[writeLayer]], read the files back, and memoize the file-backed
+    * map so every later consumer gets parquet scans instead of a plan
+    * re-derivation. `build` is by-name — a memo hit never constructs the
+    * layer. Columns are re-selected into the pre-write order (partitionBy
+    * moves the partition column last on read).
+    */
+  def materializedLayer(s: SparkSession, dir: String, layer: String)(
+      build: => Map[String, DataFrame]): Map[String, DataFrame] = {
+    val key = s"${System.identityHashCode(s)}|$dir|$layer"
+    val existing = matStore.get(key)
+    if (existing != null) return existing
+    val m = build
+    val base = layerPath(dir, layer)
+    writeLayer(m, base)
+    val back = readLayer(s, base, m.keys.toSeq)
+    val ordered = m.map { case (n, df) =>
+      n -> back(n).select(df.columns.map(col): _*)
+    }
+    matStore.putIfAbsent(key, ordered)
+    matStore.get(key)
+  }
+
   /** S4 in other interchange formats: CSV (header) and JSON lines.
     * Text formats erase types, so reads take the original schema
     * explicitly — the round-trip op below hash-verifies fidelity.
@@ -124,7 +158,7 @@ object Warehouse extends OpGroup {
       df.createOrReplaceTempView(
         if (n == "fact") "stage_fact" else s"stage_$n")
     }
-    graft.etl.Dwh.build(s, dir).foreach { case (n, df) =>
+    graft.etl.Dwh.materialized(s, dir).foreach { case (n, df) =>
       df.createOrReplaceTempView(if (n.startsWith("dwh_")) n else s"dwh_$n")
     }
     graft.etl.Qa.report(s, dir).createOrReplaceTempView("qa_report")
