@@ -71,7 +71,12 @@ object Dwh {
     */
   def build(s: SparkSession, dir: String): Map[String, DataFrame] = {
     val stage = Stage.materialized(s, dir)
-    val fact = factDwh(stage)
+    // Cached: when the layer is materialized, the fact write fills this
+    // cache and the pre-aggregation's write then reads it — without it,
+    // writing "agg_disorders_per_admission" re-runs the dedup + six
+    // orphan guards a second time (same reason Stage caches the
+    // enriched fact before its layer write).
+    val fact = factDwh(stage).cache()
     Map(
       "dim_patients" -> stage("dim_patients").distinct(),
       "dim_admissions" -> stage("dim_admissions").distinct(),

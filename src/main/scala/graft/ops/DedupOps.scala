@@ -267,25 +267,41 @@ object DedupOps extends OpGroup {
     var labels = sym.select(col("doc_a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
-    var converged = false
+    // sum() over zero rows is NULL — a clean corpus (no verified pair)
+    // must yield the empty label table, not an NPE.
+    def labelSum(): Long = {
+      val r = labels.agg(sum(col("cluster_id"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum()
+    var converged = labels.isEmpty
     var rounds = 0
     while (!converged && rounds < 64) {
       // One join + one agg per round: candidate labels = self label ∪
       // neighbor labels, then min per node. (A second join to merge the
       // neighbor-min back into the label table would cost an extra
       // shuffle per round for nothing — the union already carries self.)
-      val updated = sym
+      val propagated = sym
         .join(labels.select(col("doc_id").as("doc_b"),
           col("cluster_id").as("lab")), Seq("doc_b"))
         .select(col("doc_a").as("doc_id"), col("lab"))
         .unionByName(labels.select(col("doc_id"), col("cluster_id").as("lab")))
         .groupBy(col("doc_id"))
         .agg(min(col("lab")).as("cluster_id"))
+      // Pointer-jumping shortcut: label(x) <- label(label(x)). One extra
+      // self-join per round turns diameter-bounded convergence into
+      // log(diameter)-bounded — a 10^9-long duplicate chain still
+      // converges within ~30 rounds, so the 64-round cap is structural
+      // headroom, not a corpus assumption.
+      labels = propagated.alias("c")
+        .join(propagated.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("parent")).alias("p"),
+          Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("parent"), col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
       // Labels only ever decrease, so an unchanged sum means fixpoint.
-      val s2 = updated.agg(sum(col("cluster_id"))).head.getLong(0)
-      labels = updated
+      val s2 = labelSum()
       converged = s2 == prevSum
       prevSum = s2
       rounds += 1

@@ -20,7 +20,10 @@ object Memo {
     * correctness — an evicted DataFrame is still a valid lazy plan, it
     * just recomputes (or re-caches) on next use — so a long-lived
     * service can't accumulate executor storage across many sessions or
-    * scale-factor dirs.
+    * scale-factor dirs. Limitation: only the memoized top-level frame is
+    * unpersisted; a cache created INSIDE a builder (e.g. an intermediate
+    * `.cache()` the final plan no longer references) must be released by
+    * the builder itself or via `spark.catalog.clearCache()`.
     */
   private val MaxEntries =
     sys.env.getOrElse("SPARK_GRAFT_MEMO_MAX", "64").toInt

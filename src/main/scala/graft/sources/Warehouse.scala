@@ -58,16 +58,38 @@ object Warehouse extends OpGroup {
       names: Seq[String]): Map[String, DataFrame] =
     names.map(n => n -> spark.read.parquet(s"$basePath/$n")).toMap
 
-  /** Absolute materialization root for a (scale-factor dir, layer) pair —
-    * never a cwd-relative path.
+  /** Per-JVM materialization ROOT: two concurrent JVMs (tests alongside a
+    * verify run, two CI jobs on one box) must never overwrite each
+    * other's live layer files, so the root carries the pid; a shutdown
+    * hook removes it. On a cluster this would be a job-unique staging
+    * prefix on the shared filesystem — same idea.
+    */
+  private lazy val whRoot: String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_wh/" +
+      s"p${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }))
+    root
+  }
+
+  /** Absolute materialization path for a (scale-factor dir, layer) pair —
+    * never cwd-relative; a dir-hash suffix keeps sanitized names from
+    * colliding ("/a/b" vs "/a_b").
     */
   private[graft] def layerPath(dir: String, layer: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_wh/$tag/$layer"
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      f"_${dir.hashCode & 0xffffff}%06x"
+    s"$whRoot/$tag/$layer"
   }
 
   private val matStore =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, DataFrame]]()
+  private val matLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Materialize a layer ONCE per (session, dir, layer): write it with
     * [[writeLayer]], read the files back, and memoize the file-backed
@@ -75,21 +97,31 @@ object Warehouse extends OpGroup {
     * re-derivation. `build` is by-name — a memo hit never constructs the
     * layer. Columns are re-selected into the pre-write order (partitionBy
     * moves the partition column last on read).
+    *
+    * First-build is serialized under a PER-KEY lock so two racing threads
+    * can't run overlapping writes to the same path (nested layers — DWH
+    * building on stage — take different locks, so reentrancy is safe;
+    * a map-wide computeIfAbsent would not be, see [[graft.ops.Memo]]).
     */
   def materializedLayer(s: SparkSession, dir: String, layer: String)(
       build: => Map[String, DataFrame]): Map[String, DataFrame] = {
     val key = s"${System.identityHashCode(s)}|$dir|$layer"
     val existing = matStore.get(key)
     if (existing != null) return existing
-    val m = build
-    val base = layerPath(dir, layer)
-    writeLayer(m, base)
-    val back = readLayer(s, base, m.keys.toSeq)
-    val ordered = m.map { case (n, df) =>
-      n -> back(n).select(df.columns.map(col): _*)
+    val lock = matLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val won = matStore.get(key)
+      if (won != null) return won
+      val m = build
+      val base = layerPath(dir, layer)
+      writeLayer(m, base)
+      val back = readLayer(s, base, m.keys.toSeq)
+      val ordered = m.map { case (n, df) =>
+        n -> back(n).select(df.columns.map(col): _*)
+      }
+      matStore.put(key, ordered)
+      ordered
     }
-    matStore.putIfAbsent(key, ordered)
-    matStore.get(key)
   }
 
   /** S4 in other interchange formats: CSV (header) and JSON lines.
@@ -155,8 +187,7 @@ object Warehouse extends OpGroup {
   def registerWarehouse(s: SparkSession, dir: String): Unit = {
     Tables.registerAll(s, dir)
     graft.etl.Stage.materialized(s, dir).foreach { case (n, df) =>
-      df.createOrReplaceTempView(
-        if (n == "fact") "stage_fact" else s"stage_$n")
+      df.createOrReplaceTempView(s"stage_$n")
     }
     graft.etl.Dwh.materialized(s, dir).foreach { case (n, df) =>
       df.createOrReplaceTempView(if (n.startsWith("dwh_")) n else s"dwh_$n")

@@ -196,14 +196,18 @@ object Sessionize extends OpGroup {
     */
   def hourlyWindowedAppend(s: SparkSession, dir: String,
       outDir: String): DataFrame = withNanosAsLong(s) {
-    val q = hourlyAgg(s, dir).writeStream.outputMode("append")
+    val agg = hourlyAgg(s, dir)
+    val q = agg.writeStream.outputMode("append")
       .format("parquet")
       .option("path", s"$outDir/data")
       .option("checkpointLocation", s"$outDir/ckpt")
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.read.parquet(s"$outDir/data")
+    // Explicit schema: with zero finalized windows (all data inside the
+    // watermark horizon) the sink directory has no parquet files and
+    // schema inference would throw instead of returning an empty frame.
+    s.read.schema(agg.schema).parquet(s"$outDir/data")
   }
 
   private val hourlyWindowedSql =

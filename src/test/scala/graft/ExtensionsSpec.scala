@@ -180,5 +180,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
+    // a clean corpus (no verified pair) must yield zero labels, not NPE
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.ops.DedupOps.connectedComponents(empty).count() == 0)
+    // a long chain converges well inside the round cap (pointer jumping)
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = graft.ops.DedupOps.connectedComponents(chain)
+      .as[(Long, Long)].collect()
+    assert(cc.length == 40 && cc.forall(_._2 == 1L))
   }
 }
