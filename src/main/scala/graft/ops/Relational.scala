@@ -293,6 +293,35 @@ object Relational extends OpGroup {
       |        (SELECT user_id, COUNT(*) AS total_events FROM events GROUP BY user_id))""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A6 — salted two-phase aggregation for SKEWED group keys.
+  // l_returnflag has 3 values over the whole lineitem table — at 100 TB a
+  // plain groupBy lands each flag's every row on ONE reducer. Salting
+  // splits each key 32 ways (phase 1: hash-salt sub-aggregate, shuffle
+  // spreads over 3×32 keys), then phase 2 merges the 96 sub-rows. The
+  // result is EXACTLY the plain aggregation — same oracle SQL — only the
+  // physical distribution differs; sums run in DECIMAL so re-association
+  // across salts cannot change the value.
+  // ---------------------------------------------------------------------
+  val saltBuckets = 32
+
+  def saltedSkewAgg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val phase1 = l
+      .withColumn("_salt", pmod(hash(col("l_orderkey")), lit(saltBuckets)))
+      .groupBy(col("l_returnflag"), col("_salt"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"))
+    phase1.groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n_rows"),
+        sum(col("q")).cast(DoubleType).as("sum_qty"))
+  }
+
+  private val saltedSkewAggSql =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A5/U1 — duplicate-PK detection: GROUP BY key HAVING COUNT(*)>1 in a
   // derived table + outer COUNT (QA.sql:124-176), one row per table.
   // ---------------------------------------------------------------------
@@ -340,5 +369,7 @@ object Relational extends OpGroup {
     Op("a4_fact_agg_consistency", factAggConsistency, Some(factAggConsistencySql),
       "QA.sql:67-71 fact vs aggregate SUM consistency"),
     Op("a5_dup_key_report", dupKeyReport, Some(dupKeyReportSql),
-      "QA.sql:124-176 duplicate-PK detection"))
+      "QA.sql:124-176 duplicate-PK detection"),
+    Op("a6_salted_skew_agg", saltedSkewAgg, Some(saltedSkewAggSql),
+      "salted two-phase aggregation over a 3-value skewed key"))
 }

@@ -195,6 +195,49 @@ object Warehouse extends OpGroup {
     graft.etl.Qa.report(s, dir).createOrReplaceTempView("qa_report")
   }
 
+  /** C3+ — BUCKETED co-located join: both sides written with
+    * `bucketBy(k, join_key)` + `sortBy`, so the join needs NO exchange on
+    * either side (bucket files ARE the hash partitions — at 100 TB that
+    * deletes the two largest shuffles of a fact-to-fact join; the only
+    * remaining exchange is the final small aggregation's). External table
+    * paths live under the per-JVM warehouse root; table metadata in the
+    * session catalog carries the bucket spec.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = layerPath(dir, "bucketed")
+    val nb = 8
+    def bucketed(name: String, df: DataFrame, key: String): DataFrame = {
+      val tbl = s"graft_bkt_$name"
+      if (!s.catalog.tableExists(tbl)) {
+        df.write.mode("overwrite")
+          .option("path", s"$base/$name")
+          .bucketBy(nb, key).sortBy(key)
+          .saveAsTable(tbl)
+      }
+      s.table(tbl)
+    }
+    val o = bucketed("orders",
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
+    val l = bucketed("lineitem",
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")), "l_orderkey")
+    // merge hint: at verification scale the planner would broadcast the
+    // small side, hiding the co-location this op demonstrates; at 100 TB
+    // neither side broadcasts and SMJ-over-buckets is the real plan.
+    o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))
+  }
+
+  private val bucketedJoinSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** Rolling-hash fingerprint via the custom codegen'd Expression. */
   def rollingHash(c: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
@@ -218,5 +261,7 @@ object Warehouse extends OpGroup {
       "Rabin-Karp fingerprint via native codegen Catalyst expression"),
     Op("s_format_roundtrip", formatRoundtrip,
       Some("SELECT * FROM nation"),
-      "CSV + JSON write/read round-trip with schema-pinned text reads"))
+      "CSV + JSON write/read round-trip with schema-pinned text reads"),
+    Op("s_bucketed_join", bucketedJoin, Some(bucketedJoinSql),
+      "bucketBy co-located join: zero exchanges on either join side"))
 }

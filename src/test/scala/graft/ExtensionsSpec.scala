@@ -153,6 +153,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
   }
 
+  test("bucketed join co-locates: no exchange on either join side") {
+    val df = Warehouse.bucketedJoin(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(plan.contains("Bucketed: true"))
+    // the only exchange is the final small aggregation's, never the join's
+    assert("Exchange hashpartitioning\\((o_orderkey|l_orderkey)".r
+      .findFirstIn(plan).isEmpty)
+  }
+
   test("registerWarehouse exposes every layer to plain spark.sql") {
     Warehouse.registerWarehouse(spark, dir)
     // raw, stage, DWH, and QA views all resolve; reference-style SQL
