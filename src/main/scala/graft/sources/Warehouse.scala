@@ -207,7 +207,11 @@ object Warehouse extends OpGroup {
     val base = layerPath(dir, "bucketed")
     val nb = 8
     def bucketed(name: String, df: DataFrame, key: String): DataFrame = {
-      val tbl = s"graft_bkt_$name"
+      // dir-scoped table name: one session benches several scale factors
+      // (Bench warms at sf0.001 then measures sf0.1) and must never serve
+      // one dir's bucketed files for another.
+      val tag = dir.replaceAll("[^A-Za-z0-9_]", "_")
+      val tbl = s"graft_bkt_${name}_${tag}_${dir.hashCode & 0xffffff}"
       if (!s.catalog.tableExists(tbl)) {
         df.write.mode("overwrite")
           .option("path", s"$base/$name")

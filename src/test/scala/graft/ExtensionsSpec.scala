@@ -161,6 +161,12 @@ class ExtensionsSpec extends AnyFunSuite {
     // the only exchange is the final small aggregation's, never the join's
     assert("Exchange hashpartitioning\\((o_orderkey|l_orderkey)".r
       .findFirstIn(plan).isEmpty)
+    // dir-scoped tables: a second scale factor in the SAME session must
+    // read its own bucketed files, not the first dir's
+    val n1 = df.agg(sum(col("n_items"))).head.getLong(0)
+    val n2 = Warehouse.bucketedJoin(spark, "/root/testdata/sf0.01")
+      .agg(sum(col("n_items"))).head.getLong(0)
+    assert(n2 > n1)
   }
 
   test("registerWarehouse exposes every layer to plain spark.sql") {
