@@ -143,9 +143,9 @@ object Warehouse extends OpGroup {
     */
   def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.load(s, dir, "nation")
-    // Absolute temp path derived from dir — never cwd-relative.
-    val base = s"${sys.props("java.io.tmpdir")}/graft_wh/format_roundtrip/" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // Per-JVM absolute temp path (layerPath): never cwd-relative, never
+    // shared with a concurrent JVM, removed on shutdown.
+    val base = layerPath(dir, "format_roundtrip")
     val csvBack = {
       writeTable(src, s"$base/csv", "csv")
       readTable(s, s"$base/csv", "csv", src.schema)
