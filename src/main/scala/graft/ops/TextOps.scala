@@ -42,6 +42,31 @@ object TextOps extends OpGroup {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Corpus vocabulary heavy-hitters: exact top-k token frequencies.
+  // explode → hash-agg (partial map-side combine: shuffle carries one row
+  // per distinct token per mapper, never per occurrence) → global
+  // TakeOrdered(k) — no full sort, no driver-side loop. Tie-break
+  // (count DESC, token ASC) is total, so the cut is deterministic.
+  // ---------------------------------------------------------------------
+  val topTokenK = 50
+
+  def topTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topTokenK)
+
+  private val topTokensSql =
+    s"""SELECT token, COUNT(*) AS n
+       |FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |      FROM documents)
+       |GROUP BY token
+       |ORDER BY n DESC, token ASC
+       |LIMIT $topTokenK""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Quality scoring: stopword ratio, punctuation ratio, label.
   // ---------------------------------------------------------------------
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
@@ -122,5 +147,7 @@ object TextOps extends OpGroup {
     Op("text_lang_id", langId, Some(langIdSql),
       "language-ID stopword heuristic vs dataset label"),
     Op("text_fingerprint", fingerprints, Some(fingerprintsSql),
-      "document fingerprinting: md5 over normalized text"))
+      "document fingerprinting: md5 over normalized text"),
+    Op("text_top_tokens", topTokens, Some(topTokensSql),
+      "corpus vocabulary heavy-hitters: exact top-k token frequencies"))
 }
