@@ -90,8 +90,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rk = BindReferences.bindReference(rightKey, right.output)
     val rt = BindReferences.bindReference(rightTime, right.output)
     val nRight = right.output.size
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val tol = tolerance
+      // Emit UnsafeRows: a JoinedRow reaching a consumer that assumes the
+      // binary format (e.g. SparkPlan.getByteArrayRdd when this exec is
+      // the top node of a collect) is a ClassCastException. Same pattern
+      // as SortMergeJoinExec's result projection.
+      val toUnsafe = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(outAttrs, outAttrs)
       new Iterator[InternalRow] {
         private val rBuf = rIter.buffered
         private var lastMatch: InternalRow = _
@@ -110,7 +117,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           // NULL key/time on the left can match nothing → null-extended
           // row, same as DuckDB ASOF. (NULLs sort first under the required
           // Ascending ordering, so the right cursor hasn't moved yet.)
-          if (keyRaw == null || timeRaw == null) return joined(l, nullRight)
+          if (keyRaw == null || timeRaw == null)
+            return toUnsafe(joined(l, nullRight))
           val key = keyRaw.asInstanceOf[Long]
           val time = timeRaw.asInstanceOf[Long]
           var scanning = true
@@ -139,7 +147,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           // if even it misses the tolerance, every earlier row does too.
           val ok = hasMatch && lastMatchKey == key &&
             tol.forall(time - lastMatchTime <= _)
-          joined(l, if (ok) lastMatch else nullRight)
+          toUnsafe(joined(l, if (ok) lastMatch else nullRight))
         }
       }
     }

@@ -129,6 +129,23 @@ class ExtensionsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("as-of join rejects non-integral keys and times at plan time") {
+    import spark.implicits._
+    val l = Seq(("a", 1L)).toDF("k", "t")
+    val r = Seq(("a", 1L)).toDF("k2", "t2")
+    // a string key must fail fast with a clear message, not a
+    // ClassCastException deep inside the merge at execution time
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(l, r, "k", "k2", "t", "t2")
+    }
+    assert(e.getMessage.contains("must be integral or timestamp"))
+    // integer (narrower than Long) keys are Cast-widened, not rejected
+    val li = Seq((1, 5L)).toDF("k", "t")
+    val ri = Seq((1, 3L), (1, 9L)).toDF("k2", "t2")
+    val ok = graft.plans.AsOf.join(li, ri, "k", "k2", "t", "t2").collect()
+    assert(ok.length == 1 && ok.head.getLong(3) == 3L)
+  }
+
   test("earliest-in-window as-of merge matches the relational interval join") {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.load(spark, dir, "events")
