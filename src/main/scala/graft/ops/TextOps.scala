@@ -129,6 +129,28 @@ object TextOps extends OpGroup {
   }
 
   // ---------------------------------------------------------------------
+  // Exact length quantiles per language: the cut points a quality filter
+  // would threshold on. `percentile` is Spark's EXACT sort-based
+  // implementation with linear interpolation — the same definition as
+  // DuckDB's quantile_cont, so the oracle compares exactly (after 4dp
+  // rounding to absorb the final double divide). At 100 TB swap in
+  // percentile_approx and the rows-only check, like a1_agg_approx.
+  // ---------------------------------------------------------------------
+  def lengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(length(text), 0.5)"), 4).as("p50_len"),
+        round(expr("percentile(length(text), 0.95)"), 4).as("p95_len"))
+
+  private val lengthQuantilesSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  round(quantile_cont(len(text), 0.5), 4) AS p50_len,
+      |  round(quantile_cont(len(text), 0.95), 4) AS p95_len
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Document fingerprint: md5 over normalized text.
   // ---------------------------------------------------------------------
   def fingerprints(s: SparkSession, dir: String): DataFrame =
@@ -149,5 +171,7 @@ object TextOps extends OpGroup {
     Op("text_fingerprint", fingerprints, Some(fingerprintsSql),
       "document fingerprinting: md5 over normalized text"),
     Op("text_top_tokens", topTokens, Some(topTokensSql),
-      "corpus vocabulary heavy-hitters: exact top-k token frequencies"))
+      "corpus vocabulary heavy-hitters: exact top-k token frequencies"),
+    Op("text_length_quantiles", lengthQuantiles, Some(lengthQuantilesSql),
+      "exact per-language length quantiles (quality-filter cut points)"))
 }
