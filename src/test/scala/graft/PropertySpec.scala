@@ -227,4 +227,29 @@ object PropertySpec extends Properties("graft") {
       }.toSet
       got == model
     }
+
+  // --- connected components vs union-find on random graphs ----------------
+  private val edgeGen: Gen[(Long, Long)] = for {
+    a <- Gen.choose(0L, 30L)
+    b <- Gen.choose(0L, 30L) if a != b
+  } yield (a, b)
+
+  property("connected components equal union-find on random graphs") =
+    Prop.forAll(Gen.listOfN(20, edgeGen)) { es =>
+      val got = ops.DedupOps
+        .connectedComponents(es.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      // model: plain union-find, components labeled by their minimum id
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val model = parent.keys.map(x => x -> find(x)).toMap
+      got == model
+    }
 }
