@@ -121,6 +121,28 @@ class ExtensionsSpec extends AnyFunSuite {
       "append-mode output != watermark-finalized batch windows")
   }
 
+  test("ivf near-dup recall vs brute force stays above the probe floor") {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.TextFns.l2norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val truth = a.crossJoin(b).filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(graft.functions.TextFns.dotProduct(col("ea"), col("eb"))
+          / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= graft.ops.SimilarityOps.nearDupThreshold)
+    val ivf = graft.ops.SimilarityOps.ivfNearDup(spark, dir)
+      .select(col("vec_a").as("va"), col("vec_b").as("vb"))
+    val nTruth = truth.count().toDouble
+    val hit = truth.join(ivf, Seq("va", "vb")).count().toDouble
+    // single-probe measured 0.30; 2-probe measured 0.77 — the floor
+    // guards against a regression to boundary-splitting assignment
+    assert(hit / nTruth >= 0.7, s"recall ${hit / nTruth} < 0.7")
+  }
+
   test("lsh signatures bucket near-identical vectors together") {
     // identical vectors must land in the same bucket by construction
     val sigs = graft.ops.SimilarityOps.lshSignatures(spark, dir)
