@@ -59,7 +59,7 @@ object DedupOps extends OpGroup {
     * Docs shorter than 3 words contribute their whole text as one
     * shingle (same rule as the oracle's list_transform slice).
     */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleRows(s: SparkSession, dir: String): DataFrame =
     Memo.of(s, dir, "dedupShingleRows") {
       val d = docs(s, dir)
       val tri = d.select(col("doc_id"),

@@ -121,6 +121,25 @@ class ExtensionsSpec extends AnyFunSuite {
       "append-mode output != watermark-finalized batch windows")
   }
 
+  test("minhash-lsh candidates lose no true near-dup pair at threshold") {
+    // ground truth: ALL-pairs jaccard over the op's own shingle sets;
+    // the banded candidates must contain every pair >= the 0.8 threshold
+    val sh = graft.ops.DedupOps.shingleRows(spark, dir)
+      .groupBy(col("doc_id")).agg(collect_set(col("x")).as("sh"))
+    val a = sh.select(col("doc_id").as("da"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("db"), col("sh").as("sb"))
+    val truth = a.crossJoin(b).filter(col("da") < col("db"))
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double")
+        / size(array_union(col("sa"), col("sb")))
+        >= graft.ops.DedupOps.jaccardThreshold)
+      .select(col("da"), col("db"))
+    val cand = graft.ops.DedupOps.ngramJaccard(spark, dir)
+      .filter(col("jaccard") >= graft.ops.DedupOps.jaccardThreshold)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
+    val missed = truth.exceptAll(cand).count()
+    assert(missed == 0, s"$missed true near-dup pairs missed by LSH banding")
+  }
+
   test("ivf near-dup recall vs brute force stays above the probe floor") {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
