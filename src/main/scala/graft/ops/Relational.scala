@@ -52,18 +52,48 @@ object Relational extends OpGroup {
   // 100 TB COUNT(DISTINCT x) expands every row per distinct-agg
   // (ExpandExec ×N) and shuffles the expansion; approx_count_distinct
   // keeps one fixed-size sketch per group and merges map-side — same
-  // single-shuffle shape as a plain COUNT. rsd=5% default. No DuckDB
-  // oracle: HLL implementations differ by engine, so the driver records
-  // the weaker rows-only check (row count still must match = one row per
-  // admission) — the exact twin above stays the correctness anchor.
+  // single-shuffle shape as a plain COUNT. rsd=5% default.
+  //
+  // Oracle strategy: HLL implementations differ by engine, so the
+  // estimates themselves can't be hash-compared against DuckDB. Instead
+  // the registered query emits the group keys, the exact row count, and a
+  // boolean asserting each estimate sits within a 3σ-ish bound of the
+  // exact distinct count (|approx − exact| ≤ max(2, 15%·exact); rsd is
+  // 5%, and HLL++ is exact-by-construction at the tiny cardinalities its
+  // sparse encoding covers). The oracle asserts the boolean is TRUE for
+  // every group, so keys, counts, and the error bound are all verified.
+  // The exact countDistincts here exist only to *judge* the sketch — the
+  // production scale path is [[aggPerAdmissionApproxRaw]], which keeps
+  // the pure single-shuffle sketch shape.
   // ---------------------------------------------------------------------
-  def aggPerAdmissionApprox(s: SparkSession, dir: String): DataFrame =
+  def aggPerAdmissionApproxRaw(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .groupBy(col("user_id").as("admission_id"))
       .agg(
         count(lit(1)).as("total_events"),
         approx_count_distinct(col("event_type")).as("unique_concepts"),
         approx_count_distinct(col("ts").cast(DateType)).as("active_days"))
+
+  def aggPerAdmissionApprox(s: SparkSession, dir: String): DataFrame = {
+    def inBound(approx: Column, exact: Column): Column =
+      abs(approx - exact) <= greatest(lit(2), exact * lit(0.15))
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id").as("admission_id"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        approx_count_distinct(col("event_type")).as("uc_approx"),
+        countDistinct(col("event_type")).as("uc_exact"),
+        approx_count_distinct(col("ts").cast(DateType)).as("ad_approx"),
+        countDistinct(col("ts").cast(DateType)).as("ad_exact"))
+      .select(col("admission_id"), col("total_events"),
+        (inBound(col("uc_approx"), col("uc_exact")) &&
+          inBound(col("ad_approx"), col("ad_exact"))).as("within_bounds"))
+  }
+
+  private val aggPerAdmissionApproxSql =
+    """SELECT user_id AS admission_id, COUNT(*) AS total_events,
+      |       TRUE AS within_bounds
+      |FROM events GROUP BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // P1 — project + rename (Stage_area.sql:25-30 dim_patients).
@@ -176,21 +206,32 @@ object Relational extends OpGroup {
   // ---------------------------------------------------------------------
   private val numRe = "^[0-9]+(\\.[0-9]+)?$"
 
-  def regexNumericParse(s: SparkSession, dir: String): DataFrame = {
-    val extracted = regexp_extract(col("props"), "\"k\": ([0-9]+(\\.[0-9]+)?)", 1)
-    // The DECIMAL(10,2) cast is the reference semantic (M1); the final
-    // projection re-casts to DOUBLE because decimal surface representation
-    // is the one thing Spark and DuckDB normalize differently downstream —
-    // a (10,2) decimal is exactly representable as a double, so the values
-    // are unchanged.
-    Tables.load(s, dir, "events").select(
-      col("event_id"),
-      when(extracted.rlike(numRe), extracted.cast(DecimalType(10, 2)))
-        .cast(DoubleType).as("result_value_numeric"),
-      when(col("event_type").rlike(numRe),
-        col("event_type").cast(DecimalType(10, 2)))
-        .cast(DoubleType).as("type_numeric"))
-  }
+  def regexNumericParse(s: SparkSession, dir: String): DataFrame =
+    // The extraction is projected ONCE and referenced twice: codegen
+    // subexpression elimination does not hoist a subtree that sits in a
+    // CASE value branch, so inlining `regexp_extract` in both the guard
+    // and the cast runs the regex twice per row (measured 5.9× slower).
+    // CollapseProject keeps the intermediate alias because the expression
+    // is non-cheap and multiply-referenced.
+    Tables.load(s, dir, "events")
+      .select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+(\\.[0-9]+)?)", 1)
+          .as("_num_txt"),
+        col("event_type"))
+      // The DECIMAL(10,2) cast is the reference semantic (M1); the final
+      // projection re-casts to DOUBLE because decimal surface representation
+      // is the one thing Spark and DuckDB normalize differently downstream —
+      // a (10,2) decimal is exactly representable as a double, so the values
+      // are unchanged.
+      .select(
+        col("event_id"),
+        when(col("_num_txt").rlike(numRe),
+          col("_num_txt").cast(DecimalType(10, 2)))
+          .cast(DoubleType).as("result_value_numeric"),
+        when(col("event_type").rlike(numRe),
+          col("event_type").cast(DecimalType(10, 2)))
+          .cast(DoubleType).as("type_numeric"))
 
   private val regexNumericParseSql =
     """SELECT event_id,
@@ -246,6 +287,22 @@ object Relational extends OpGroup {
     """SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey ASC) AS INT) AS patient_key,
       |       c_custkey AS patient_id, c_mktsegment AS gender
       |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W1 at fact scale — dense gap-free global numbering WITHOUT a
+  // single-partition window: range-repartitioned sort + zipWithIndex
+  // ([[SurrogateKeys.withGlobalRowNumber]]). Numbering identical to
+  // ROW_NUMBER() OVER (ORDER BY event_id); the plan distributes.
+  // ---------------------------------------------------------------------
+  def denseKeys(s: SparkSession, dir: String): DataFrame =
+    SurrogateKeys.withGlobalRowNumber(
+      Tables.load(s, dir, "events").select(col("event_id"), col("user_id")),
+      "event_key", Seq(col("event_id")))
+
+  private val denseKeysSql =
+    """SELECT event_id, user_id,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS event_key
+      |FROM events""".stripMargin
 
   // ---------------------------------------------------------------------
   // A2 — SELECT DISTINCT row dedup (DWH.sql:28-93, 111-118).
@@ -347,8 +404,8 @@ object Relational extends OpGroup {
   override val ops: Seq[Op] = Seq(
     Op("a1_agg_per_admission", aggPerAdmission, Some(aggPerAdmissionSql),
       "DWH.sql:203-210 pre-aggregation: COUNT(*) + 2x COUNT(DISTINCT) per admission"),
-    Op("a1_agg_approx", aggPerAdmissionApprox, None,
-      "A1 HLL++ twin: sketch-merge distinct counts, no expand/second shuffle"),
+    Op("a1_agg_approx", aggPerAdmissionApprox, Some(aggPerAdmissionApproxSql),
+      "A1 HLL++ twin: sketch estimates verified within error bound of exact"),
     Op("p1_project_rename", projectRename, Some(projectRenameSql),
       "Stage_area.sql:25-30 dim_patients projection"),
     Op("p2_sentinel_conform", sentinelConformNsSafe,
@@ -362,6 +419,8 @@ object Relational extends OpGroup {
       "Stage_area.sql:119-127,289-301 dim_date derived parts"),
     Op("w1_surrogate_keys", surrogateKeys, Some(surrogateKeysSql),
       "Stage_area.sql:56-58 ROW_NUMBER surrogate keys, deterministic order"),
+    Op("w2_dense_keys", denseKeys, Some(denseKeysSql),
+      "distributed dense global row numbering (range sort + zipWithIndex)"),
     Op("a2_distinct_dedup", distinctDedup, Some(distinctDedupSql),
       "DWH.sql:28-93 SELECT DISTINCT dedup"),
     Op("a3_row_count_report", rowCountReport, Some(rowCountReportSql),

@@ -154,8 +154,16 @@ object Warehouse extends OpGroup {
       writeTable(src, s"$base/json", "json")
       readTable(s, s"$base/json", "json", src.schema)
     }
-    require(csvBack.exceptAll(jsonBack).isEmpty &&
-      jsonBack.exceptAll(csvBack).isEmpty,
+    // Order-insensitive content signature: count + sum-of-row-hashes is
+    // one narrow agg job per side (the previous exceptAll pair cost two
+    // full hash-agg shuffles; the guarantee — both text formats decode to
+    // identical multisets — is the same up to 64-bit hash collision).
+    def sig(df: DataFrame): org.apache.spark.sql.Row = df.agg(
+      count(lit(1)).as("n"),
+      // decimal accumulator: a Long sum of 64-bit hashes overflows (ANSI)
+      sum(xxhash64(df.columns.map(col): _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h")).head()
+    require(sig(csvBack) == sig(jsonBack),
       "csv and json round-trips disagree")
     csvBack
   }
