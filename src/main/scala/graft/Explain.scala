@@ -1,12 +1,41 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Plan-inspection utility: prints the formatted physical plan for the
   * named queries (or a summary line for all) so shuffle/broadcast/pushdown
   * regressions are visible. `runMain graft.Explain [sfDir] [query...]`.
+  *
+  * [[counters]] is the reusable core — ExtensionsSpec pins the counts for
+  * the most expensive queries, so an accidentally added exchange fails CI
+  * instead of surfacing as a bench regression two rounds later.
   */
 object Explain {
+
+  /** Physical-plan operator counts for a query. Cached subtrees print
+    * their whole child plan at EVERY InMemoryTableScan reference, so a
+    * raw substring count multiplies shared subplans; plan_ids are stable
+    * across those reprints — count distinct ids (execution runs each
+    * once). Keys: shuffles (hash-partitioning exchanges), broadcasts,
+    * sortMergeJoins, codegenSpans, pushedFilterScans.
+    */
+  def counters(df: DataFrame): Map[String, Int] = {
+    val plan = df.queryExecution.executedPlan.toString
+    def distinctIds(kind: String): Int =
+      (kind + "[^\\n]*?\\[plan_id=(\\d+)\\]").r
+        .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    Map(
+      "shuffles" -> distinctIds("Exchange hashpartitioning"),
+      "broadcasts" -> distinctIds("BroadcastExchange"),
+      "sortMergeJoins" -> "SortMergeJoin".r.findAllIn(plan).size,
+      // toString marks codegen stages as "*(n)" prefixes, not the word
+      // "WholeStageCodegen"; distinct ids = number of codegen spans.
+      "codegenSpans" -> "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size,
+      "pushedFilterScans" -> "PushedFilters: \\[[^\\]]".r
+        .findAllIn(plan).size)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
@@ -21,26 +50,14 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
-        val plan = try fn(spark, sfDir).queryExecution.executedPlan.toString
-        catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
-        // Cached subtrees print their whole child plan at EVERY
-        // InMemoryTableScan reference, so a raw substring count
-        // multiplies shared subplans. plan_ids are stable across those
-        // reprints — count distinct ids (execution runs each once).
-        def distinctIds(kind: String): Int =
-          (kind + "[^\\n]*?\\[plan_id=(\\d+)\\]").r
-            .findAllMatchIn(plan).map(_.group(1)).toSet.size
-        val shuffles = distinctIds("Exchange hashpartitioning")
-        val bcast = distinctIds("BroadcastExchange")
-        val smj = "SortMergeJoin".r.findAllIn(plan).size
-        // toString marks codegen stages as "*(n)" prefixes, not the word
-        // "WholeStageCodegen"; distinct ids = number of codegen spans.
-        val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
-          .map(_.group(1)).toSet.size
-        val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
-        println(f"PLAN $n%-28s shuffles=$shuffles bcastJoin=$bcast " +
-          f"sortMergeJoin=$smj codegenSpans=$wsc pushedFilterScans=$pushed")
-        if (args.length > 1) println(plan)
+        try {
+          val df = fn(spark, sfDir)
+          val c = counters(df)
+          println(f"PLAN $n%-28s shuffles=${c("shuffles")} " +
+            f"bcastJoin=${c("broadcasts")} sortMergeJoin=${c("sortMergeJoins")} " +
+            f"codegenSpans=${c("codegenSpans")} pushedFilterScans=${c("pushedFilterScans")}")
+          if (args.length > 1) println(df.queryExecution.executedPlan.toString)
+        } catch { case e: Throwable => println(s"PLAN $n ERROR: ${e.getMessage}") }
       }
     }
     spark.stop()

@@ -74,13 +74,26 @@ object SimilarityOps extends OpGroup {
   // so assignment is ONE codegen'd map stage over the corpus, no shuffle.
   // ---------------------------------------------------------------------
   val nearDupThreshold = 0.35
-  val ivfSeedBits = 3 // 2^3 = 8 seed cells
+  val ivfSeedBits = 3 // 2^3 = 8 seed cells — the oracle-pinned default
 
-  /** Coarse seed cell: integer value of the first 3 signature bits. */
-  private def seedCell(bucket: Column): Column =
-    (0 until ivfSeedBits).map { b =>
+  /** Cell-count heuristic for deployments: k ≈ √N cells (the classic IVF
+    * balance point — cell size and cell count both grow as √N, so probe
+    * cost per query is O(√N) either way), expressed in signature bits and
+    * capped at the signature width. The ORACLE-checked queries pin
+    * `ivfSeedBits` instead: the DuckDB mirror is a static string, so the
+    * verified clustering must be the same k at every scale factor. Beyond
+    * 2^lshBits cells, widen [[lshBits]] — the seeding is the prefix of
+    * the same signature.
+    */
+  def seedBitsFor(n: Long): Int =
+    math.max(1, math.min(lshBits,
+      math.ceil(math.log(math.sqrt(n.toDouble)) / math.log(2.0)).toInt))
+
+  /** Coarse seed cell: integer value of the first `bits` signature bits. */
+  private def seedCell(bucket: Column, bits: Int): Column =
+    (0 until bits).map { b =>
       when(substring(bucket, b + 1, 1) === "1",
-        lit(1 << (ivfSeedBits - 1 - b))).otherwise(lit(0))
+        lit(1 << (bits - 1 - b))).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Per-cell per-dimension mean over micro-quantized values: the BIGINT
@@ -150,21 +163,25 @@ object SimilarityOps extends OpGroup {
 
   /** IVF probe table: seed from LSH prefix, 2 Lloyd rounds (single-cell
     * assignments), final top-[[ivfProbe]] probe cells per vector.
+    * `seedBits` sets the cell count (2^seedBits); pass
+    * `seedBitsFor(corpusCount)` to scale k with the corpus.
     */
-  def ivfCells(s: SparkSession, dir: String): DataFrame =
-    Memo.of(s, dir, "ivfCells") {
+  def ivfCells(s: SparkSession, dir: String,
+      seedBits: Int = ivfSeedBits): DataFrame =
+    Memo.of(s, dir, s"ivfCells$seedBits") {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"),
         graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()
       val seeded = lshSignatures(s, dir)
-        .select(col("vec_id"), seedCell(col("bucket")).as("cell"))
+        .select(col("vec_id"), seedCell(col("bucket"), seedBits).as("cell"))
         .join(e, Seq("vec_id"))
       val assign1 = assignCells(e, centroidsOf(seeded))
       probeCells(e, centroidsOf(assign1), ivfProbe).cache()
     }
 
-  def ivfNearDup(s: SparkSession, dir: String): DataFrame = {
+  def ivfNearDup(s: SparkSession, dir: String,
+      seedBits: Int = ivfSeedBits): DataFrame = {
     // Norms precomputed per vector (N of them), not per pair (N²/2k).
-    val e = ivfCells(s, dir)
+    val e = ivfCells(s, dir, seedBits)
     val a = e.select(col("cell"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("cell"), col("vec_id").as("vec_b"),
@@ -355,7 +372,7 @@ object SimilarityOps extends OpGroup {
   override val ops: Seq[Op] = Seq(
     Op("sim_cosine_topk", cosineTopK, Some(cosineTopKSql),
       "brute-force cosine top-k vs query vector (baseline)"),
-    Op("sim_ivf_neardup", ivfNearDup, Some(ivfNearDupSql),
+    Op("sim_ivf_neardup", (s, d) => ivfNearDup(s, d), Some(ivfNearDupSql),
       "IVF near-dup pair scan (k-means cells, see ivfCells)"),
     Op("sim_ivf_topk", ivfTopk, Some(ivfTopkSql),
       "ANN retrieval: IVF top-2 cell probe + exact cosine + per-query top-k"),

@@ -132,6 +132,18 @@ object Sessionize extends OpGroup {
     * parquet source. Decimal-cast sum keeps the value order-independent
     * for the oracle. Shared by both sink variants below.
     */
+  /** The windowed aggregation over ANY events frame (streaming or batch)
+    * carrying a typed `ts`, `event_type`, `value`.
+    */
+  private[graft] def hourlyAggOver(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value").cast("double").as("sum_value"))
+
   private def hourlyAgg(s: SparkSession, dir: String): DataFrame = {
     // RAW file schema (ts may be the nanos long) — Tables.load's converted
     // schema would mis-declare the column to the file source.
@@ -144,13 +156,7 @@ object Sessionize extends OpGroup {
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else raw
-    stream
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value").cast("double").as("sum_value"))
+    hourlyAggOver(stream)
   }
 
   /** Run `body` with the nanos-as-long flag set, restoring the previous
@@ -209,6 +215,24 @@ object Sessionize extends OpGroup {
     // schema inference would throw instead of returning an empty frame.
     s.read.schema(agg.schema).parquet(s"$outDir/data")
   }
+
+  /** Incremental form of [[hourlyWindowedAppend]]: start the append-mode
+    * file-sink query over `srcDir` (parquet files with typed
+    * ts/event_type/value columns) and return the RUNNING query. The
+    * caller drops files into `srcDir` between `processAllAvailable()`
+    * calls — this is how a deployment actually runs (micro-batches over
+    * an arriving file feed) and how the multi-batch watermark test
+    * observes per-batch emission.
+    */
+  def hourlyAppendQuery(s: SparkSession, srcDir: String, outDir: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    hourlyAggOver(s.readStream.schema(schema).format("parquet").load(srcDir))
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .start()
 
   private val hourlyWindowedSql =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,

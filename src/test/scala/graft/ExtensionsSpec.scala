@@ -121,6 +121,44 @@ class ExtensionsSpec extends AnyFunSuite {
       "append-mode output != watermark-finalized batch windows")
   }
 
+  test("windowed append emits a window only after a later batch advances the watermark") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mb").toString
+    val src = s"$root/src"
+    val out = s"$root/out"
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def write(rows: Seq[(java.sql.Timestamp, String, Double)]): Unit =
+      rows.toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    def emitted() =
+      try spark.read.parquet(s"$out/data") catch {
+        case _: Throwable => Seq.empty[(java.sql.Timestamp, String, Long, Double)]
+          .toDF("window_start", "event_type", "n_events", "sum_value")
+      }
+    // batch 1: two hour-0 events plus one at 01:30 — after the batch the
+    // watermark is 00:30, still short of hour-0's end, so nothing emits
+    write(Seq((ts(0, 10), "a", 1.0), (ts(0, 30), "a", 2.0), (ts(1, 30), "b", 1.0)))
+    val q = Sessionize.hourlyAppendQuery(
+      spark, src, out, spark.read.parquet(src).schema)
+    try {
+      q.processAllAvailable()
+      assert(emitted().count() == 0,
+        "window emitted before the watermark passed its end")
+      // batch 2 (02:30) advances the watermark to 01:30 > hour-0's end;
+      // batch 3 (04:00) runs under that watermark and finalizes hour-0
+      write(Seq((ts(2, 30), "b", 4.0)))
+      q.processAllAvailable()
+      write(Seq((ts(4, 0), "c", 8.0)))
+      q.processAllAvailable()
+      val hour0 = emitted().filter(col("window_start") === ts(0, 0)).collect()
+      assert(hour0.length == 1, "hour-0 window not finalized across batches")
+      assert(hour0.head.getLong(2) == 2L && hour0.head.getDouble(3) == 3.0)
+      // the trailing window is still inside the watermark horizon: unemitted
+      assert(emitted().filter(col("window_start") === ts(4, 0)).count() == 0)
+    } finally q.stop()
+  }
+
   test("minhash-lsh candidates lose no true near-dup pair at threshold") {
     // ground truth: ALL-pairs jaccard over the op's own shingle sets;
     // the banded candidates must contain every pair >= the 0.8 threshold
@@ -140,7 +178,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(missed == 0, s"$missed true near-dup pairs missed by LSH banding")
   }
 
-  test("ivf near-dup recall vs brute force stays above the probe floor") {
+  test("ivf near-dup recall vs brute force holds at two cell counts") {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         graft.functions.TextFns.l2norm(col("embedding")).as("nrm"))
@@ -153,13 +191,30 @@ class ExtensionsSpec extends AnyFunSuite {
         round(graft.functions.TextFns.dotProduct(col("ea"), col("eb"))
           / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= graft.ops.SimilarityOps.nearDupThreshold)
-    val ivf = graft.ops.SimilarityOps.ivfNearDup(spark, dir)
-      .select(col("vec_a").as("va"), col("vec_b").as("vb"))
+      .cache()
     val nTruth = truth.count().toDouble
-    val hit = truth.join(ivf, Seq("va", "vb")).count().toDouble
-    // single-probe measured 0.30; 2-probe measured 0.77 — the floor
-    // guards against a regression to boundary-splitting assignment
-    assert(hit / nTruth >= 0.7, s"recall ${hit / nTruth} < 0.7")
+    def recall(seedBits: Int): Double = {
+      val ivf = graft.ops.SimilarityOps.ivfNearDup(spark, dir, seedBits)
+        .select(col("vec_a").as("va"), col("vec_b").as("vb"))
+      truth.join(ivf, Seq("va", "vb")).count().toDouble / nTruth
+    }
+    // default k=8: single-probe measured 0.30; 2-probe measured 0.77 —
+    // the floor guards against a regression to boundary-splitting
+    // assignment
+    val r3 = recall(graft.ops.SimilarityOps.ivfSeedBits)
+    assert(r3 >= 0.7, s"recall(k=8) $r3 < 0.7")
+    // the √N heuristic's k for this corpus: more, smaller cells → less
+    // probed fraction, lower recall, faster scan — the IVF trade. The
+    // floor pins the measured value so cell-count scaling stays sane.
+    val bitsAuto = graft.ops.SimilarityOps.seedBitsFor(
+      Tables.load(spark, dir, "embeddings").count())
+    assert(bitsAuto != graft.ops.SimilarityOps.ivfSeedBits,
+      "heuristic picked the default k; test needs a second cell count")
+    // measured 0.533 at k=32 (vs 0.774 at k=8) — deterministic, so the
+    // floor sits just under the measured value
+    val rAuto = recall(bitsAuto)
+    info(f"recall k=8: $r3%.3f, k=2^$bitsAuto: $rAuto%.3f")
+    assert(rAuto >= 0.5, s"recall(k=2^$bitsAuto) $rAuto < 0.5")
   }
 
   test("ivf top-k retrieval recall beats the measured floor") {
@@ -250,6 +305,34 @@ class ExtensionsSpec extends AnyFunSuite {
     val n2 = Warehouse.bucketedJoin(spark, "/root/testdata/sf0.01")
       .agg(sum(col("n_items"))).head.getLong(0)
     assert(n2 > n1)
+  }
+
+  test("plan shapes: exchange/broadcast counts pinned for the costliest queries") {
+    // Counters, not timings: an added shuffle shows up here deterministically,
+    // long before it is visible over bench noise. Bounds are ≤ the audited
+    // plan's counts at sf0.001 (AQE may remove exchanges at runtime, never
+    // add static ones).
+    def c(name: String) = Explain.counters(SparkEntry.queries(name)(spark, dir))
+    // DWH pre-aggregation reads the materialized layer: one hash-agg
+    // shuffle (plus the distinct-expand's), no join exchanges
+    val agg = c("pipe_dwh_agg")
+    assert(agg("shuffles") <= 2, s"pipe_dwh_agg shuffles: $agg")
+    assert(agg("sortMergeJoins") == 0, s"pipe_dwh_agg SMJ: $agg")
+    // DWH fact is a file scan of the materialized layer — no shuffle at all
+    val fact = c("pipe_dwh_fact")
+    assert(fact("shuffles") == 0 && fact("sortMergeJoins") == 0,
+      s"pipe_dwh_fact: $fact")
+    // as-of join: one exchange per side feeding the custom merge, no SMJ
+    val asof = c("asof_last_signup")
+    assert(asof("shuffles") <= 2 && asof("sortMergeJoins") == 0,
+      s"asof_last_signup: $asof")
+    // conformed-key dim join must stay broadcast (fact never shuffles)
+    val j1 = c("j1_left_join_conformed_key")
+    assert(j1("broadcasts") >= 1 && j1("sortMergeJoins") == 0,
+      s"j1_left_join_conformed_key: $j1")
+    // exact dedup: the one hash-agg shuffle
+    val de = c("dedup_exact")
+    assert(de("shuffles") <= 1, s"dedup_exact: $de")
   }
 
   test("registerWarehouse exposes every layer to plain spark.sql") {
