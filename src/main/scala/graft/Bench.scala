@@ -33,16 +33,18 @@ object Bench {
           catch { case _: Throwable => }
         }
     } catch { case _: Throwable => }
-    // The stage/DWH layers and the QA report are built ONCE per
-    // (session, sf) and shared by every consumer — at 100 TB that build
-    // is a scheduled ETL job, not part of any query. Build them here,
-    // timed, and report the cost as its own "layer_build" field so the
-    // per-query numbers measure query cost instead of charging the whole
-    // layer build to whichever query happens to touch the layer first.
+    // The stage/DWH layers, the QA report, and the bucketed join tables
+    // are built ONCE per (session, sf) and shared by every consumer — at
+    // 100 TB these are scheduled ETL/DDL jobs (the bucketed write is C3's
+    // index build), not part of any query. Build them here, timed, and
+    // report the cost as its own "layer_build" field so the per-query
+    // numbers measure query cost instead of charging the whole build to
+    // whichever query happens to touch the layer first.
     val tLayer = System.nanoTime()
     try {
       graft.etl.Dwh.materialized(spark, sfDir)
       graft.etl.Qa.report(spark, sfDir)
+      run(graft.sources.Warehouse.bucketedJoin(spark, sfDir))
     } catch { case _: Throwable => }
     val layerSec = (System.nanoTime() - tLayer) / 1e9
     var failed = List.empty[String]

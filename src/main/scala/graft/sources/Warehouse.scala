@@ -136,24 +136,25 @@ object Warehouse extends OpGroup {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     s.read.format(format).option("header", "true").schema(schema).load(path)
 
-  /** CSV + JSON round-trip of the nation table: write both formats, read
-    * both back with the source schema, require they agree row-for-row,
-    * return the CSV read (oracle = the source table, so the hash check
-    * proves end-to-end fidelity through both text formats).
+  /** CSV + JSON + ORC round-trip of the nation table: write all three
+    * interchange formats, read each back with the source schema, require
+    * they agree row-for-row, return the CSV read (oracle = the source
+    * table, so the hash check proves end-to-end fidelity through every
+    * format — the two text formats erase types, ORC is the columnar
+    * interchange peer to parquet).
     */
   def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.load(s, dir, "nation")
     // Per-JVM absolute temp path (layerPath): never cwd-relative, never
     // shared with a concurrent JVM, removed on shutdown.
     val base = layerPath(dir, "format_roundtrip")
-    val csvBack = {
-      writeTable(src, s"$base/csv", "csv")
-      readTable(s, s"$base/csv", "csv", src.schema)
+    def roundtrip(format: String): DataFrame = {
+      writeTable(src, s"$base/$format", format)
+      readTable(s, s"$base/$format", format, src.schema)
     }
-    val jsonBack = {
-      writeTable(src, s"$base/json", "json")
-      readTable(s, s"$base/json", "json", src.schema)
-    }
+    val csvBack = roundtrip("csv")
+    val jsonBack = roundtrip("json")
+    val orcBack = roundtrip("orc")
     // Order-insensitive content signature: count + sum-of-row-hashes is
     // one narrow agg job per side (the previous exceptAll pair cost two
     // full hash-agg shuffles; the guarantee — both text formats decode to
@@ -163,8 +164,9 @@ object Warehouse extends OpGroup {
       // decimal accumulator: a Long sum of 64-bit hashes overflows (ANSI)
       sum(xxhash64(df.columns.map(col): _*)
         .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h")).head()
-    require(sig(csvBack) == sig(jsonBack),
-      "csv and json round-trips disagree")
+    val ref = sig(csvBack)
+    require(ref == sig(jsonBack) && ref == sig(orcBack),
+      "format round-trips disagree")
     csvBack
   }
 
@@ -273,7 +275,7 @@ object Warehouse extends OpGroup {
       "Rabin-Karp fingerprint via native codegen Catalyst expression"),
     Op("s_format_roundtrip", formatRoundtrip,
       Some("SELECT * FROM nation"),
-      "CSV + JSON write/read round-trip with schema-pinned text reads"),
+      "CSV + JSON + ORC write/read round-trip with schema-pinned reads"),
     Op("s_bucketed_join", bucketedJoin, Some(bucketedJoinSql),
       "bucketBy co-located join: zero exchanges on either join side"))
 }

@@ -144,7 +144,8 @@ object Sessionize extends OpGroup {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value").cast("double").as("sum_value"))
 
-  private def hourlyAgg(s: SparkSession, dir: String): DataFrame = {
+  /** The events table as a streaming source with a typed `ts`. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     // RAW file schema (ts may be the nanos long) — Tables.load's converted
     // schema would mis-declare the column to the file source.
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -152,12 +153,44 @@ object Sessionize extends OpGroup {
     // rejected; a wildcard makes it resolve as a glob over the SF dir.
     val raw = s.readStream.schema(schema).format("parquet")
       .option("basePath", dir).load(s"$dir/events.parque*")
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
-    hourlyAggOver(stream)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
   }
+
+  private def hourlyAgg(s: SparkSession, dir: String): DataFrame =
+    hourlyAggOver(eventsStream(s, dir))
+
+  /** Streaming deduplication with WATERMARK-BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a key's state only until the
+    * watermark passes its event time + the delay, so state is O(keys in
+    * the horizon), not O(all keys ever) — the difference between a
+    * streaming dedup that survives 100 TB/day and one whose state grows
+    * forever (plain `dropDuplicates` on a stream is the latter). A key
+    * recurring AFTER its state was evicted re-emits — that is the
+    * documented trade of the bounded variant, so the verification run
+    * pins the delay beyond the corpus' time span, making the output
+    * exactly DISTINCT(user_id, event_type); a deployment sets the real
+    * dedup horizon. Output = the key columns only, so first-arrival
+    * nondeterminism cannot leak into the result.
+    */
+  def streamingDedup(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s) {
+      val out = eventsStream(s, dir)
+        .select(col("ts"), col("user_id"), col("event_type"))
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      val name = s"memsink_dedup_${System.identityHashCode(out).toHexString}"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+    }
+
+  private val streamingDedupSql =
+    "SELECT DISTINCT user_id, event_type FROM events"
 
   /** Run `body` with the nanos-as-long flag set, restoring the previous
     * session value after — the flag must not leak into unrelated queries.
@@ -244,5 +277,7 @@ object Sessionize extends OpGroup {
     Op("stream_sessionize", sessionizeBatch, Some(sessionizeBatchSql),
       "30-min-gap sessionization (typed Dataset; streaming twin in sessionizeStream)"),
     Op("stream_hourly_window", hourlyWindowed, Some(hourlyWindowedSql),
-      "tumbling-window agg executed via Structured Streaming memory sink"))
+      "tumbling-window agg executed via Structured Streaming memory sink"),
+    Op("stream_dedup", streamingDedup, Some(streamingDedupSql),
+      "watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)"))
 }
