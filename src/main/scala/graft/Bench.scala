@@ -45,6 +45,9 @@ object Bench {
       graft.etl.Dwh.materialized(spark, sfDir)
       graft.etl.Qa.report(spark, sfDir)
       run(graft.sources.Warehouse.bucketedJoin(spark, sfDir))
+      // the IVF index (k-means cells) is the ANN equivalent of the
+      // bucketed tables: built once, probed by every retrieval query
+      graft.ops.SimilarityOps.ivfCells(spark, sfDir).count()
     } catch { case _: Throwable => }
     val layerSec = (System.nanoTime() - tLayer) / 1e9
     var failed = List.empty[String]

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed corpus-curation pipeline: the end-to-end query a
+  * training-data run actually executes, stitched from the individually
+  * oracle-verified operators. A document survives into the training
+  * corpus iff it passes EVERY gate:
+  *
+  *  1. language gate — the stopword language-ID says "en" ([[TextOps.langId]])
+  *  2. quality gate — stopword/length heuristics say "good" ([[TextOps.qualityScore]])
+  *  3. exact dedup — it is its content-hash group's keeper ([[DedupOps.exactDedup]])
+  *  4. near dedup — it is its transitive near-dup cluster's survivor
+  *     ([[DedupOps.nearDupSurvivors]])
+  *  5. decontamination — it shares no 3-gram shingle with the held-out
+  *     benchmark set, and is not itself a benchmark doc
+  *     ([[DedupOps.contamination]])
+  *
+  * Scale shape: gates 1-2 are narrow codegen'd maps over the scan; gates
+  * 3-5 reuse the memoized hash-agg / cluster / shingle tables, so the
+  * composition adds only the semi-join reductions — each gate's key set
+  * is a doc_id projection that AQE joins at whatever strategy its
+  * runtime size warrants. Nothing here re-derives an upstream stage: at
+  * 100 TB this is one declarative plan over shared, already-built
+  * intermediates.
+  */
+object Curate extends OpGroup {
+
+  def curatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val en = TextOps.langId(s, dir)
+      .filter(col("predicted_lang") === "en").select(col("doc_id"))
+    val good = TextOps.qualityScore(s, dir)
+      .filter(col("quality") === "good").select(col("doc_id"))
+    val exactKeep = DedupOps.exactDedup(s, dir)
+      .select(col("keep_doc_id").as("doc_id"))
+    val nearKeep = DedupOps.nearDupSurvivors(s, dir)
+    val clean = DedupOps.contamination(s, dir)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    d.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(en, Seq("doc_id"))
+      .join(good, Seq("doc_id"))
+      .join(exactKeep, Seq("doc_id"))
+      .join(nearKeep, Seq("doc_id"))
+      .join(clean, Seq("doc_id"))
+  }
+
+  private val curatedCorpusSql =
+    s"""WITH RECURSIVE ${DedupOps.clusterCtes},
+       |${DedupOps.contaminationCtes},
+       |ql AS (${TextOps.qualityScoreSql}),
+       |li AS (${TextOps.langIdSql}),
+       |ek AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d
+       |JOIN li ON li.doc_id = d.doc_id AND li.predicted_lang = 'en'
+       |JOIN ql ON ql.doc_id = d.doc_id AND ql.quality = 'good'
+       |JOIN ek ON ek.doc_id = d.doc_id
+       |JOIN clusters c ON c.doc_id = d.doc_id AND c.cluster_id = d.doc_id
+       |LEFT JOIN chits h ON h.doc_id = d.doc_id
+       |WHERE d.source <> '${DedupOps.benchmarkSource}'
+       |  AND COALESCE(h.n_shared, 0) = 0""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("curate_corpus", curatedCorpus, Some(curatedCorpusSql),
+      "composed curation: lang + quality + exact/near dedup + decontamination"))
+}

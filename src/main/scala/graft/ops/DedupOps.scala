@@ -310,20 +310,26 @@ object DedupOps extends OpGroup {
     labels
   }
 
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = ngramJaccard(s, dir)
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("doc_a"), col("doc_b"))
-    val labels = connectedComponents(edges)
-    docs(s, dir).select(col("doc_id")).join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-  }
+  /** Memoized per (session, dir): the label-propagation rounds run
+    * eagerly at construction, and both `dedup_survivors` and the curation
+    * pipeline consume the same cluster table.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "dedupClusters") {
+      val edges = ngramJaccard(s, dir)
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = connectedComponents(edges)
+      docs(s, dir).select(col("doc_id")).join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .cache()
+    }
 
   /** Oracle transitive closure: min reachable doc_id per node over the
     * symmetric verified-pair graph (recursive CTE; UNION-dedup bounds it).
     */
-  private val clusterCtes =
+  private[ops] val clusterCtes =
     s"""$jaccardCtes,
        |jp AS (SELECT doc_a, doc_b FROM jaccard WHERE jaccard >= $jaccardThreshold),
        |sym AS (SELECT doc_a AS a, doc_b AS b FROM jp
@@ -352,7 +358,65 @@ object DedupOps extends OpGroup {
     s"""WITH RECURSIVE $clusterCtes
        |SELECT doc_id FROM clusters WHERE cluster_id = doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination: count the 3-gram shingles each corpus doc
+  // shares with a held-out benchmark set (`source = 'src0'` stands in for
+  // an eval suite). Standard training-data hygiene — any doc overlapping
+  // a benchmark n-gram is flagged before training. Shape at scale: the
+  // benchmark shingle set is bounded (eval suites are tiny next to the
+  // corpus), so it broadcasts; the corpus side is the memoized exploded
+  // shingle table — one broadcast join + one hash-agg, no self-join.
+  // ---------------------------------------------------------------------
+  val benchmarkSource = "src0"
+
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sh = shingleRows(s, dir)
+    val benchIds = d.filter(col("source") === benchmarkSource)
+      .select(col("doc_id"))
+    val bench = sh.join(benchIds, Seq("doc_id")).select(col("x")).distinct()
+    val corpusIds = d.filter(col("source") =!= benchmarkSource)
+      .select(col("doc_id"))
+    // n_shared counts DISTINCT shared shingles; the dedup happens AFTER
+    // the selective benchmark join, so the full-corpus shingle table is
+    // never shuffled — only the matched (doc, shingle) rows are.
+    val hits = sh.join(corpusIds, Seq("doc_id"))
+      .join(broadcast(bench), Seq("x"))
+      .select(col("doc_id"), col("x")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    corpusIds.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Shared oracle CTEs for the contamination check (names prefixed `c`
+    * so they compose with [[clusterCtes]] in the curation oracle).
+    */
+  private[ops] val contaminationCtes =
+    s"""csh AS ($shinglesSql),
+       |cex AS (SELECT s.doc_id, t.x FROM csh s, unnest(s.sh) AS t(x)),
+       |cbench AS (
+       |  SELECT DISTINCT e.x FROM cex e
+       |  JOIN documents d ON d.doc_id = e.doc_id
+       |  WHERE d.source = '$benchmarkSource'),
+       |chits AS (
+       |  SELECT e.doc_id, COUNT(*) AS n_shared
+       |  FROM cex e JOIN cbench b ON e.x = b.x
+       |  JOIN documents d ON d.doc_id = e.doc_id
+       |  WHERE d.source <> '$benchmarkSource'
+       |  GROUP BY e.doc_id)""".stripMargin
+
+  private val contaminationSql =
+    s"""WITH $contaminationCtes
+       |SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+       |       COALESCE(h.n_shared, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN chits h ON h.doc_id = d.doc_id
+       |WHERE d.source <> '$benchmarkSource'""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("text_contamination", contamination, Some(contaminationSql),
+      "benchmark n-gram overlap (decontamination flag per corpus doc)"),
     Op("dedup_clusters", dedupClusters, Some(dedupClustersSql),
       "transitive near-dup clustering: min-label propagation to fixpoint"),
     Op("dedup_survivors", nearDupSurvivors, Some(nearDupSurvivorsSql),

@@ -82,7 +82,7 @@ object TextOps extends OpGroup {
         .otherwise(lit("low")).as("quality"))
   }
 
-  private val qualityScoreSql = {
+  private[ops] val qualityScoreSql = {
     val stopList = stopwords.map(w => s"'$w'").mkString(", ")
     s"""SELECT doc_id, stop_ratio, punct_ratio,
        |  CASE WHEN n_tokens >= 20 AND stop_ratio >= 0.02
@@ -117,7 +117,7 @@ object TextOps extends OpGroup {
       (predicted === col("lang")).as("agrees"))
   }
 
-  private val langIdSql = {
+  private[ops] val langIdSql = {
     val stopList = stopwords.map(w => s"'$w'").mkString(", ")
     s"""SELECT doc_id, predicted_lang, lang, predicted_lang = lang AS agrees
        |FROM (
