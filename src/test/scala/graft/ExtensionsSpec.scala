@@ -333,6 +333,12 @@ class ExtensionsSpec extends AnyFunSuite {
     // exact dedup: the one hash-agg shuffle
     val de = c("dedup_exact")
     assert(de("shuffles") <= 1, s"dedup_exact: $de")
+    // decontamination: the benchmark shingle set joins by BROADCAST (the
+    // corpus-sized doc_id joins may SMJ — correct at scale; AQE converts
+    // them while small); shuffles stay bounded by the distinct/count aggs
+    val cont = c("text_contamination")
+    assert(cont("broadcasts") >= 1 && cont("shuffles") <= 4,
+      s"text_contamination: $cont")
   }
 
   test("registerWarehouse exposes every layer to plain spark.sql") {
