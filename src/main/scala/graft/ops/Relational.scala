@@ -305,6 +305,70 @@ object Relational extends OpGroup {
       |FROM events""".stripMargin
 
   // ---------------------------------------------------------------------
+  // W3 — SCD type-2 dimension history: collapse each patient's admission
+  // timeline into effective-dated (admission_type, valid_from, valid_to,
+  // is_current) periods. The Kimball pattern the reference's star schema
+  // implies but its type-1 dims never materialize: lag-compare to flag
+  // changes, running sum to number periods, min/lead for the validity
+  // range. Scale shape: everything is per-patient windows + one group-by
+  // on the same key — ONE hash shuffle on patient_id, reused by both
+  // window passes and the aggregation (EnsureRequirements inserts no
+  // second exchange); no global sort anywhere.
+  // ---------------------------------------------------------------------
+  def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_custkey").as("patient_id"),
+      col("o_orderkey").as("admission_id"),
+      col("o_orderdate").as("admit_date"),
+      col("o_orderpriority").as("admission_type"))
+    val w = Window.partitionBy(col("patient_id"))
+      .orderBy(col("admit_date").asc, col("admission_id").asc)
+    val prev = lag(col("admission_type"), 1).over(w)
+    val periods = o
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("admission_type"), 1).otherwise(0))
+      .withColumn("grp", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("patient_id"), col("grp"), col("admission_type"))
+      .agg(min(col("admit_date")).as("valid_from"),
+        count(lit(1)).as("n_admissions"))
+    val wg = Window.partitionBy(col("patient_id")).orderBy(col("grp").asc)
+    periods.select(
+      col("patient_id"), col("admission_type"), col("valid_from"),
+      lead(col("valid_from"), 1).over(wg).as("valid_to"),
+      lead(col("valid_from"), 1).over(wg).isNull.as("is_current"),
+      col("n_admissions"))
+  }
+
+  private val scd2DimSql =
+    """WITH o AS (
+      |  SELECT o_custkey AS patient_id, o_orderkey AS admission_id,
+      |         o_orderdate AS admit_date, o_orderpriority AS admission_type
+      |  FROM orders),
+      |f AS (
+      |  SELECT *, CASE WHEN lag(admission_type) OVER w IS NULL
+      |                   OR lag(admission_type) OVER w <> admission_type
+      |                 THEN 1 ELSE 0 END AS chg
+      |  FROM o
+      |  WINDOW w AS (PARTITION BY patient_id
+      |               ORDER BY admit_date ASC, admission_id ASC)),
+      |g AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY patient_id
+      |              ORDER BY admit_date ASC, admission_id ASC
+      |              ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM f),
+      |p AS (
+      |  SELECT patient_id, grp, admission_type,
+      |         MIN(admit_date) AS valid_from, COUNT(*) AS n_admissions
+      |  FROM g GROUP BY patient_id, grp, admission_type)
+      |SELECT patient_id, admission_type, valid_from,
+      |  lead(valid_from) OVER wg AS valid_to,
+      |  lead(valid_from) OVER wg IS NULL AS is_current,
+      |  n_admissions
+      |FROM p
+      |WINDOW wg AS (PARTITION BY patient_id ORDER BY grp ASC)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A2 — SELECT DISTINCT row dedup (DWH.sql:28-93, 111-118).
   // ---------------------------------------------------------------------
   def distinctDedup(s: SparkSession, dir: String): DataFrame =
@@ -421,6 +485,8 @@ object Relational extends OpGroup {
       "Stage_area.sql:56-58 ROW_NUMBER surrogate keys, deterministic order"),
     Op("w2_dense_keys", denseKeys, Some(denseKeysSql),
       "distributed dense global row numbering (range sort + zipWithIndex)"),
+    Op("w3_scd2_dim", scd2Dim, Some(scd2DimSql),
+      "SCD type-2 history: change-flag + period numbering + validity ranges"),
     Op("a2_distinct_dedup", distinctDedup, Some(distinctDedupSql),
       "DWH.sql:28-93 SELECT DISTINCT dedup"),
     Op("a3_row_count_report", rowCountReport, Some(rowCountReportSql),

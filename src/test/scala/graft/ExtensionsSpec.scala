@@ -339,6 +339,11 @@ class ExtensionsSpec extends AnyFunSuite {
     val cont = c("text_contamination")
     assert(cont("broadcasts") >= 1 && cont("shuffles") <= 4,
       s"text_contamination: $cont")
+    // SCD2 history: both window passes and the aggregation reuse ONE
+    // patient_id exchange — a second one means a sort/partition drifted
+    val scd = c("w3_scd2_dim")
+    assert(scd("shuffles") == 1 && scd("sortMergeJoins") == 0,
+      s"w3_scd2_dim: $scd")
   }
 
   test("registerWarehouse exposes every layer to plain spark.sql") {
