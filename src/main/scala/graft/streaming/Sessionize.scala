@@ -192,6 +192,50 @@ object Sessionize extends OpGroup {
   private val streamingDedupSql =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Stream-stream INTERVAL join: each purchase joins the same user's
+    * signups within the preceding 7 days. Both sides carry watermarks and
+    * the join condition carries the event-time range — that pair is what
+    * lets Spark evict join state (a signup older than watermark − 7 days
+    * can never match a future purchase, so its state row is dropped).
+    * Without the time bound, stream-stream join state grows with every
+    * row ever seen; with it, state is O(rows inside the horizon) — the
+    * only shape that survives an unbounded stream. Inner join, so rows
+    * emit as soon as both sides arrive (append mode, no watermark wait).
+    */
+  def streamingJoin(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s) {
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val signups = eventsStream(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+          col("ts").as("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+      val joined = purchases.join(signups,
+        col("user_id") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAY"))
+        .select(col("p_id"), col("user_id"), col("p_ts"),
+          col("s_id"), col("s_ts"))
+      val name = s"memsink_join_${System.identityHashCode(joined).toHexString}"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+    }
+
+  private val streamingJoinSql =
+    """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+      |       s.event_id AS s_id, s.ts AS s_ts
+      |FROM events p JOIN events s
+      |  ON p.user_id = s.user_id
+      | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+      | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY""".stripMargin
+
   /** Run `body` with the nanos-as-long flag set, restoring the previous
     * session value after — the flag must not leak into unrelated queries.
     */
@@ -279,5 +323,7 @@ object Sessionize extends OpGroup {
     Op("stream_hourly_window", hourlyWindowed, Some(hourlyWindowedSql),
       "tumbling-window agg executed via Structured Streaming memory sink"),
     Op("stream_dedup", streamingDedup, Some(streamingDedupSql),
-      "watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)"))
+      "watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)"),
+    Op("stream_join", streamingJoin, Some(streamingJoinSql),
+      "stream-stream interval join with watermark-evicted join state"))
 }

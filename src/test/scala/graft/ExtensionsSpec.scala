@@ -363,6 +363,36 @@ class ExtensionsSpec extends AnyFunSuite {
       .head.getLong(0) > 0)
   }
 
+  test("scd2 periods tile each patient's timeline exactly") {
+    val dim = ops.Relational.scd2Dim(spark, dir)
+    // exactly one open (is_current) period per patient
+    val open = dim.groupBy("patient_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_open"))
+      .filter(col("n_open") =!= 1)
+    assert(open.count() == 0, "a patient has != 1 current period")
+    // closed periods end exactly where the next period starts, periods
+    // never overlap, and consecutive periods never share a type (else
+    // they'd be one period)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("patient_id")).orderBy(col("valid_from").asc)
+    val seq = dim.select(col("patient_id"), col("admission_type"),
+        col("valid_from"), col("valid_to"),
+        lead(col("valid_from"), 1).over(w).as("next_from"),
+        lead(col("admission_type"), 1).over(w).as("next_type"))
+    assert(seq.filter(col("next_from").isNotNull &&
+      col("valid_to") =!= col("next_from")).count() == 0,
+      "gap or overlap between consecutive periods")
+    assert(seq.filter(col("next_type").isNotNull &&
+      col("admission_type") === col("next_type")).count() == 0,
+      "adjacent periods share a type — change collapse failed")
+    // period row count never exceeds admissions; totals reconcile
+    val nAdm = Tables.load(spark, dir, "orders").count()
+    val nPeriods = dim.count()
+    val sumN = dim.agg(sum(col("n_admissions"))).head.getLong(0)
+    assert(nPeriods <= nAdm && sumN == nAdm,
+      s"periods $nPeriods, admissions $nAdm, covered $sumN")
+  }
+
   test("connected components collapse duplicate chains transitively") {
     import spark.implicits._
     // Chain 1-2, 2-3, 3-4 plus pair 10-11: a one-pass pair-drop rule
