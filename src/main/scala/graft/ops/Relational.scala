@@ -443,6 +443,56 @@ object Relational extends OpGroup {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A7 — PIVOT: per-user event counts fanned out to one column per event
+  // type, the BI crosstab shape. The value list is EXPLICIT: without it
+  // Spark runs an extra distinct-collect job to discover the columns, and
+  // the output schema becomes data-dependent — both wrong at 100 TB
+  // (schema must be stable for downstream consumers; the discovery scan
+  // is a full pass). With the list, this is ONE hash-agg shuffle, same
+  // as a plain groupBy. Absent combinations coalesce to 0 to match the
+  // conditional-aggregation semantics (pivot-count yields NULL).
+  // ---------------------------------------------------------------------
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        eventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+
+  private val pivotEventsSql = {
+    val cols = eventTypes.map(t =>
+      s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t").mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // A8 — GROUP BY ROLLUP: subtotal + grand-total rows in one pass, the
+  // BI report staple. Spark expands the grouping sets inside a single
+  // aggregation (ExpandExec multiplies rows by the number of levels, then
+  // one hash-agg shuffle) — same plan family as COUNT(DISTINCT), no
+  // second scan per level. NULL level markers match DuckDB's.
+  // ---------------------------------------------------------------------
+  def rollupReport(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"), col("o_totalprice"))
+      .rollup(col("priority"), col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+
+  private val rollupReportSql =
+    """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY ROLLUP(priority, status)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A5/U1 — duplicate-PK detection: GROUP BY key HAVING COUNT(*)>1 in a
   // derived table + outer COUNT (QA.sql:124-176), one row per table.
   // ---------------------------------------------------------------------
@@ -496,5 +546,9 @@ object Relational extends OpGroup {
     Op("a5_dup_key_report", dupKeyReport, Some(dupKeyReportSql),
       "QA.sql:124-176 duplicate-PK detection"),
     Op("a6_salted_skew_agg", saltedSkewAgg, Some(saltedSkewAggSql),
-      "salted two-phase aggregation over a 3-value skewed key"))
+      "salted two-phase aggregation over a 3-value skewed key"),
+    Op("a7_pivot_events", pivotEvents, Some(pivotEventsSql),
+      "PIVOT crosstab with explicit value list (one hash-agg, stable schema)"),
+    Op("a8_rollup_report", rollupReport, Some(rollupReportSql),
+      "GROUP BY ROLLUP subtotals via grouping-set expand, one pass"))
 }
