@@ -151,6 +151,37 @@ object TextOps extends OpGroup {
       |FROM documents GROUP BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Approximate-quantile twin of the above ([[lengthQuantiles]] names
+  // this as the 100 TB path): percentile_approx keeps a fixed-size
+  // KLL-style sketch per group and merges map-side — no per-group value
+  // sort. Same oracle pattern as a1_agg_approx: sketch values can't be
+  // hash-compared across engines, so the query emits the group keys,
+  // exact doc counts, and booleans asserting each estimate lands inside
+  // a ±5-rank-percent band of the exact quantile (default accuracy 10000
+  // bounds rank error at 0.01%, so the band is generous); the oracle
+  // asserts TRUE.
+  // ---------------------------------------------------------------------
+  def lengthQuantilesApprox(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile_approx(length(text), 0.5)").as("p50a"),
+        expr("percentile(length(text), 0.45)").as("p50lo"),
+        expr("percentile(length(text), 0.55)").as("p50hi"),
+        expr("percentile_approx(length(text), 0.95)").as("p95a"),
+        expr("percentile(length(text), 0.90)").as("p95lo"),
+        expr("percentile(length(text), 0.99)").as("p95hi"))
+      .select(col("lang"), col("n_docs"),
+        col("p50a").between(col("p50lo"), col("p50hi")).as("p50_in_band"),
+        col("p95a").between(col("p95lo"), col("p95hi")).as("p95_in_band"))
+
+  private val lengthQuantilesApproxSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  TRUE AS p50_in_band, TRUE AS p95_in_band
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Document fingerprint: md5 over normalized text.
   // ---------------------------------------------------------------------
   def fingerprints(s: SparkSession, dir: String): DataFrame =
@@ -173,5 +204,8 @@ object TextOps extends OpGroup {
     Op("text_top_tokens", topTokens, Some(topTokensSql),
       "corpus vocabulary heavy-hitters: exact top-k token frequencies"),
     Op("text_length_quantiles", lengthQuantiles, Some(lengthQuantilesSql),
-      "exact per-language length quantiles (quality-filter cut points)"))
+      "exact per-language length quantiles (quality-filter cut points)"),
+    Op("text_quantiles_approx", lengthQuantilesApprox,
+      Some(lengthQuantilesApproxSql),
+      "sketch quantiles verified inside a rank band of the exact values"))
 }
