@@ -204,12 +204,16 @@ object Sessionize extends OpGroup {
     */
   def streamingJoin(s: SparkSession, dir: String): DataFrame =
     withNanosAsLong(s) {
-      val purchases = eventsStream(s, dir)
+      // ONE source, self-joined: both sides share the micro-batch scan
+      // (two readStream instances would list and read the files twice
+      // per trigger)
+      val ev = eventsStream(s, dir)
+      val purchases = ev
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"),
           col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
-      val signups = eventsStream(s, dir)
+      val signups = ev
         .filter(col("event_type") === "signup")
         .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
           col("ts").as("s_ts"))
