@@ -448,9 +448,12 @@ object Relational extends OpGroup {
   // Spark runs an extra distinct-collect job to discover the columns, and
   // the output schema becomes data-dependent — both wrong at 100 TB
   // (schema must be stable for downstream consumers; the discovery scan
-  // is a full pass). With the list, this is ONE hash-agg shuffle, same
-  // as a plain groupBy. Absent combinations coalesce to 0 to match the
-  // conditional-aggregation semantics (pivot-count yields NULL).
+  // is a full pass). With the list, Spark plans its two-stage pivot
+  // aggregation — pre-agg on (user, type) shrinks the data to one row
+  // per combination before PivotFirst re-groups on the user — both
+  // stages map-side combined, no extra scan. Absent combinations
+  // coalesce to 0 to match conditional-aggregation semantics
+  // (pivot-count yields NULL).
   // ---------------------------------------------------------------------
   val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 

@@ -344,6 +344,25 @@ class ExtensionsSpec extends AnyFunSuite {
     val scd = c("w3_scd2_dim")
     assert(scd("shuffles") == 1 && scd("sortMergeJoins") == 0,
       s"w3_scd2_dim: $scd")
+    // pivot with an explicit value list: Spark's two-stage pivot agg
+    // (pre-agg on (key, pivot col), then PivotFirst on key) and nothing
+    // else — no discovery-scan job, no join
+    val piv = c("a7_pivot_events")
+    assert(piv("shuffles") == 2 && piv("broadcasts") == 0,
+      s"a7_pivot_events: $piv")
+  }
+
+  test("approx-distinct raw path keeps the single-shuffle sketch shape") {
+    // the oracle-checked a1_agg_approx carries exact countDistincts to
+    // JUDGE the sketch; this is the deployment path it documents — prove
+    // the claim: one shuffle, no ExpandExec, same group cardinality
+    val raw = ops.Relational.aggPerAdmissionApproxRaw(spark, dir)
+    val c = Explain.counters(raw)
+    assert(c("shuffles") == 1, s"raw sketch agg: $c")
+    assert(!raw.queryExecution.executedPlan.toString.contains("Expand"),
+      "sketch path expanded rows like an exact COUNT DISTINCT")
+    assert(raw.count() ==
+      ops.Relational.aggPerAdmission(spark, dir).count())
   }
 
   test("registerWarehouse exposes every layer to plain spark.sql") {
