@@ -412,6 +412,29 @@ class ExtensionsSpec extends AnyFunSuite {
       s"periods $nPeriods, admissions $nAdm, covered $sumN")
   }
 
+  test("materializedLayer builds once under concurrent first touch") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val key = s"probe_${System.nanoTime()}"
+    def touch() = Warehouse.materializedLayer(spark, dir, key) {
+      built.incrementAndGet()
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    }
+    try {
+      val res = Await.result(
+        Future.sequence((1 to 8).map(_ => Future(touch()))), Duration.Inf)
+      // racing first touches must serialize into ONE build + write; every
+      // caller gets the same file-backed layer
+      assert(built.get() == 1, s"layer built ${built.get()} times")
+      assert(res.forall(_("t").count() == 2))
+    } finally pool.shutdown()
+  }
+
   test("connected components collapse duplicate chains transitively") {
     import spark.implicits._
     // Chain 1-2, 2-3, 3-4 plus pair 10-11: a one-pass pair-drop rule
