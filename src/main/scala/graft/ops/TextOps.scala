@@ -182,6 +182,29 @@ object TextOps extends OpGroup {
       |FROM documents GROUP BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Deterministic train/eval split: assign each doc by a hash of its id,
+  // first 2 md5 hex chars < "29" ≈ 16% eval. The standard alternative —
+  // seeded random sampling (sampleBy) — is engine-RNG-dependent and
+  // can't be oracle-checked or reproduced across reruns/backfills; a
+  // content-id hash is stable under repartitioning, appends, and engine
+  // swaps, which is what a split column must survive in a 100 TB corpus
+  // that gets rebuilt incrementally. One narrow codegen'd map, no state.
+  // ---------------------------------------------------------------------
+  val evalHexCeiling = "29"
+
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      when(substring(fastMd5(col("doc_id").cast("string")), 1, 2)
+        < evalHexCeiling, lit("eval")).otherwise(lit("train")).as("split"))
+
+  private val splitAssignSql =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$evalHexCeiling'
+       |       THEN 'eval' ELSE 'train' END AS split
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Document fingerprint: md5 over normalized text.
   // ---------------------------------------------------------------------
   def fingerprints(s: SparkSession, dir: String): DataFrame =
@@ -207,5 +230,7 @@ object TextOps extends OpGroup {
       "exact per-language length quantiles (quality-filter cut points)"),
     Op("text_quantiles_approx", lengthQuantilesApprox,
       Some(lengthQuantilesApproxSql),
-      "sketch quantiles verified inside a rank band of the exact values"))
+      "sketch quantiles verified inside a rank band of the exact values"),
+    Op("text_split_assign", splitAssign, Some(splitAssignSql),
+      "deterministic hash-based train/eval split (repartition-stable)"))
 }
