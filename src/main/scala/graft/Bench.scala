@@ -58,7 +58,8 @@ object Bench {
         Future(run(graft.sources.Warehouse.bucketedJoin(spark, sfDir))),
         // the IVF index (k-means cells) is the ANN equivalent of the
         // bucketed tables: built once, probed by every retrieval query
-        Future(graft.ops.SimilarityOps.ivfCells(spark, sfDir).count()))),
+        Future(graft.ops.SimilarityOps.ivfCells(spark, sfDir).count()),
+        Future(run(graft.sources.Warehouse.sortedLayoutScan(spark, sfDir))))),
         Duration.Inf)
       finally pool.shutdown()
     } catch { case _: Throwable => }

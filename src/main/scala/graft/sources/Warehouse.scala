@@ -252,6 +252,38 @@ object Warehouse extends OpGroup {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** C3+ — SORTED data layout for min-max pruning: events written
+    * range-partitioned + sorted on `ts`, so every parquet row group
+    * covers a narrow time slice and a time-range scan skips the rest on
+    * footer statistics alone — the layout-side complement to partition
+    * pruning, and the difference between reading 2 days and 30 days of
+    * a 100 TB event table. The filter is pushed to the scan
+    * (plan-tested) and the read projects only the needed columns.
+    */
+  def sortedLayoutScan(s: SparkSession, dir: String): DataFrame = {
+    val base = layerPath(dir, "sorted_events")
+    if (!new java.io.File(base).exists()) {
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+        .repartitionByRange(8, col("ts"))
+        .sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(base)
+    }
+    s.read.parquet(base)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+  }
+
+  private val sortedLayoutScanSql =
+    """SELECT COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-12 00:00:00'""".stripMargin
+
   /** Rolling-hash fingerprint via the custom codegen'd Expression. */
   def rollingHash(c: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
@@ -277,5 +309,7 @@ object Warehouse extends OpGroup {
       Some("SELECT * FROM nation"),
       "CSV + JSON + ORC write/read round-trip with schema-pinned reads"),
     Op("s_bucketed_join", bucketedJoin, Some(bucketedJoinSql),
-      "bucketBy co-located join: zero exchanges on either join side"))
+      "bucketBy co-located join: zero exchanges on either join side"),
+    Op("s_sorted_layout", sortedLayoutScan, Some(sortedLayoutScanSql),
+      "time-sorted parquet layout: range scan prunes row groups on stats"))
 }

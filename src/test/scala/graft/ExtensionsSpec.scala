@@ -350,6 +350,10 @@ class ExtensionsSpec extends AnyFunSuite {
     val piv = c("a7_pivot_events")
     assert(piv("shuffles") == 2 && piv("broadcasts") == 0,
       s"a7_pivot_events: $piv")
+    // sorted layout: the time-range filter must reach the parquet scan
+    // (min-max row-group skipping rides on the pushed predicate)
+    val sl = c("s_sorted_layout")
+    assert(sl("pushedFilterScans") >= 1, s"s_sorted_layout: $sl")
   }
 
   test("approx-distinct raw path keeps the single-shuffle sketch shape") {
