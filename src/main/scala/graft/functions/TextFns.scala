@@ -68,6 +68,25 @@ object TextFns {
       regexp_replace(trim(c), "\\s+", " "),
       lit("(?<![^ ])(?=([^ ]+ [^ ]+ [^ ]+))"), lit(1))
 
+  /** All overlapping word bigrams, in order with duplicates — same
+    * lookahead-regex shape as [[overlappingTrigrams]]. Texts with fewer
+    * than 2 words yield an empty array.
+    */
+  def overlappingBigrams(c: Column): Column =
+    regexp_extract_all(
+      regexp_replace(trim(c), "\\s+", " "),
+      lit("(?<![^ ])(?=([^ ]+ [^ ]+))"), lit(1))
+
+  /** The whitespace-normalized text cut into consecutive `n`-token
+    * segments (last one shorter): one greedy regex pass, no array
+    * lambdas. The RE2-compatible pattern lets the DuckDB oracle chunk
+    * identically. Segments carry a trailing space — trim before use.
+    */
+  def tokenSegments(c: Column, n: Int): Column =
+    regexp_extract_all(
+      regexp_replace(trim(c), "\\s+", " "),
+      lit(s"(?:[^ ]+ ?){1,$n}"), lit(0))
+
   /** Distinct word 3-gram shingles. Short docs (<3 words) yield their
     * whole text as one shingle.
     */

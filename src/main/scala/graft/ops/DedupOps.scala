@@ -414,7 +414,78 @@ object DedupOps extends OpGroup {
        |FROM documents d LEFT JOIN chits h ON h.doc_id = d.doc_id
        |WHERE d.source <> '$benchmarkSource'""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Segment-level dedup (the RefinedWeb/CCNet "line dedup" technique):
+  // cut each doc into ordered segments, count each segment's distinct-doc
+  // frequency corpus-wide, drop segments shared by more than
+  // `segmentMaxDocs` docs (boilerplate: headers, nav bars, license
+  // blocks), and reassemble the remaining text in original order. This
+  // corpus has no newline structure, so the segmenter is a deterministic
+  // 10-token chunker ([[TextFns.tokenSegments]]); a web corpus swaps in
+  // `split(text, '\n')` and the rest of the plan is unchanged.
+  //
+  // Scale shape: segments are counted and anti-joined on their md5 (fixed
+  // 32-char key, not arbitrary-length text), the hot-segment side of the
+  // anti-join holds ONLY segments above the threshold (the boilerplate
+  // tail — orders of magnitude smaller than the corpus; AQE broadcasts it
+  // when it fits), and reassembly is one doc_id hash-agg whose per-group
+  // state is the doc's own segments. No all-pairs surface anywhere.
+  // ---------------------------------------------------------------------
+  val segmentTokens = 10
+  val segmentMaxDocs = 2
+
+  def segmentDedup(s: SparkSession, dir: String): DataFrame =
+    segmentDedupOver(docs(s, dir))
+
+  private[graft] def segmentDedupOver(d: DataFrame): DataFrame = {
+    val chunks = tokenSegments(col("text"), segmentTokens)
+    val segs = d.select(col("doc_id"),
+        posexplode(chunks).as(Seq("pos", "seg0")))
+      .select(col("doc_id"), col("pos"), trim(col("seg0")).as("seg"))
+      .withColumn("h", fastMd5(col("seg")))
+    val hot = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > segmentMaxDocs)
+      .select(col("h"))
+    val rebuilt = segs.join(hot, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")), " ").as("clean"))
+    d.select(col("doc_id"), size(chunks).as("n_segments"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        fastMd5(coalesce(col("clean"), lit(""))).as("clean_fp"))
+  }
+
+  private val segmentDedupSql =
+    s"""WITH c AS (
+       |  SELECT doc_id, regexp_extract_all(
+       |    regexp_replace(trim(text), '\\s+', ' ', 'g'),
+       |    '(?:[^ ]+ ?){1,$segmentTokens}') AS chunks
+       |  FROM documents),
+       |segs AS (
+       |  SELECT doc_id, unnest(range(1, len(chunks) + 1)) AS pos,
+       |         trim(unnest(chunks)) AS seg
+       |  FROM c),
+       |hot AS (
+       |  SELECT md5(seg) AS h FROM segs
+       |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > $segmentMaxDocs),
+       |rebuilt AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         string_agg(seg, ' ' ORDER BY pos) AS clean
+       |  FROM segs WHERE md5(seg) NOT IN (SELECT h FROM hot)
+       |  GROUP BY 1)
+       |SELECT c.doc_id, CAST(len(chunks) AS INT) AS n_segments,
+       |  coalesce(n_kept, 0) AS n_kept,
+       |  md5(coalesce(clean, '')) AS clean_fp
+       |FROM c LEFT JOIN rebuilt USING (doc_id)""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("dedup_segments", segmentDedup, Some(segmentDedupSql),
+      "corpus-wide segment (line-level) dedup with ordered reassembly"),
     Op("text_contamination", contamination, Some(contaminationSql),
       "benchmark n-gram overlap (decontamination flag per corpus doc)"),
     Op("dedup_clusters", dedupClusters, Some(dedupClustersSql),

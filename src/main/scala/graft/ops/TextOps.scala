@@ -205,6 +205,83 @@ object TextOps extends OpGroup {
        |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Within-document repetition signals (the Gopher-rules family): the
+  // fraction of bigram occurrences taken by the single most frequent
+  // bigram, and the fraction of trigram occurrences whose trigram repeats
+  // within the doc. Boilerplate/template text scores high on both; a
+  // quality gate thresholds them. Shape: ONE explode of both gram sizes
+  // (lookahead-regex generation, no interpreted lambdas) → two-level
+  // hash-agg keyed (doc_id, k, gram) then doc_id — partial aggregation
+  // applies map-side, and both agg levels plus the join back to the doc
+  // list share the doc_id shuffle key. Per-doc gram cardinality is
+  // bounded by doc length, so no skew at corpus scale.
+  // ---------------------------------------------------------------------
+  val topBigramMax = 0.20
+  val dupTrigramMax = 0.30
+
+  def repetitionSignals(s: SparkSession, dir: String): DataFrame =
+    repetitionSignalsOver(docs(s, dir))
+
+  /** The signals over ANY frame with `doc_id`/`text` (test seam: the
+    * harness corpus never crosses the published thresholds, so the
+    * `repetitive` branch is exercised on constructed docs).
+    */
+  private[graft] def repetitionSignalsOver(d: DataFrame): DataFrame = {
+    val grams = d.select(col("doc_id"), lit(2).as("k"),
+        explode(overlappingBigrams(col("text"))).as("g"))
+      .unionByName(d.select(col("doc_id"), lit(3).as("k"),
+        explode(overlappingTrigrams(col("text"))).as("g")))
+    val per = grams.groupBy(col("doc_id"), col("k"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("k") === 2, col("n"))).as("top2"),
+        sum(when(col("k") === 2, col("n"))).as("tot2"),
+        sum(when(col("k") === 3 && col("n") >= 2, col("n"))).as("dup3"),
+        sum(when(col("k") === 3, col("n"))).as("tot3"))
+    // sum(when…) over zero matching rows is NULL (short doc / no repeated
+    // trigram) — both fractions default to 0.0, same as the oracle.
+    val topFrac =
+      coalesce(round(col("top2").cast("double") / col("tot2"), 4), lit(0.0))
+    val dupFrac =
+      coalesce(round(col("dup3").cast("double") / col("tot3"), 4), lit(0.0))
+    d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        topFrac.as("top_bigram_frac"),
+        dupFrac.as("dup_trigram_frac"))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > topBigramMax ||
+          col("dup_trigram_frac") > dupTrigramMax)
+  }
+
+  private val repetitionSignalsSql =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |           FROM documents),
+       |grams AS (
+       |  SELECT doc_id, 2 AS k, unnest(list_transform(range(0, len(w) - 1),
+       |    i -> array_to_string(w[i+1:i+2], ' '))) AS g
+       |  FROM w
+       |  UNION ALL
+       |  SELECT doc_id, 3 AS k, unnest(list_transform(range(0, len(w) - 2),
+       |    i -> array_to_string(w[i+1:i+3], ' '))) AS g
+       |  FROM w),
+       |counts AS (SELECT doc_id, k, g, COUNT(*) AS n
+       |           FROM grams GROUP BY 1, 2, 3),
+       |per AS (SELECT doc_id,
+       |  max(n) FILTER (WHERE k = 2) AS top2,
+       |  sum(n) FILTER (WHERE k = 2) AS tot2,
+       |  sum(n) FILTER (WHERE k = 3 AND n >= 2) AS dup3,
+       |  sum(n) FILTER (WHERE k = 3) AS tot3
+       |  FROM counts GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(round(CAST(top2 AS DOUBLE) / tot2, 4), 0.0) AS top_bigram_frac,
+       |  coalesce(round(CAST(dup3 AS DOUBLE) / tot3, 4), 0.0) AS dup_trigram_frac,
+       |  coalesce(round(CAST(top2 AS DOUBLE) / tot2, 4), 0.0) > $topBigramMax
+       |    OR coalesce(round(CAST(dup3 AS DOUBLE) / tot3, 4), 0.0) > $dupTrigramMax
+       |    AS repetitive
+       |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Document fingerprint: md5 over normalized text.
   // ---------------------------------------------------------------------
   def fingerprints(s: SparkSession, dir: String): DataFrame =
@@ -232,5 +309,7 @@ object TextOps extends OpGroup {
       Some(lengthQuantilesApproxSql),
       "sketch quantiles verified inside a rank band of the exact values"),
     Op("text_split_assign", splitAssign, Some(splitAssignSql),
-      "deterministic hash-based train/eval split (repartition-stable)"))
+      "deterministic hash-based train/eval split (repartition-stable)"),
+    Op("text_repetition", repetitionSignals, Some(repetitionSignalsSql),
+      "Gopher-style within-doc repetition signals: top-bigram + duplicated-trigram fractions"))
 }

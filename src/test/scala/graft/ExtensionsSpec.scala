@@ -458,4 +458,51 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(cc.length == 40 && cc.forall(_._2 == 1L))
   }
+
+  test("repetition signals flag constructed repetitive docs, not varied ones") {
+    import spark.implicits._
+    val d = Seq(
+      // one bigram repeated wall-to-wall: top_bigram_frac ≈ 1
+      (1L, Array.fill(30)("spam").mkString(" ")),
+      // repeated trigram block: dup_trigram_frac high, top bigram lower
+      (2L, Array.fill(10)("buy this now").mkString(" ")),
+      // all-distinct words: nothing repeats
+      (3L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      // too short for any gram
+      (4L, "one")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.repetitionSignalsOver(d)
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._4 && got(1L)._2 > 0.9)
+    assert(got(2L)._4 && got(2L)._3 > 0.9)
+    assert(!got(3L)._4 && got(3L)._2 < 0.1 && got(3L)._3 == 0.0)
+    assert(!got(4L)._4 && got(4L)._2 == 0.0 && got(4L)._3 == 0.0)
+  }
+
+  test("segment dedup drops cross-doc boilerplate, keeps order, survives empty docs") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one full segment
+    val d = Seq(
+      (1L, s"$boiler ${(1 to 10).map(i => s"x$i").mkString(" ")}"),
+      (2L, s"$boiler ${(1 to 10).map(i => s"y$i").mkString(" ")}"),
+      (3L, s"$boiler ${(1 to 10).map(i => s"z$i").mkString(" ")}"),
+      (4L, boiler), // only the hot segment: cleans to empty
+      (5L, "solo doc")).toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.segmentDedupOver(d)
+      .as[(Long, Int, Long, String)].collect().map(r => r._1 -> r).toMap
+    // boiler appears in 4 docs > segmentMaxDocs=2 → dropped everywhere
+    assert((1L to 4L).forall(i => got(i)._3 == got(i)._2 - 1))
+    assert(got(4L)._3 == 0L)
+    assert(got(5L)._3 == 1L && got(5L)._2 == 1)
+    // doc 1 cleans to exactly its unique tail, order preserved
+    val wantFp = d.sparkSession.range(1)
+      .select(graft.functions.TextFns.fastMd5(
+        lit((1 to 10).map(i => s"x$i").mkString(" "))))
+      .head.getString(0)
+    assert(got(1L)._4 == wantFp)
+    // empty-cleaned doc fingerprints the empty string
+    val emptyFp = d.sparkSession.range(1)
+      .select(graft.functions.TextFns.fastMd5(lit(""))).head.getString(0)
+    assert(got(4L)._4 == emptyFp)
+  }
 }
