@@ -205,6 +205,39 @@ object TextOps extends OpGroup {
        |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Deterministic STRATIFIED sampling: per-language Bernoulli rates via a
+  // salted content-id hash — downsample the dominant language, keep more
+  // of the rare ones (the corpus-rebalancing step of a training-data
+  // pipeline). Spark's `sampleBy` draws from the engine RNG, so the
+  // sample changes across reruns, engines, and repartitions; a hash of
+  // the doc id is stable under all three and under appends. The hash is
+  // SALTED with the op name so the sampling decision is independent of
+  // [[splitAssign]]'s train/eval hash (unsalted, the two thresholds
+  // would nest and the sample would correlate with the split). One
+  // narrow codegen'd filter, no shuffle, no state.
+  // ---------------------------------------------------------------------
+  /** lang → first-2-md5-hex ceiling: en 12.5% ("20"/"100"), rest 50%. */
+  val strataCeilings: Seq[(String, String)] = Seq(
+    "en" -> "20", "de" -> "80", "fr" -> "80", "es" -> "80", "zh" -> "80")
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(
+      fastMd5(concat(lit("strat|"), col("doc_id").cast("string"))), 1, 2)
+    val ceiling = strataCeilings.foldLeft(lit("00")) {
+      case (acc, (l, c)) => when(col("lang") === l, lit(c)).otherwise(acc)
+    }
+    docs(s, dir).filter(h < ceiling).select(col("doc_id"), col("lang"))
+  }
+
+  private val stratifiedSampleSql = {
+    val cases = strataCeilings
+      .map { case (l, c) => s"WHEN '$l' THEN '$c'" }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE substring(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 2) <
+       |  CASE lang $cases ELSE '00' END""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Within-document repetition signals (the Gopher-rules family): the
   // fraction of bigram occurrences taken by the single most frequent
   // bigram, and the fraction of trigram occurrences whose trigram repeats
@@ -311,5 +344,7 @@ object TextOps extends OpGroup {
     Op("text_split_assign", splitAssign, Some(splitAssignSql),
       "deterministic hash-based train/eval split (repartition-stable)"),
     Op("text_repetition", repetitionSignals, Some(repetitionSignalsSql),
-      "Gopher-style within-doc repetition signals: top-bigram + duplicated-trigram fractions"))
+      "Gopher-style within-doc repetition signals: top-bigram + duplicated-trigram fractions"),
+    Op("text_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
+      "deterministic per-language stratified sample via salted id hash"))
 }

@@ -284,6 +284,37 @@ object Warehouse extends OpGroup {
       |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
       |  AND ts < TIMESTAMP '2024-01-12 00:00:00'""".stripMargin
 
+  /** C3+ — DATE-PARTITIONED layout for partition pruning: events written
+    * `partitionBy(event_date)`, so a date filter never opens a
+    * non-matching partition's files — the directory-level complement to
+    * [[sortedLayoutScan]]'s row-group stats (a deployment uses BOTH:
+    * partition on the coarse key, sort within partitions on the fine
+    * one). Pruning happens at planning time from the filter alone
+    * (plan-tested: the scan carries PartitionFilters and lists only the
+    * two matching directories).
+    */
+  def partitionedLayoutScan(s: SparkSession, dir: String): DataFrame = {
+    val base = layerPath(dir, "part_events")
+    if (!new java.io.File(base).exists()) {
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"),
+          to_date(col("ts")).as("event_date"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(base)
+    }
+    s.read.parquet(base)
+      .filter(col("event_date").between(
+        lit("2024-01-10").cast("date"), lit("2024-01-11").cast("date")))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+  }
+
+  private val partitionedLayoutScanSql =
+    """SELECT COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-11'""".stripMargin
+
   /** Rolling-hash fingerprint via the custom codegen'd Expression. */
   def rollingHash(c: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
@@ -311,5 +342,8 @@ object Warehouse extends OpGroup {
     Op("s_bucketed_join", bucketedJoin, Some(bucketedJoinSql),
       "bucketBy co-located join: zero exchanges on either join side"),
     Op("s_sorted_layout", sortedLayoutScan, Some(sortedLayoutScanSql),
-      "time-sorted parquet layout: range scan prunes row groups on stats"))
+      "time-sorted parquet layout: range scan prunes row groups on stats"),
+    Op("s_partitioned_layout", partitionedLayoutScan,
+      Some(partitionedLayoutScanSql),
+      "date-partitioned parquet layout: filter prunes whole partitions at plan time"))
 }

@@ -354,6 +354,20 @@ class ExtensionsSpec extends AnyFunSuite {
     // (min-max row-group skipping rides on the pushed predicate)
     val sl = c("s_sorted_layout")
     assert(sl("pushedFilterScans") >= 1, s"s_sorted_layout: $sl")
+    // partitioned layout: the date filter prunes at PLAN time — the scan
+    // carries PartitionFilters and lists only the 2 matching directories
+    val pl = SparkEntry.queries("s_partitioned_layout")(spark, dir)
+    val plPlan = pl.queryExecution.executedPlan.toString
+    assert(plPlan.contains("PartitionFilters: [") &&
+      plPlan.contains("event_date"), plPlan.take(2000))
+    // pre-AQE plan: AdaptiveSparkPlanExec is itself a leaf, hiding the scan
+    val scanned = pl.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(p => java.time.LocalDate.ofEpochDay(p.values.getInt(0).toLong)
+            .toString).distinct.sorted
+    }.flatten
+    assert(scanned == Seq("2024-01-10", "2024-01-11"), scanned.toString)
   }
 
   test("approx-distinct raw path keeps the single-shuffle sketch shape") {
