@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def groups: Seq[OpGroup] =
-    Seq(Relational, Joins, graft.etl.Pipeline, TextOps, DedupOps,
+    Seq(Relational, Joins, CdcMerge, graft.etl.Pipeline, TextOps, DedupOps,
       SimilarityOps, Curate, graft.multimodal.Multimodal,
       graft.streaming.Sessionize, graft.sources.Warehouse)
 

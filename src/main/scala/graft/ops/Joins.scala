@@ -373,7 +373,67 @@ object Joins extends OpGroup {
       |FROM events e ASOF LEFT JOIN s
       |  ON e.user_id = s.s_user AND e.ts >= s.s_ts""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // J11+ — runtime BLOOM-FILTER semi-join reduction: the selective dim
+  // filter (urgent orders) is turned into a bloom filter that pre-filters
+  // the fact scan BEFORE its shuffle, so non-matching fact rows never
+  // enter the exchange. At 100 TB this is the difference between
+  // shuffling the whole fact table and shuffling the ~20% that can
+  // match; false positives are removed by the exact join, so the result
+  // is identical to the plain join (the oracle). Spark's optimizer
+  // injects the filter (InjectRuntimeFilter → BloomFilterAggregate +
+  // might_contain) when the creation side is small and filtered and the
+  // join shuffles.
+  //
+  // The bloom confs live on a CLONED session (`newSession`: own conf,
+  // shared context) because injection happens at optimization time —
+  // i.e. when the caller executes the returned frame, long after a
+  // set/restore wrapper would have restored them — and the
+  // zeroed application-side threshold must never leak into other
+  // queries' plans. At production scale the default thresholds (10 GB
+  // scan) trigger by themselves; zeroing is harness-scale-only.
+  // ---------------------------------------------------------------------
+  def runtimeBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val bs = bloomSessions.computeIfAbsent(s, s => {
+      import org.apache.spark.sql.internal.SQLConf
+      val n = s.newSession()
+      n.conf.set(SQLConf.RUNTIME_BLOOM_FILTER_ENABLED.key, "true")
+      n.conf.set(SQLConf
+        .RUNTIME_BLOOM_FILTER_APPLICATION_SIDE_SCAN_SIZE_THRESHOLD.key, "0")
+      // the rule treats a join as shuffle-join by SIZE, not by hint — at
+      // harness scale the dim side is broadcast-able, which would veto
+      // injection, so broadcast-by-size is off here (the 100 TB shape)
+      n.conf.set(SQLConf.AUTO_BROADCASTJOIN_THRESHOLD.key, "-1")
+      // partition count mirrors the parent session (newSession resets it)
+      n.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      n
+    })
+    val urgent = Tables.load(bs, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val items = Tables.load(bs, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    // merge hint: the shuffle-join scenario is the one the bloom serves
+    // (a broadcast join already filters on the stream side for free)
+    items.hint("merge").join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_qty"))
+  }
+
+  private val bloomSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private val runtimeBloomJoinSql =
+    """SELECT COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("j11_runtime_bloom_join", runtimeBloomJoin, Some(runtimeBloomJoinSql),
+      "bloom-filter semi-join reduction: fact rows pre-filtered before the shuffle"),
     Op("asof_last_signup", asofLastSignup, Some(asofLastSignupSql),
       "point-in-time join via custom AsOfJoinExec (LogicalPlan+Strategy+SparkPlan)"),
     Op("j1_left_join_conformed_key", leftJoinConformedKey, Some(leftJoinConformedKeySql),

@@ -473,6 +473,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cc.length == 40 && cc.forall(_._2 == 1L))
   }
 
+  test("runtime bloom join injects the semi-join reduction filter") {
+    val df = SparkEntry.queries("j11_runtime_bloom_join")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+      plan.take(3000))
+    // and the cloned-session conf must not leak into the main session
+    assert(spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .forall(_ != "0"))
+  }
+
+  test("cdc merge: latest-wins compaction drives insert/update/delete/carry-over") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (9L, "z", 90.0)).toDF("k", "name", "bal")
+    val feed = Seq(
+      (1L, 1L, "upsert", 11.0), (1L, 2L, "upsert", 12.0), // update ×2 → 12
+      (2L, 3L, "delete", 0.0), // delete
+      (4L, 4L, "upsert", 40.0), // insert
+      (5L, 5L, "delete", 0.0), // unmatched delete: no-op
+      (3L, 6L, "delete", 0.0), (3L, 7L, "upsert", 33.0) // delete superseded
+    ).toDF("fk", "seq", "op", "v")
+    val got = graft.ops.CdcMerge.merge(snap, feed, "k", "fk", Seq(col("seq")),
+      col("op") === "delete",
+      Map("name" -> coalesce(col("name"), lit("(new)")), "bal" -> col("v")))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", 12.0), (3L, "c", 33.0),
+      (4L, "(new)", 40.0), (9L, "z", 90.0)))
+  }
+
   test("repetition signals flag constructed repetitive docs, not varied ones") {
     import spark.implicits._
     val d = Seq(
