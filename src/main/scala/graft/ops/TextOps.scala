@@ -315,6 +315,54 @@ object TextOps extends OpGroup {
        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // TF-IDF top terms per document — the relevance-weighting step of a
+  // retrieval / keyword-extraction pipeline. Weight = tf × (N+1)/(df+1):
+  // the RATIONAL idf (no ln) ranks identically to log-idf (x ↦ ln is
+  // monotone, and ln would differ between libm implementations in the
+  // last ulp, breaking the cross-engine hash); +1 smoothing keeps
+  // corpus-wide terms finite. The expression is written with the same
+  // association on both engines, so every double op is IEEE-identical.
+  //
+  // Plan shape: explode → (doc_id, term) hash-agg (tf) → term hash-agg
+  // (df, reused by the join's partitioning) → doc_id window for the
+  // top-k cut. Corpus size N joins as a broadcast 1-row aggregate, not a
+  // driver-side collect. Heavy terms are exactly the high-df ones, so
+  // the term shuffle has no meaningful skew.
+  // ---------------------------------------------------------------------
+  val tfidfTopK = 3
+
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val w = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("weight",
+        col("tf") * (col("n") + lit(1.0)) / (col("df") + lit(1.0)))
+    import org.apache.spark.sql.expressions.Window
+    w.withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("weight").desc, col("term").asc)))
+      .filter(col("rnk") <= tfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("weight"),
+        col("rnk"))
+  }
+
+  private val tfidfTopTermsSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |w AS (SELECT doc_id, tf.term, tf, tf * (n + 1.0) / (df + 1.0) AS weight
+       |      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+       |SELECT doc_id, term, tf, weight, rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY weight DESC, term ASC) AS rnk FROM w) r
+       |WHERE rnk <= $tfidfTopK""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Document fingerprint: md5 over normalized text.
   // ---------------------------------------------------------------------
   def fingerprints(s: SparkSession, dir: String): DataFrame =
@@ -346,5 +394,7 @@ object TextOps extends OpGroup {
     Op("text_repetition", repetitionSignals, Some(repetitionSignalsSql),
       "Gopher-style within-doc repetition signals: top-bigram + duplicated-trigram fractions"),
     Op("text_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
-      "deterministic per-language stratified sample via salted id hash"))
+      "deterministic per-language stratified sample via salted id hash"),
+    Op("text_tfidf", tfidfTopTerms, Some(tfidfTopTermsSql),
+      "TF-IDF top terms per doc (rational idf: cross-engine-deterministic ranking)"))
 }
