@@ -315,6 +315,61 @@ object Warehouse extends OpGroup {
       |FROM events
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-11'""".stripMargin
 
+  /** Morton/Z-ORDER clustering: interleave the low 16 bits of two keys so
+    * sorting on the result co-locates rows that are close in EITHER
+    * dimension — the multi-column generalization of [[sortedLayoutScan]]'s
+    * single-dim sort. After a z-sorted write, every parquet row group has
+    * tight min-max stats on BOTH columns, so filters on either (or both)
+    * skip row groups; a single-column sort only prunes its leading column.
+    * Built from codegen'd bit functions (shift/and/or) — no UDF.
+    */
+  def zorder2(a: Column, b: Column): Column = {
+    def spread16(x: Column): Column = {
+      // classic bit-spread: 16 significant bits → every other bit of 32
+      val m = x.bitwiseAND(lit(0xFFFFL))
+      val s1 = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    shiftleft(spread16(a), 1).bitwiseOR(spread16(b))
+  }
+
+  /** Events written z-ordered on (day-of-range, user_id) and probed with
+    * a filter on BOTH dimensions. The z-keys are data-independent
+    * (calendar day; user id low bits), so the layout needs no stats pass
+    * and stays stable under appends — each new file z-sorts its own rows.
+    */
+  def zorderLayoutScan(s: SparkSession, dir: String): DataFrame = {
+    val base = layerPath(dir, "zorder_events")
+    if (!new java.io.File(base).exists()) {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      ev.withColumn("_z",
+          zorder2(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")),
+            col("user_id")))
+        .repartitionByRange(8, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+        .write.mode("overwrite").parquet(base)
+    }
+    s.read.parquet(base)
+      .filter(col("user_id") === 42 &&
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+  }
+
+  private val zorderLayoutScanSql =
+    """SELECT COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE user_id = 42
+      |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin
+
   /** Rolling-hash fingerprint via the custom codegen'd Expression. */
   def rollingHash(c: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
@@ -345,5 +400,7 @@ object Warehouse extends OpGroup {
       "time-sorted parquet layout: range scan prunes row groups on stats"),
     Op("s_partitioned_layout", partitionedLayoutScan,
       Some(partitionedLayoutScanSql),
-      "date-partitioned parquet layout: filter prunes whole partitions at plan time"))
+      "date-partitioned parquet layout: filter prunes whole partitions at plan time"),
+    Op("s_zorder_layout", zorderLayoutScan, Some(zorderLayoutScanSql),
+      "Morton z-order clustering: row-group skipping on two filter dimensions"))
 }

@@ -473,6 +473,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cc.length == 40 && cc.forall(_._2 == 1L))
   }
 
+  test("zorder2 interleaves bits like the reference Morton encoding") {
+    import spark.implicits._
+    def mortonRef(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16)
+        z |= ((a >> i) & 1L) << (2 * i + 1) | ((b >> i) & 1L) << (2 * i)
+      z
+    }
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (29L, 1499L),
+      (0xFFFFL, 0xFFFFL), (12345L, 54321L), (0x10000L + 7L, 3L)) // >16 bits masks
+    val got = pairs.toDF("a", "b")
+      .select(Warehouse.zorder2(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    assert(got.toSeq == pairs.map { case (a, b) =>
+      mortonRef(a & 0xFFFFL, b & 0xFFFFL) })
+    // locality: adjacent points differ in few low bits, far points in high
+    assert(mortonRef(1, 1) < mortonRef(2, 2) && mortonRef(2, 2) < mortonRef(16, 16))
+  }
+
   test("runtime bloom join injects the semi-join reduction filter") {
     val df = SparkEntry.queries("j11_runtime_bloom_join")(spark, dir)
     val plan = df.queryExecution.optimizedPlan.toString
