@@ -71,11 +71,42 @@ object Bench {
       catch { case _: Throwable => failed ::= name }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val fj = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"layer_build":$layerSec,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    def line(qs: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fj,"layer_build":${fmt(layerSec)},"sf":"$sfDir"}"""
+    // The harness that invokes this main captures only the LAST ~2000
+    // characters of output and parses the JSON line out of that window, so
+    // the line printed to stdout must stay well under 2000 bytes end to
+    // end. With 79 queries a full per-query map is ~2.2 KB and gets its
+    // head truncated (rounds 2-3 shipped unparseable). So: the complete
+    // breakdown goes to BENCH_FULL.json next to the build, and stdout gets
+    // one compact line — slowest queries first until a byte budget, the
+    // remainder folded into a single "rest" entry.
+    val full = results.toSeq.sortBy(-_._2)
+    val fullQs = full.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(line(fullQs)) finally w.close()
+    } catch { case _: Throwable => }
+    val budget = 1500 - line("{}").length
+    val sb = new StringBuilder
+    var restSum = 0.0
+    var restN = 0
+    full.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + fmt(v)
+      if (sb.length + entry.length + 1 <= budget) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(entry)
+      } else { restSum += v; restN += 1 }
+    }
+    if (restN > 0) {
+      if (sb.nonEmpty) sb.append(',')
+      sb.append("\"rest_of_" + restN + "\":" + fmt(restSum))
+    }
+    println(line("{" + sb.result() + "}"))
     spark.stop()
   }
 }
