@@ -431,9 +431,47 @@ object Joins extends OpGroup {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // J12 — salted skew JOIN (the join-side complement of a6's salted
+  // aggregation). A shuffle join on a power-law key sends every row of a
+  // hot key to one reducer; salting replicates the DIM side k ways
+  // (explode over 0..k-1) and routes each fact row to one replica by a
+  // deterministic per-row salt, so a hot key spreads over k reducers.
+  // The salt never escapes the join — results are identical to the plain
+  // join, which is exactly what the oracle runs. The merge hint keeps
+  // the plan in the shuffle-join regime the technique addresses (AQE
+  // would broadcast the dim at harness scale and the salt would test
+  // nothing); segment grouping after the join is the usual small agg.
+  // ---------------------------------------------------------------------
+  val joinSaltBuckets = 8
+
+  def saltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.load(s, dir, "events")
+      .withColumn("_salt", pmod(hash(col("event_id")), lit(joinSaltBuckets)))
+      .select(col("user_id"), col("value"), col("_salt"))
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(sequence(lit(0), lit(joinSaltBuckets - 1))).as("_salt"))
+    facts.hint("merge")
+      .join(dim, facts("user_id") === dim("c_custkey") &&
+        facts("_salt") === dim("_salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_value"))
+  }
+
+  private val saltedSkewJoinSql =
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("j11_runtime_bloom_join", runtimeBloomJoin, Some(runtimeBloomJoinSql),
       "bloom-filter semi-join reduction: fact rows pre-filtered before the shuffle"),
+    Op("j12_salted_skew_join", saltedSkewJoin, Some(saltedSkewJoinSql),
+      "salted shuffle join: dim replicated k ways, hot keys spread over k reducers"),
     Op("asof_last_signup", asofLastSignup, Some(asofLastSignupSql),
       "point-in-time join via custom AsOfJoinExec (LogicalPlan+Strategy+SparkPlan)"),
     Op("j1_left_join_conformed_key", leftJoinConformedKey, Some(leftJoinConformedKeySql),

@@ -496,6 +496,28 @@ object Relational extends OpGroup {
       |FROM orders GROUP BY ROLLUP(priority, status)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A9 — GROUP BY CUBE: every grouping-set combination (full detail, each
+  // one-dimension margin, grand total) in one pass. Same ExpandExec +
+  // single hash-agg plan family as ROLLUP — the expand factor is 2^dims
+  // instead of dims+1, so the shuffle carries 4× the rows here; at 100 TB
+  // prefer ROLLUP unless the cross-margins are genuinely consumed.
+  // ---------------------------------------------------------------------
+  def cubeReport(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"), col("o_totalprice"))
+      .cube(col("priority"), col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+
+  private val cubeReportSql =
+    """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE(priority, status)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A5/U1 — duplicate-PK detection: GROUP BY key HAVING COUNT(*)>1 in a
   // derived table + outer COUNT (QA.sql:124-176), one row per table.
   // ---------------------------------------------------------------------
@@ -553,5 +575,7 @@ object Relational extends OpGroup {
     Op("a7_pivot_events", pivotEvents, Some(pivotEventsSql),
       "PIVOT crosstab with explicit value list (one hash-agg, stable schema)"),
     Op("a8_rollup_report", rollupReport, Some(rollupReportSql),
-      "GROUP BY ROLLUP subtotals via grouping-set expand, one pass"))
+      "GROUP BY ROLLUP subtotals via grouping-set expand, one pass"),
+    Op("a9_cube_report", cubeReport, Some(cubeReportSql),
+      "GROUP BY CUBE cross-margins via grouping-set expand, one pass"))
 }

@@ -363,6 +363,85 @@ object TextOps extends OpGroup {
        |WHERE rnk <= $tfidfTopK""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Training-sequence packing: concatenate documents in a deterministic
+  // order and cut every `packCapacity` tokens — the GPT-style pretraining
+  // layout where token streams flow continuously and a document may
+  // straddle a sequence boundary. Packing is per (lang, shard) stratum:
+  // a single global running sum would serialize the corpus through one
+  // window partition, so the stream is hash-sharded first and each shard
+  // packs independently — at 100 TB raise the shard count and every
+  // stratum is still one bounded window partition. One shuffle on the
+  // stratum key; the running sum itself is a linear pass per partition.
+  // ---------------------------------------------------------------------
+  val packCapacity = 256
+  val packShards = 4
+
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seqFirst =
+      floor((col("cum_tokens") - col("n_tokens")) / lit(packCapacity.toDouble))
+    val seqLast = floor((col("cum_tokens") - 1) / lit(packCapacity.toDouble))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % packShards).as("shard"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        col("cum_tokens"),
+        seqFirst.as("seq_first"), seqLast.as("seq_last"),
+        (seqFirst =!= seqLast).as("crosses_boundary"))
+  }
+
+  private val packSequencesSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, doc_id % $packShards AS shard,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, shard, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM toks)
+       |SELECT doc_id, lang, shard, n_tokens, cum_tokens,
+       |  CAST(FLOOR((cum_tokens - n_tokens) / $packCapacity.0) AS BIGINT) AS seq_first,
+       |  CAST(FLOOR((cum_tokens - 1) / $packCapacity.0) AS BIGINT) AS seq_last,
+       |  CAST(FLOOR((cum_tokens - n_tokens) / $packCapacity.0) AS BIGINT)
+       |    <> CAST(FLOOR((cum_tokens - 1) / $packCapacity.0) AS BIGINT) AS crosses_boundary
+       |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Overlapping chunking (RAG / context-window prep): fixed-width char
+  // windows every `chunkStride` chars, so consecutive chunks overlap by
+  // width − stride. explode(sequence(...)) fans each doc out to its
+  // offsets inside one narrow codegen'd stage — no shuffle at all; chunk
+  // extraction is a per-row substring. Output size is a fixed multiple
+  // of the corpus (≈ len/stride rows per doc), the scale cost is the
+  // write, not the plan.
+  // ---------------------------------------------------------------------
+  val chunkWidth = 120
+  val chunkStride = 90
+
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)),
+          lit(chunkStride))).as("off"))
+      .select(col("doc_id"), col("off"),
+        floor(col("off") / lit(chunkStride.toDouble)).cast("int").as("chunk_idx"),
+        col("text").substr(col("off") + 1, lit(chunkWidth)).as("chunk"))
+
+  private val chunkOverlapSql =
+    s"""SELECT doc_id, CAST(off AS INT) AS off,
+       |  CAST(FLOOR(off / $chunkStride.0) AS INT) AS chunk_idx,
+       |  substr(text, CAST(off AS INT) + 1, $chunkWidth) AS chunk
+       |FROM (SELECT doc_id, text,
+       |        unnest(generate_series(0, greatest(length(text) - 1, 0), $chunkStride)) AS off
+       |      FROM documents) t""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Document fingerprint: md5 over normalized text.
   // ---------------------------------------------------------------------
   def fingerprints(s: SparkSession, dir: String): DataFrame =
@@ -396,5 +475,9 @@ object TextOps extends OpGroup {
     Op("text_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       "deterministic per-language stratified sample via salted id hash"),
     Op("text_tfidf", tfidfTopTerms, Some(tfidfTopTermsSql),
-      "TF-IDF top terms per doc (rational idf: cross-engine-deterministic ranking)"))
+      "TF-IDF top terms per doc (rational idf: cross-engine-deterministic ranking)"),
+    Op("text_pack_sequences", packSequences, Some(packSequencesSql),
+      "GPT-style sequence packing: sharded running token sums cut every capacity tokens"),
+    Op("text_chunk_overlap", chunkOverlap, Some(chunkOverlapSql),
+      "overlapping fixed-width chunking (RAG prep): explode over stride offsets, no shuffle"))
 }
