@@ -350,6 +350,27 @@ class ExtensionsSpec extends AnyFunSuite {
     val piv = c("a7_pivot_events")
     assert(piv("shuffles") == 2 && piv("broadcasts") == 0,
       s"a7_pivot_events: $piv")
+    // overlap chunking is a pure narrow stage: explode + substring, no
+    // exchange anywhere
+    val ch = c("text_chunk_overlap")
+    assert(ch("shuffles") == 0 && ch("broadcasts") == 0,
+      s"text_chunk_overlap: $ch")
+    // sequence packing: exactly the one stratum-key exchange feeding the
+    // running-sum window
+    val pk = c("text_pack_sequences")
+    assert(pk("shuffles") == 1, s"text_pack_sequences: $pk")
+    // salted skew join must stay in the shuffle-join regime (a broadcast
+    // would bypass the salt and test nothing): SMJ present, no broadcast
+    val sj = c("j12_salted_skew_join")
+    assert(sj("sortMergeJoins") >= 1 && sj("broadcasts") == 0,
+      s"j12_salted_skew_join: $sj")
+    assert(sj("shuffles") <= 3, s"j12_salted_skew_join: $sj")
+    // CUBE rides the same expand + single hash-agg plan family as ROLLUP
+    val cb = c("a9_cube_report")
+    assert(cb("shuffles") == 1, s"a9_cube_report: $cb")
+    assert(SparkEntry.queries("a9_cube_report")(spark, dir)
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "cube lost its grouping-set expand")
     // sorted layout: the time-range filter must reach the parquet scan
     // (min-max row-group skipping rides on the pushed predicate)
     val sl = c("s_sorted_layout")
@@ -567,5 +588,52 @@ class ExtensionsSpec extends AnyFunSuite {
     val emptyFp = d.sparkSession.range(1)
       .select(graft.functions.TextFns.fastMd5(lit(""))).head.getString(0)
     assert(got(4L)._4 == emptyFp)
+  }
+
+  test("sequence packing matches a per-stratum reference fold") {
+    import spark.implicits._
+    val got = graft.ops.TextOps.packSequences(spark, dir)
+      .select("lang", "shard", "doc_id", "n_tokens", "cum_tokens",
+        "seq_first", "seq_last", "crosses_boundary")
+      .as[(String, Long, Long, Int, Long, Long, Long, Boolean)].collect()
+    val c = graft.ops.TextOps.packCapacity
+    got.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._3).foreach {
+        case (_, _, _, n, cumGot, first, last, crosses) =>
+          // the running sum is the fold, and the cuts derive from it
+          assert(cumGot == cum + n)
+          assert(first == (cum / c) && last == (cum + n - 1) / c)
+          assert(crosses == (first != last))
+          // a doc never spans more sequences than its own length requires
+          assert(last - first <= n / c + 1)
+          cum += n
+      }
+    }
+    // packing is tight: each stratum uses exactly ceil(total/capacity)
+    // sequences (splitting leaves no internal gaps)
+    got.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      val total = rows.map(_._4.toLong).sum
+      assert(rows.map(_._7).max == (total - 1) / c)
+    }
+  }
+
+  test("overlapping chunks reassemble every document exactly") {
+    import spark.implicits._
+    val stride = graft.ops.TextOps.chunkStride
+    val chunks = graft.ops.TextOps.chunkOverlap(spark, dir)
+      .select("doc_id", "chunk_idx", "chunk")
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    texts.foreach { case (id, text) =>
+      val cs = chunks(id)
+      // stride-prefixes concatenate back to the text (overlap is real and
+      // consistent), and the final chunk carries the tail unclipped
+      assert(cs.map(_.take(stride)).mkString.take(text.length) == text)
+      assert(text.endsWith(cs.last))
+      assert(cs.size == (math.max(text.length - 1, 0) / stride) + 1)
+    }
   }
 }
