@@ -236,6 +236,48 @@ object DedupOps extends OpGroup {
        |SELECT doc_a, doc_b, jaccard FROM jaccard""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Edit-distance verification of the LSH candidates: exact Levenshtein
+  // over candidate pairs only — the character-level complement of the
+  // token-level Jaccard verify, catching transposition/typo near-dups a
+  // shingle set under-weights. Never all-pairs: the pair table is the
+  // banded, hot-bucket-capped LSH output, so the O(len²) distance runs
+  // on O(candidates), not O(N²). The near-dup flag uses the RELATIVE
+  // distance (dist / max len), the scale-free form of an edit threshold.
+  // ---------------------------------------------------------------------
+  val editNearDupRatio = 0.2
+
+  def editDistance(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(col("doc_id"), col("text"))
+    val a = t.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val ratio = round(col("edit_dist").cast("double") /
+      greatest(length(col("text_a")), length(col("text_b"))), 4)
+    minhashLsh(s, dir).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        ratio.as("edit_ratio"),
+        (ratio <= editNearDupRatio).as("near_dup"))
+  }
+
+  private val editDistanceSql =
+    s"""WITH $bandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands_capped a JOIN bands_capped b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |d AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    levenshtein(x.text, y.text) AS edit_dist,
+       |    round(CAST(levenshtein(x.text, y.text) AS DOUBLE)
+       |          / greatest(length(x.text), length(y.text)), 4) AS edit_ratio
+       |  FROM pairs p
+       |  JOIN documents x ON x.doc_id = p.doc_a
+       |  JOIN documents y ON y.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, CAST(edit_dist AS INT) AS edit_dist, edit_ratio,
+       |  edit_ratio <= $editNearDupRatio AS near_dup
+       |FROM d""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Transitive near-dup clustering: connected components over the
   // verified (jaccard >= threshold) pair graph, labels = component-min
   // doc_id. A one-pass "drop doc_b of each pair" rule misses chains
@@ -499,5 +541,7 @@ object DedupOps extends OpGroup {
     Op("dedup_simhash", simhash, Some(simhashSql),
       "SimHash 8-bit signatures from md5-hex projections"),
     Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql),
-      "3-gram Jaccard verification of LSH candidates"))
+      "3-gram Jaccard verification of LSH candidates"),
+    Op("dedup_edit_distance", editDistance, Some(editDistanceSql),
+      "exact Levenshtein verify over LSH candidates; relative-distance near-dup flag"))
 }
