@@ -153,9 +153,59 @@ object Multimodal extends OpGroup {
        |      END) AS resized_md5
        |FROM documents""".stripMargin
 
+  /** Windowed audio features: payload bytes as 8-bit PCM samples, framed
+    * into fixed non-overlapping windows; per-window integer sum/energy/
+    * peak (all-integer outputs — no float summation order to diverge).
+    * flatMap with data-dependent fan-out ≈ len/window — the audio analog
+    * of frame sampling; still no shuffle, the scale cost is output size.
+    */
+  val audioWindow = 64
+
+  case class AudioWindowRow(media_id: Long, kind: String, window_idx: Int,
+      n_samples: Int, sum_amp: Long, sum_sq: Long, peak_amp: Int)
+
+  object StubAudioCodec {
+    def windows(m: MediaRow, w: Int): Seq[AudioWindowRow] = {
+      val n = m.payload.length
+      (0 until (n + w - 1) / w).map { idx =>
+        val s = m.payload.slice(idx * w, math.min((idx + 1) * w, n))
+          .map(b => (b & 0xff).toLong)
+        AudioWindowRow(m.media_id, "audio", idx, s.length,
+          s.sum, s.map(x => x * x).sum,
+          if (s.isEmpty) 0 else s.max.toInt)
+      }
+    }
+  }
+
+  def audioEnergy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .flatMap(m => StubAudioCodec.windows(m, audioWindow))
+      .toDF()
+  }
+
+  private val audioEnergySql = {
+    val w = audioWindow
+    val rng = s"range(t.w * $w + 1, least((t.w + 1) * $w, len(text)) + 1)"
+    s"""SELECT doc_id AS media_id, 'audio' AS kind, CAST(t.w AS INT) AS window_idx,
+       |  CAST(least($w, len(text) - t.w * $w) AS INT) AS n_samples,
+       |  CAST(list_reduce(list_transform($rng,
+       |      i -> ascii(substring(text, i, 1))), (a, c) -> a + c) AS BIGINT) AS sum_amp,
+       |  CAST(list_reduce(list_transform($rng,
+       |      i -> ascii(substring(text, i, 1)) * ascii(substring(text, i, 1))),
+       |      (a, c) -> a + c) AS BIGINT) AS sum_sq,
+       |  CAST(list_reduce(list_transform($rng,
+       |      i -> ascii(substring(text, i, 1))), (a, c) -> greatest(a, c)) AS INT) AS peak_amp
+       |FROM (SELECT doc_id, text,
+       |        unnest(range(0, (len(text) + $w - 1) // $w)) AS w
+       |      FROM documents) t""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("mm_decode_features", decodeFeatures, Some(decodeFeaturesSql),
       "binary media decode stub via mapPartitions, oracle-verified"),
+    Op("mm_audio_energy", audioEnergy, Some(audioEnergySql),
+      "windowed 8-bit PCM energy/peak features (audio stub), all-integer outputs"),
     Op("mm_frame_sample", frameSample, Some(frameSampleSql),
       "fixed-offset frame sampling over binary payloads"),
     Op("mm_resize", resizeMedia, Some(resizeMediaSql),

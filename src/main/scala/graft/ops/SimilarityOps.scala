@@ -369,9 +369,52 @@ object SimilarityOps extends OpGroup {
        |  FROM sims) r
        |WHERE rank <= $lshTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Int8 scalar quantization: per-vector symmetric scale (max |x|), each
+  // element mapped to floor(x/scale·127 + 0.5) — 4× smaller vectors for
+  // the ANN index, the standard memory lever at 100 TB (dot products run
+  // on int8 with one final rescale). Narrow per-row map, no shuffle; the
+  // all-integer digest + sum keep the oracle comparison float-free
+  // (floor(·+0.5) is the one half-up rounding both engines define
+  // identically; element arithmetic is float→double, IEEE-identical).
+  // ---------------------------------------------------------------------
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val scale = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    val q = transform(col("embedding"), x =>
+      when(col("scale") === 0d, lit(0L))
+        .otherwise(floor(x.cast("double") / col("scale") * 127d + 0.5d)))
+    emb(s, dir)
+      .select(col("vec_id"), col("embedding"), scale.as("scale"))
+      .select(col("vec_id"), size(col("embedding")).as("n_dims"),
+        round(col("scale"), 6).as("scale_r"), q.as("q"))
+      .select(col("vec_id"), col("n_dims"), col("scale_r"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        graft.functions.TextFns.fastMd5(
+          concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
+  }
+
+  private val quantizeInt8Sql =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+      |    round(scale, 6) AS scale_r,
+      |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+      |      ELSE CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS BIGINT) END) AS q
+      |  FROM s)
+      |SELECT vec_id, n_dims, scale_r,
+      |  CAST(list_reduce(q, (a, x) -> a + x) AS BIGINT) AS q_sum,
+      |  md5(array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), ',')) AS q_md5
+      |FROM q""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("sim_cosine_topk", cosineTopK, Some(cosineTopKSql),
       "brute-force cosine top-k vs query vector (baseline)"),
+    Op("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql),
+      "per-vector symmetric int8 quantization (4x index compression), integer-verified"),
     Op("sim_ivf_neardup", (s, d) => ivfNearDup(s, d), Some(ivfNearDupSql),
       "IVF near-dup pair scan (k-means cells, see ivfCells)"),
     Op("sim_ivf_topk", ivfTopk, Some(ivfTopkSql),
