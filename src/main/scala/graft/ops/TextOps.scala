@@ -442,8 +442,33 @@ object TextOps extends OpGroup {
        |      FROM documents) t""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Document fingerprint: md5 over normalized text.
+  // Data-mixing plan: per-source token inventory + the sampling rate that
+  // hits a per-source token budget (rate = min(1, budget/tokens)) — the
+  // planning half of mixture construction; text_stratified_sample is the
+  // execution half. One map-side-combined hash-agg over the corpus; the
+  // result is one row per source, broadcast-sized at any corpus scale.
+  // Rates are rounded BEFORE the estimated-token product so both engines
+  // multiply the identical double.
   // ---------------------------------------------------------------------
+  val mixTokenBudget = 4000
+
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("rate",
+        round(least(lit(1.0), lit(mixTokenBudget.toDouble) / col("n_tokens")), 6))
+      .withColumn("est_tokens",
+        floor(col("rate") * col("n_tokens")).cast("long"))
+
+  private val mixtureWeightsSql =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+       |  round(least(1.0, $mixTokenBudget.0 / CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)), 6) AS rate,
+       |  CAST(FLOOR(round(least(1.0, $mixTokenBudget.0 / CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)), 6)
+       |    * CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)) AS BIGINT) AS est_tokens
+       |FROM documents GROUP BY source""".stripMargin
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
@@ -479,5 +504,7 @@ object TextOps extends OpGroup {
     Op("text_pack_sequences", packSequences, Some(packSequencesSql),
       "GPT-style sequence packing: sharded running token sums cut every capacity tokens"),
     Op("text_chunk_overlap", chunkOverlap, Some(chunkOverlapSql),
-      "overlapping fixed-width chunking (RAG prep): explode over stride offsets, no shuffle"))
+      "overlapping fixed-width chunking (RAG prep): explode over stride offsets, no shuffle"),
+    Op("text_mixture_weights", mixtureWeights, Some(mixtureWeightsSql),
+      "data-mixing plan: per-source token inventory + budget-hitting sampling rates"))
 }

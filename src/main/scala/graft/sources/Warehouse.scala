@@ -386,7 +386,53 @@ object Warehouse extends OpGroup {
       |    (a, c) -> (a * 31 + c) % 1000000007) AS BIGINT) AS rhash
       |FROM documents""".stripMargin
 
+  /** S-op — small-files compaction: the operational fix for streaming /
+    * CDC sinks that splinter a table into thousands of tiny files (each
+    * file costs a task + an open at scan time; 100 TB of 1 MB files is
+    * unschedulable). A deliberately fragmented copy of events (64
+    * splinter files) is rewritten into ceil(measured bytes / target)
+    * right-sized files — the file count comes from the layer's ACTUAL
+    * size, not a guessed constant. Content fidelity is enforced in-op by
+    * the same count + hash-sum signature as the format roundtrip; the
+    * returned aggregate is oracle-checked against the source table.
+    */
+  val compactTargetBytes: Long = 512L * 1024
+
+  def compaction(s: SparkSession, dir: String): DataFrame = {
+    val frag = layerPath(dir, "frag_events")
+    val comp = layerPath(dir, "compact_events")
+    val src = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    if (!new java.io.File(frag).exists())
+      src.repartition(64).write.mode("overwrite").parquet(frag)
+    if (!new java.io.File(comp).exists()) {
+      val bytes = Option(new java.io.File(frag).listFiles()).get
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val n = math.max(1L, (bytes + compactTargetBytes - 1)
+        / compactTargetBytes).toInt
+      val frg = s.read.parquet(frag)
+      frg.repartition(n).write.mode("overwrite").parquet(comp)
+      def sig(df: DataFrame): org.apache.spark.sql.Row = df.agg(
+        count(lit(1)),
+        sum(xxhash64(df.columns.map(col): _*)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      require(sig(s.read.parquet(comp)) == sig(frg),
+        "compaction changed table content")
+    }
+    s.read.parquet(comp).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+  }
+
+  private val compactionSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("s_compaction", compaction, Some(compactionSql),
+      "small-files compaction to measured-size-targeted files, hash-sum fidelity check"),
     Op("s_catalog_tables", catalogTables, Some(catalogTablesSql),
       "DWH.sql:215 SHOW TABLES via spark.catalog.listTables"),
     Op("fp_rolling_hash", rollingFingerprint, Some(rollingFingerprintSql),
