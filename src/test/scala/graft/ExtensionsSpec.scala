@@ -590,6 +590,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got(4L)._4 == emptyFp)
   }
 
+  test("compaction actually reduces the file count at the measured target") {
+    Warehouse.compaction(spark, dir).collect() // builds frag + compact layers
+    def parquetFiles(layer: String) =
+      Option(new java.io.File(Warehouse.layerPath(dir, layer)).listFiles())
+        .get.count(_.getName.endsWith(".parquet"))
+    val frag = parquetFiles("frag_events")
+    val comp = parquetFiles("compact_events")
+    assert(frag == 64, s"fragmented layer: $frag files")
+    // sf0.001 events are far under one 512 KiB target: one output file
+    assert(comp == 1, s"compacted layer: $comp files")
+  }
+
   test("sequence packing matches a per-stratum reference fold") {
     import spark.implicits._
     val got = graft.ops.TextOps.packSequences(spark, dir)
