@@ -41,25 +41,37 @@ object Bench {
     // numbers measure query cost instead of charging the whole build to
     // whichever query happens to touch the layer first.
     val tLayer = System.nanoTime()
+    // per-component build seconds on stderr (diagnostic only — the JSON
+    // stdout line must stay compact); concurrent components report their
+    // own span, so spans overlap and don't sum to the phase wall time
+    def timed[T](what: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"[bench] build $what: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
     try {
       // the DWH layer (and the stage layer under it) first — everything
       // else consumes it or the raw tables; then the three independent
       // builds run concurrently (Spark's scheduler interleaves their
       // jobs, so wall time ≈ the slowest, exactly how a deployment
       // schedules independent DDL jobs)
-      graft.etl.Dwh.materialized(spark, sfDir)
+      timed("dwh_layer")(graft.etl.Dwh.materialized(spark, sfDir))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       try Await.result(Future.sequence(Seq(
-        Future(graft.etl.Qa.report(spark, sfDir)),
-        Future(run(graft.sources.Warehouse.bucketedJoin(spark, sfDir))),
+        Future(timed("qa_report")(graft.etl.Qa.report(spark, sfDir))),
+        Future(timed("bucketed_ddl")(
+          run(graft.sources.Warehouse.bucketedJoin(spark, sfDir)))),
         // the IVF index (k-means cells) is the ANN equivalent of the
         // bucketed tables: built once, probed by every retrieval query
-        Future(graft.ops.SimilarityOps.ivfCells(spark, sfDir).count()),
-        Future(run(graft.sources.Warehouse.sortedLayoutScan(spark, sfDir))))),
+        Future(timed("ivf_cells")(
+          graft.ops.SimilarityOps.ivfCells(spark, sfDir).count())),
+        Future(timed("sorted_layout")(
+          run(graft.sources.Warehouse.sortedLayoutScan(spark, sfDir)))))),
         Duration.Inf)
       finally pool.shutdown()
     } catch { case _: Throwable => }
