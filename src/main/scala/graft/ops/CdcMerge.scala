@@ -75,7 +75,7 @@ object CdcMerge extends OpGroup {
         "c_acctbal" -> col("value")))
   }
 
-  private val cdcUpsertSql =
+  private[graft] val cdcUpsertSql =
     s"""WITH latest AS (
        |  SELECT user_id, event_type, value FROM (
        |    SELECT user_id, event_type, value,

@@ -337,7 +337,97 @@ object Sessionize extends OpGroup {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Incremental CDC apply: the change feed arrives as MICRO-BATCHES and
+    * each one merges into a persisted snapshot via foreachBatch — the
+    * streaming form of [[graft.ops.CdcMerge]]'s batch MERGE, and the way
+    * a 100 TB warehouse actually ingests updates (re-running the batch
+    * merge over the full feed every trigger would be quadratic).
+    *
+    * Two mechanisms make the incremental fixpoint equal the batch result
+    * under ANY batch arrival order:
+    *  - VERSION GUARD: the snapshot stores the applied (ts, event_id) per
+    *    key; a change only wins if its version is strictly newer, so a
+    *    stale change arriving in a later micro-batch is a no-op.
+    *  - TOMBSTONES: a delete flags the row (retaining its columns)
+    *    instead of dropping it; a physically-dropped row would make a
+    *    late stale update look like an insert. Deleted rows filter out at
+    *    read time; a deployment vacuums tombstones past the feed horizon.
+    *
+    * Each micro-batch costs one key-shuffled merge over snapshot+batch
+    * (snapshot bucketed on the key at scale ⇒ one exchange); the batch
+    * fan-in is bounded by maxFilesPerTrigger. The fixpoint is verified
+    * against the SAME DuckDB oracle as the batch merge (m7_cdc_upsert).
+    */
+  def streamingCdcApply(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s) {
+      import graft.sources.Warehouse.layerPath
+      val root = layerPath(dir, "cdc_stream")
+      val feedDir = s"$root/feed"
+      if (!new java.io.File(feedDir).exists()) {
+        // pre-split the feed into 4 ts-range files => 4 micro-batches
+        Tables.load(s, dir, "events")
+          .filter(col("event_type").isin("signup", "purchase", "error"))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(feedDir)
+      }
+      val snap0 = s"$root/snap_seed"
+      Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 75)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit(Long.MinValue).as("_vts"), lit(Long.MinValue).as("_vid"),
+          lit(false).as("_del"))
+        .write.mode("overwrite").parquet(snap0)
+      var cur = snap0
+      val schema = s.read.parquet(feedDir).schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+      val q = feed.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty) {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("ts").desc, col("event_id").desc)
+            val latest = batch
+              .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+              .select(col("user_id"), unix_micros(col("ts")).as("_bts"),
+                col("event_id").as("_bid"), col("event_type"), col("value"))
+            val snap = s.read.parquet(cur)
+            val j = snap.join(latest, snap("c_custkey") === latest("user_id"),
+              "full_outer")
+            val newer = latest("user_id").isNotNull &&
+              (snap("c_custkey").isNull ||
+                col("_bts") > col("_vts") ||
+                (col("_bts") === col("_vts") && col("_bid") > col("_vid")))
+            val next = j.select(
+              coalesce(latest("user_id"), snap("c_custkey")).as("c_custkey"),
+              when(newer, coalesce(snap("c_name"), lit("(new)")))
+                .otherwise(snap("c_name")).as("c_name"),
+              when(newer, latest("value"))
+                .otherwise(snap("c_acctbal")).as("c_acctbal"),
+              when(newer, col("_bts")).otherwise(col("_vts")).as("_vts"),
+              when(newer, col("_bid")).otherwise(col("_vid")).as("_vid"),
+              when(newer, col("event_type") === "error")
+                .otherwise(coalesce(col("_del"), lit(false))).as("_del"))
+            val nextPath = s"$root/snap_$id"
+            next.write.mode("overwrite").parquet(nextPath)
+            cur = nextPath
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt_${System.nanoTime()}")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.read.parquet(cur).filter(!col("_del"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }
+
   override val ops: Seq[Op] = Seq(
+    Op("stream_cdc_apply", streamingCdcApply,
+      Some(graft.ops.CdcMerge.cdcUpsertSql),
+      "incremental CDC via foreachBatch: version-guarded, tombstoned merges; fixpoint = batch MERGE"),
     Op("stream_sessionize", sessionizeBatch, Some(sessionizeBatchSql),
       "30-min-gap sessionization (typed Dataset; streaming twin in sessionizeStream)"),
     Op("stream_hourly_window", hourlyWindowed, Some(hourlyWindowedSql),

@@ -590,6 +590,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got(4L)._4 == emptyFp)
   }
 
+  test("streaming CDC applies the feed across genuine micro-batches") {
+    val out = Sessionize.streamingCdcApply(spark, dir)
+    // fixpoint equals the batch MERGE exactly
+    val batch = graft.ops.CdcMerge.cdcUpsert(spark, dir)
+    assert(out.count() == batch.count())
+    assert(out.exceptAll(batch).count() == 0)
+    // and it got there incrementally: one snapshot per non-empty
+    // micro-batch (feed pre-split into 4 files, maxFilesPerTrigger=1)
+    val root = new java.io.File(Warehouse.layerPath(dir, "cdc_stream"))
+    val snaps = root.listFiles().map(_.getName)
+      .count(n => n.startsWith("snap_") && n != "snap_seed")
+    assert(snaps == 4, s"expected 4 per-batch snapshots, got $snaps")
+  }
+
   test("compaction actually reduces the file count at the measured target") {
     Warehouse.compaction(spark, dir).collect() // builds frag + compact layers
     def parquetFiles(layer: String) =
