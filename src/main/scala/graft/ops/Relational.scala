@@ -518,6 +518,37 @@ object Relational extends OpGroup {
       |FROM orders GROUP BY CUBE(priority, status)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // W4 — ranking/distribution window suite: ntile, percent_rank,
+  // cume_dist, lag over one per-status window. All four share a single
+  // (partition, order) pair, so Catalyst plans ONE exchange + ONE sort
+  // and evaluates the functions in the same WindowExec pass. The order
+  // is made TOTAL with the unique key tie-break — rank-family outputs on
+  // a non-total order are engine-dependent under ties, the same
+  // determinism rule every other window op here follows.
+  // ---------------------------------------------------------------------
+  def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+  }
+
+  private val windowSuiteSql =
+    """SELECT o_orderkey, o_orderstatus AS status, o_totalprice,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  lag(o_totalprice, 1) OVER w AS prev_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A5/U1 — duplicate-PK detection: GROUP BY key HAVING COUNT(*)>1 in a
   // derived table + outer COUNT (QA.sql:124-176), one row per table.
   // ---------------------------------------------------------------------
@@ -577,5 +608,7 @@ object Relational extends OpGroup {
     Op("a8_rollup_report", rollupReport, Some(rollupReportSql),
       "GROUP BY ROLLUP subtotals via grouping-set expand, one pass"),
     Op("a9_cube_report", cubeReport, Some(cubeReportSql),
-      "GROUP BY CUBE cross-margins via grouping-set expand, one pass"))
+      "GROUP BY CUBE cross-margins via grouping-set expand, one pass"),
+    Op("w4_window_suite", windowSuite, Some(windowSuiteSql),
+      "ntile/percent_rank/cume_dist/lag in ONE window pass over a total order"))
 }
