@@ -365,6 +365,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sj("sortMergeJoins") >= 1 && sj("broadcasts") == 0,
       s"j12_salted_skew_join: $sj")
     assert(sj("shuffles") <= 3, s"j12_salted_skew_join: $sj")
+    // the four ranking/distribution functions share one exchange + sort
+    val ws = c("w4_window_suite")
+    assert(ws("shuffles") == 1, s"w4_window_suite: $ws")
     // CUBE rides the same expand + single hash-agg plan family as ROLLUP
     val cb = c("a9_cube_report")
     assert(cb("shuffles") == 1, s"a9_cube_report: $cb")
@@ -588,6 +591,25 @@ class ExtensionsSpec extends AnyFunSuite {
     val emptyFp = d.sparkSession.range(1)
       .select(graft.functions.TextFns.fastMd5(lit(""))).head.getString(0)
     assert(got(4L)._4 == emptyFp)
+  }
+
+  test("int8 quantization reconstructs within half a step per element") {
+    import spark.implicits._
+    val rows = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    rows.foreach { case (_, emb) =>
+      val scale = emb.map(x => math.abs(x.toDouble)).max
+      if (scale > 0) {
+        val step = scale / 127.0
+        emb.foreach { x =>
+          val q = math.floor(x / scale * 127.0 + 0.5)
+          assert(math.abs(q * step - x) <= step / 2 + 1e-9,
+            s"x=$x q=$q scale=$scale")
+          assert(q >= -128 && q <= 127, s"q=$q out of int8 range")
+        }
+      }
+    }
   }
 
   test("streaming CDC applies the feed across genuine micro-batches") {
