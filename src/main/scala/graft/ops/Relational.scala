@@ -518,6 +518,34 @@ object Relational extends OpGroup {
       |FROM orders GROUP BY CUBE(priority, status)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // P9 — semi-structured extraction: the JSON payload column parsed with
+  // an explicit schema (`from_json`), not regex. Schema-on-read is the
+  // warehouse norm for event payloads: ONE typed parse per row inside
+  // codegen (vs one regex scan per referenced field), malformed rows
+  // surface as NULLs instead of corrupting downstream casts, and the
+  // projected struct prunes to the referenced fields. The aggregate
+  // proves the extracted values flow into normal relational ops.
+  // ---------------------------------------------------------------------
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val payload = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", IntegerType)))
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), payload).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_parsed"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
+  private val jsonExtractSql =
+    """SELECT event_type, COUNT(k) AS n_parsed,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events) t
+      |GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // W4 — ranking/distribution window suite: ntile, percent_rank,
   // cume_dist, lag over one per-status window. All four share a single
   // (partition, order) pair, so Catalyst plans ONE exchange + ONE sort
@@ -610,5 +638,7 @@ object Relational extends OpGroup {
     Op("a9_cube_report", cubeReport, Some(cubeReportSql),
       "GROUP BY CUBE cross-margins via grouping-set expand, one pass"),
     Op("w4_window_suite", windowSuite, Some(windowSuiteSql),
-      "ntile/percent_rank/cume_dist/lag in ONE window pass over a total order"))
+      "ntile/percent_rank/cume_dist/lag in ONE window pass over a total order"),
+    Op("p9_json_extract", jsonExtract, Some(jsonExtractSql),
+      "schema-on-read JSON payload extraction (from_json) feeding a relational agg"))
 }
