@@ -546,6 +546,27 @@ object Relational extends OpGroup {
       |GROUP BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // U3 — set operators beyond UNION: INTERSECT / EXCEPT with SQL set
+  // (distinct) semantics. Catalyst plans both as distinct-mode joins
+  // (left-semi / left-anti over aggregated sides) — hash-partitioned on
+  // the compared columns, so cohort algebra like this scales exactly as
+  // a join does; no sort, no driver set.
+  // ---------------------------------------------------------------------
+  def setOpsCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    def ids(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"))
+    ids("purchase").intersect(ids("signup")).except(ids("error"))
+  }
+
+  private val setOpsCohortSql =
+    """(SELECT user_id FROM events WHERE event_type = 'purchase'
+      | INTERSECT
+      | SELECT user_id FROM events WHERE event_type = 'signup')
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin
+
+  // ---------------------------------------------------------------------
   // W4 — ranking/distribution window suite: ntile, percent_rank,
   // cume_dist, lag over one per-status window. All four share a single
   // (partition, order) pair, so Catalyst plans ONE exchange + ONE sort
@@ -640,5 +661,7 @@ object Relational extends OpGroup {
     Op("w4_window_suite", windowSuite, Some(windowSuiteSql),
       "ntile/percent_rank/cume_dist/lag in ONE window pass over a total order"),
     Op("p9_json_extract", jsonExtract, Some(jsonExtractSql),
-      "schema-on-read JSON payload extraction (from_json) feeding a relational agg"))
+      "schema-on-read JSON payload extraction (from_json) feeding a relational agg"),
+    Op("u3_set_ops_cohort", setOpsCohort, Some(setOpsCohortSql),
+      "INTERSECT/EXCEPT cohort algebra (distinct-mode semi/anti join plans)"))
 }
