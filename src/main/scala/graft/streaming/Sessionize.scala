@@ -424,7 +424,78 @@ object Sessionize extends OpGroup {
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     }
 
+  /** Incremental AGGREGATE maintenance: a running per-user (count, sum)
+    * table updated by merging each micro-batch's partial aggregate — the
+    * materialized-view-maintenance pattern for totals too large/too hot
+    * to recompute per trigger. Contrast with [[streamingCdcApply]]: sums
+    * and counts are COMMUTATIVE, so no version guard or tombstone is
+    * needed — any batch arrival order folds to the same fixpoint, which
+    * is why additive metrics are the easiest thing to maintain
+    * incrementally at 100 TB. Each trigger costs one partial agg over
+    * the batch plus one key-shuffled outer merge with the running table;
+    * the running table's sums use a DECIMAL accumulator so the fold
+    * order cannot perturb a float result.
+    */
+  def streamingAggMaintain(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s) {
+      import graft.sources.Warehouse.layerPath
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val root = layerPath(dir, "agg_stream")
+      val feedDir = s"$root/feed"
+      if (!new java.io.File(feedDir).exists()) {
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+          .repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(feedDir)
+      }
+      var cur: Option[String] = None
+      val schema = s.read.parquet(feedDir).schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+      val q = feed.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty) {
+            val part = batch.groupBy(col("user_id"))
+              .agg(count(lit(1)).as("b_n"),
+                sum(col("value").cast(DecimalType(18, 2))).as("b_sum"))
+            val next = cur match {
+              case None => part.select(col("user_id"), col("b_n").as("n_events"),
+                col("b_sum").as("sum_value"))
+              case Some(p) =>
+                val run = s.read.parquet(p)
+                run.join(part, run("user_id") === part("user_id"), "full_outer")
+                  .select(
+                    coalesce(run("user_id"), part("user_id")).as("user_id"),
+                    (coalesce(col("n_events"), lit(0L)) +
+                      coalesce(col("b_n"), lit(0L))).as("n_events"),
+                    (coalesce(col("sum_value"), lit(0).cast(DecimalType(18, 2))) +
+                      coalesce(col("b_sum"), lit(0).cast(DecimalType(18, 2))))
+                      .cast(DecimalType(18, 2)).as("sum_value"))
+            }
+            val nextPath = s"$root/agg_$id"
+            next.write.mode("overwrite").parquet(nextPath)
+            cur = Some(nextPath)
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt_${System.nanoTime()}")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.read.parquet(cur.get)
+        .select(col("user_id"), col("n_events"),
+          col("sum_value").cast(DoubleType).as("sum_value"))
+    }
+
+  private val streamingAggMaintainSql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY user_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("stream_agg_maintain", streamingAggMaintain,
+      Some(streamingAggMaintainSql),
+      "incremental aggregate maintenance: commutative per-batch merges, decimal accumulator"),
     Op("stream_cdc_apply", streamingCdcApply,
       Some(graft.ops.CdcMerge.cdcUpsertSql),
       "incremental CDC via foreachBatch: version-guarded, tombstoned merges; fixpoint = batch MERGE"),
