@@ -368,6 +368,10 @@ class ExtensionsSpec extends AnyFunSuite {
     // the four ranking/distribution functions share one exchange + sort
     val ws = c("w4_window_suite")
     assert(ws("shuffles") == 1, s"w4_window_suite: $ws")
+    // schema-on-read JSON: one typed parse feeding one hash-agg shuffle
+    val js = c("p9_json_extract")
+    assert(js("shuffles") == 1 && js("sortMergeJoins") == 0,
+      s"p9_json_extract: $js")
     // CUBE rides the same expand + single hash-agg plan family as ROLLUP
     val cb = c("a9_cube_report")
     assert(cb("shuffles") == 1, s"a9_cube_report: $cb")
@@ -624,6 +628,20 @@ class ExtensionsSpec extends AnyFunSuite {
     val snaps = root.listFiles().map(_.getName)
       .count(n => n.startsWith("snap_") && n != "snap_seed")
     assert(snaps == 4, s"expected 4 per-batch snapshots, got $snaps")
+  }
+
+  test("aggregate maintenance folds micro-batch partials to the batch total") {
+    val out = Sessionize.streamingAggMaintain(spark, dir)
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+    assert(out.count() == batch.count())
+    assert(out.exceptAll(batch).count() == 0)
+    val root = new java.io.File(Warehouse.layerPath(dir, "agg_stream"))
+    val snaps = root.listFiles().map(_.getName).count(_.startsWith("agg_"))
+    assert(snaps == 4, s"expected 4 per-batch aggregate snapshots, got $snaps")
   }
 
   test("compaction actually reduces the file count at the measured target") {
