@@ -554,17 +554,22 @@ object Relational extends OpGroup {
   // ---------------------------------------------------------------------
   def setOpsCohort(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
-    def ids(t: String) =
-      ev.filter(col("event_type") === t).select(col("user_id"))
-    ids("purchase").intersect(ids("signup")).except(ids("error"))
+    // Value thresholds make the three branches genuinely different user
+    // sets (the synthetic corpus gives every user every event_type, so a
+    // type-only cohort is vacuously empty at any SF).
+    def ids(t: String, minValue: Double) =
+      ev.filter(col("event_type") === t && col("value") > minValue)
+        .select(col("user_id"))
+    ids("purchase", 150d).intersect(ids("signup", 0d))
+      .except(ids("error", 300d))
   }
 
   private val setOpsCohortSql =
-    """(SELECT user_id FROM events WHERE event_type = 'purchase'
+    """(SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
       | INTERSECT
-      | SELECT user_id FROM events WHERE event_type = 'signup')
+      | SELECT user_id FROM events WHERE event_type = 'signup' AND value > 0)
       |EXCEPT
-      |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin
+      |SELECT user_id FROM events WHERE event_type = 'error' AND value > 300""".stripMargin
 
   // ---------------------------------------------------------------------
   // W4 — ranking/distribution window suite: ntile, percent_rank,

@@ -167,11 +167,16 @@ object AsOfJoinStrategy extends SparkStrategy {
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` — the
-  * injection path for sessions the library owns.
+  * injection path for sessions the library owns. Installs the as-of
+  * planner strategy and the custom expressions as SQL functions
+  * ([[GraftFunctions]]), so the full surface is available from session
+  * construction.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    GraftFunctions.all.foreach(e.injectFunction)
+  }
 }
 
 /** DataFrame-level API. Installs the strategy into the session's

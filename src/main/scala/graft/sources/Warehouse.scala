@@ -430,7 +430,38 @@ object Warehouse extends OpGroup {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** SQL-function surface: the library's custom codegen expressions
+    * (fast_md5 / rolling_hash / dot_product) called purely through
+    * `spark.sql`, resolved via the registry [[graft.plans.GraftFunctions]]
+    * installs (same descriptions [[graft.plans.GraftExtensions]] injects
+    * at session build). Proves a SQL-only consumer — the reference's user
+    * profile — reaches the whole custom surface with no DataFrame code.
+    */
+  def sqlFunctions(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    Tables.load(s, dir, "documents").createOrReplaceTempView("graft_fn_docs")
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("graft_fn_emb")
+    s.sql(
+      """SELECT d.doc_id, fast_md5(d.text) AS md5_hex,
+        |  rolling_hash(d.text) AS rhash,
+        |  round(dot_product(e.embedding, e.embedding), 6) AS norm2
+        |FROM graft_fn_docs d JOIN graft_fn_emb e ON e.vec_id = d.doc_id
+        |""".stripMargin)
+  }
+
+  private val sqlFunctionsSql =
+    """SELECT d.doc_id, md5(d.text) AS md5_hex,
+      |  CAST(list_reduce(list_transform(range(1, len(d.text) + 1),
+      |    i -> CAST(ascii(substring(d.text, i, 1)) AS BIGINT)),
+      |    (a, c) -> (a * 31 + c) % 1000000007) AS BIGINT) AS rhash,
+      |  round(list_reduce(list_transform(range(1, 65),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+      |    (acc, v) -> acc + v), 6) AS norm2
+      |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("s_sql_functions", sqlFunctions, Some(sqlFunctionsSql),
+      "custom codegen expressions on the pure-SQL surface (registry injection)"),
     Op("s_compaction", compaction, Some(compactionSql),
       "small-files compaction to measured-size-targeted files, hash-sum fidelity check"),
     Op("s_catalog_tables", catalogTables, Some(catalogTablesSql),

@@ -11,6 +11,15 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The session's function registry (`sessionState` is `private[sql]`);
+    * lets [[graft.plans.GraftFunctions]] register the custom expressions
+    * as SQL functions on sessions built WITHOUT `withExtensions` — e.g.
+    * the driver's.
+    */
+  def functionRegistry(spark: SparkSession)
+      : catalyst.analysis.FunctionRegistry =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+
   def ofRows(spark: SparkSession,
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)

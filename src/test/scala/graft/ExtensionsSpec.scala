@@ -56,6 +56,34 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions injects the SQL functions at session build") {
+    // A second SparkSession over the SAME SparkContext, built through the
+    // withExtensions path (getOrCreate would return the active session and
+    // skip injection, so clear it first).
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne spark)
+      val row = s2.sql(
+        """SELECT fast_md5('abc') AS h, rolling_hash('abc') AS r,
+          |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d
+          |""".stripMargin).head
+      assert(row.getString(0) == "900150983cd24fb0d6963f7d28e17f72")
+      assert(row.getLong(1) == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+      assert(row.getDouble(2) == 11.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("warehouse layer write/read roundtrip with partitioned fact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val layer = graft.etl.Stage.build(spark, dir)
