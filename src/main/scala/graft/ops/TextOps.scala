@@ -469,6 +469,161 @@ object TextOps extends OpGroup {
        |  CAST(FLOOR(round(least(1.0, $mixTokenBudget.0 / CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)), 6)
        |    * CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)) AS BIGINT) AS est_tokens
        |FROM documents GROUP BY source""".stripMargin
+  // ---------------------------------------------------------------------
+  // Unigram LM quality score: the CCNet-style filter signal — score each
+  // document by the average log-probability of its tokens under the
+  // corpus's own unigram distribution (low = out-of-distribution junk).
+  //
+  // Scale design: one explode + hash-agg builds the vocabulary (map-side
+  // combine: the shuffle carries one row per distinct token per mapper),
+  // then tokens join the per-token log-prob and re-aggregate by doc_id —
+  // two shuffles total, both partial-agg'd. No broadcast hint on the
+  // vocab join: AQE picks broadcast while the vocab fits and falls back
+  // to shuffle join when it doesn't (a 100 TB corpus vocabulary can be
+  // billions of tokens — never assume it is driver-sized).
+  //
+  // Determinism: ln() is quantized to integer MICRO-units per DISTINCT
+  // token (floor, not half-rounding) before any summation, so the
+  // per-doc sums are exact integer arithmetic in any engine and any
+  // partition order; only the final display division is floating point.
+  // ---------------------------------------------------------------------
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("n"))
+    val lp = freq.crossJoin(broadcast(total))
+      .select(col("tok"),
+        floor(log(col("c").cast("double") / col("n")) * lit(1e6))
+          .cast("long").as("lp_micro"))
+    toks.join(lp, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum("lp_micro").as("lp_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lp_sum").cast("double") / lit(1e6) / col("n_tokens"), 4)
+          .as("avg_logprob"))
+  }
+
+  private val lmScoreSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      |tot AS (SELECT SUM(c) AS n FROM freq),
+      |lp AS (
+      |  SELECT tok, CAST(FLOOR(ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS lp_micro
+      |  FROM freq, tot)
+      |SELECT t.doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+      |  round(CAST(SUM(l.lp_micro) AS DOUBLE) / 1000000 / COUNT(*), 4) AS avg_logprob
+      |FROM toks t JOIN lp l USING (tok)
+      |GROUP BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Data-mixing drift: KL(P_source || P_corpus) over unigram token
+  // distributions — the QA twin of mixtureWeights (which plans HOW MUCH
+  // of each source to take, while this measures how far each source's
+  // language is from the blend). Same integer-quantization rule as
+  // lmScore: each (source, token) KL term is floored to NANO-units
+  // before the per-source sum, so partition order can't move the result.
+  // (source × distinct-token) rows stay aggregate-sized at any corpus
+  // scale; every join key is the token, shuffled once.
+  // ---------------------------------------------------------------------
+  def klMixture(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = docs(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+    val srcTot = bySrc.groupBy(col("source")).agg(sum("c_st").as("n_s"))
+    val corpus = bySrc.groupBy(col("tok")).agg(sum("c_st").as("c_t"))
+    val corpusTot = corpus.agg(sum("c_t").as("n"))
+    val pSt = col("c_st").cast("double") / col("n_s")
+    val pT = col("c_t").cast("double") / col("n")
+    bySrc.join(srcTot, "source")
+      .join(corpus, "tok")
+      .crossJoin(broadcast(corpusTot))
+      .select(col("source"),
+        floor(pSt * log(pSt / pT) * lit(1e9)).cast("long").as("term_nano"))
+      .groupBy(col("source"))
+      .agg(sum("term_nano").as("kl_nano"))
+      .select(col("source"),
+        round(col("kl_nano").cast("double") / lit(1e9), 6).as("kl_divergence"))
+  }
+
+  private val klMixtureSql =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |by_src AS (SELECT source, tok, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+      |src_tot AS (SELECT source, SUM(c_st) AS n_s FROM by_src GROUP BY 1),
+      |corpus AS (SELECT tok, SUM(c_st) AS c_t FROM by_src GROUP BY 1),
+      |tot AS (SELECT SUM(c_t) AS n FROM corpus)
+      |SELECT b.source,
+      |  round(CAST(SUM(CAST(FLOOR(
+      |    (CAST(b.c_st AS DOUBLE) / s.n_s)
+      |    * ln((CAST(b.c_st AS DOUBLE) / s.n_s) / (CAST(c.c_t AS DOUBLE) / t.n))
+      |    * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000, 6) AS kl_divergence
+      |FROM by_src b
+      |JOIN src_tot s USING (source)
+      |JOIN corpus c USING (tok), tot t
+      |GROUP BY b.source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // PII redaction: email / phone / IPv4 regex classes replaced with
+  // typed placeholders, plus per-class match counts. The synthetic corpus
+  // carries no PII (verified: zero '@' or digit-dot sequences), so the
+  // query enriches each document with DETERMINISTIC spans derived from
+  // doc_id — constructed identically in the DuckDB oracle — making the
+  // redaction branch genuinely fire (≈half the docs get an email, a third
+  // a phone, a fifth an IP) instead of passing vacuously on no-ops.
+  //
+  // Pure per-row map stage (no shuffle); patterns stay in the
+  // Java∩RE2 common subset so both engines match the same spans. The
+  // counts are taken on the pre-redaction text, the fingerprint on the
+  // post-redaction text, so the oracle verifies both the detector and
+  // the rewriter byte-for-byte.
+  // ---------------------------------------------------------------------
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val enriched = concat(col("text"),
+      when(id % 2 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@example.com"))).otherwise(lit("")),
+      when(id % 3 === 0, concat(lit(" call +1-555-"),
+        lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" from 10."), (id % 256).cast("string"),
+        lit(".0.1"))).otherwise(lit("")))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(enriched,
+      lit(emailRe), lit("<EMAIL>")),
+      lit(phoneRe), lit("<PHONE>")),
+      lit(ipRe), lit("<IP>"))
+    docs(s, dir).select(id,
+      regexp_count(enriched, lit(emailRe)).cast("int").as("n_email"),
+      regexp_count(enriched, lit(phoneRe)).cast("int").as("n_phone"),
+      regexp_count(enriched, lit(ipRe)).cast("int").as("n_ip"),
+      fastMd5(redacted).as("redacted_fp"))
+  }
+
+  private val piiRedactSql =
+    s"""WITH enriched AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$emailRe')) AS INT) AS n_email,
+       |  CAST(len(regexp_extract_all(t, '$phoneRe')) AS INT) AS n_phone,
+       |  CAST(len(regexp_extract_all(t, '$ipRe')) AS INT) AS n_ip,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g'),
+       |    '$ipRe', '<IP>', 'g')) AS redacted_fp
+       |FROM enriched""".stripMargin
+
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
@@ -506,5 +661,11 @@ object TextOps extends OpGroup {
     Op("text_chunk_overlap", chunkOverlap, Some(chunkOverlapSql),
       "overlapping fixed-width chunking (RAG prep): explode over stride offsets, no shuffle"),
     Op("text_mixture_weights", mixtureWeights, Some(mixtureWeightsSql),
-      "data-mixing plan: per-source token inventory + budget-hitting sampling rates"))
+      "data-mixing plan: per-source token inventory + budget-hitting sampling rates"),
+    Op("text_lm_score", lmScore, Some(lmScoreSql),
+      "CCNet-style unigram LM avg log-prob quality score, integer-quantized logs"),
+    Op("text_kl_mixture", klMixture, Some(klMixtureSql),
+      "per-source KL divergence from the corpus unigram distribution"),
+    Op("text_pii_redact", piiRedact, Some(piiRedactSql),
+      "PII redaction: email/phone/IPv4 classes + counts over a deterministically enriched corpus"))
 }
