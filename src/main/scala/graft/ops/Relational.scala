@@ -625,7 +625,83 @@ object Relational extends OpGroup {
        |  (SELECT COUNT(*) FROM (SELECT $key FROM $n GROUP BY $key HAVING COUNT(*) > 1) d) AS dup_keys""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  // ---------------------------------------------------------------------
+  // A10 — sketch-table rollup: the OLAP pre-aggregation pattern for
+  // distinct counts at 100 TB. Per-group HLL sketches (DataSketches,
+  // `hll_sketch_agg`) are MATERIALIZED once as a tiny parquet table
+  // (binary sketch column); every later rollup — here the corpus-wide
+  // distinct-user count — merges sketches (`hll_union_agg`) WITHOUT
+  // rescanning the fact. Distinct counts don't sum across groups; this
+  // is the standard answer (pre-agg tables in the reference, DWH.sql's
+  // agg_disorders CTAS, generalized to non-additive measures).
+  // Verified like a1_agg_approx: exact counts ride along to judge each
+  // estimate (|est − exact| ≤ max(2, 5%·exact); at these cardinalities
+  // the sketch is exact-by-construction), the oracle asserts TRUE.
+  // ---------------------------------------------------------------------
+  def sketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Warehouse.layerPath(dir, "user_sketches")
+    if (!new java.io.File(path).exists())
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .write.mode("overwrite").parquet(path)
+    val sketches = s.read.parquet(path)
+    val perType = sketches.select(col("event_type"), col("exact_users"),
+      hll_sketch_estimate(col("sk")).as("est"))
+    // Rollup reads ONLY the sketch table; the exact twin (events rescan)
+    // exists to judge the estimate, not on the production path.
+    val total = sketches
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .crossJoin(Tables.load(s, dir, "events")
+        .agg(countDistinct(col("user_id")).as("exact_users")))
+      .select(lit("TOTAL").as("event_type"), col("exact_users"), col("est"))
+    perType.unionByName(total)
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          greatest(lit(2), col("exact_users") * lit(0.05)))
+          .as("within_bounds"))
+  }
+
+  private val sketchRollupSql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |       TRUE AS within_bounds
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT 'TOTAL', COUNT(DISTINCT user_id), TRUE FROM events""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A11 — deterministic per-group k-sample via the custom
+  // TypedImperativeAggregate [[graft.expressions.BottomKByHash]]: k
+  // smallest-md5 values per group, map-side-combined to ≤ k rows per
+  // mapper before the shuffle (see the expression's scaladoc for why
+  // this beats the row_number window at scale). The DuckDB oracle
+  // reproduces the identical sample with an ORDER BY md5 window.
+  // ---------------------------------------------------------------------
+  val sampleK = 5
+
+  def groupSample(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(graft.expressions.BottomKByHash
+        .sample(col("doc_id").cast("string"), sampleK).as("sample_ids"))
+
+  private val groupSampleSql =
+    s"""SELECT source, list(id ORDER BY h, id) AS sample_ids
+       |FROM (
+       |  SELECT source, CAST(doc_id AS VARCHAR) AS id,
+       |         md5(CAST(doc_id AS VARCHAR)) AS h,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+       |  FROM documents) t
+       |WHERE rn <= $sampleK
+       |GROUP BY source""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("a10_sketch_rollup", sketchRollup, Some(sketchRollupSql),
+      "HLL sketch-table rollup: distinct counts merged from persisted sketches, no fact rescan"),
+    Op("a11_group_sample", groupSample, Some(groupSampleSql),
+      "deterministic per-group k-sample via custom TypedImperativeAggregate (bottom-k-by-md5)"),
     Op("a1_agg_per_admission", aggPerAdmission, Some(aggPerAdmissionSql),
       "DWH.sql:203-210 pre-aggregation: COUNT(*) + 2x COUNT(DISTINCT) per admission"),
     Op("a1_agg_approx", aggPerAdmissionApprox, Some(aggPerAdmissionApproxSql),

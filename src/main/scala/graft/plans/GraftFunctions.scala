@@ -1,9 +1,10 @@
 package graft.plans
 
-import graft.expressions.{DotProduct, FastMd5, RollingHash}
+import graft.expressions.{BottomKByHash, DotProduct, FastMd5, RollingHash}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SQL-surface registration for the library's native Catalyst
   * expressions, so a pure-SQL consumer (the reference's user profile —
@@ -53,7 +54,17 @@ object GraftFunctions {
       one("rolling_hash")(RollingHash.apply)),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      two("dot_product")(DotProduct.apply)))
+      two("dot_product")(DotProduct.apply)),
+    (FunctionIdentifier("bottom_k_by_hash"),
+      new ExpressionInfo(classOf[BottomKByHash].getName, "bottom_k_by_hash"),
+      {
+        // k must be a literal: it sizes the aggregation buffer at plan
+        // time (the analyzer wraps the bare AggregateFunction).
+        case Seq(c, Literal(k: Int, IntegerType)) => BottomKByHash(c, k)
+        case args => throw new IllegalArgumentException(
+          "bottom_k_by_hash expects (value, k literal int), got " +
+            args.mkString(", "))
+      }))
 
   /** Idempotent post-hoc registration on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -84,6 +84,35 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bottom-k-by-hash aggregate: partition-invariant and window-equivalent") {
+    import graft.expressions.BottomKByHash
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id").cast("string").as("id"))
+    def sample(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("source")).agg(BottomKByHash.sample(col("id"), 5).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // merge path: 16 partitions exercise partial buffers + merge; the
+    // result must be identical to the single-partition run
+    val one = sample(d.repartition(1))
+    val many = sample(d.repartition(16))
+    assert(one == many)
+    // window equivalent (the shape the aggregate replaces at scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("id"))
+    val viaWindow = d.withColumn("h", md5(col("id")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy(col("source")).agg(sort_array(collect_list(col("id"))).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).sorted).toMap
+    assert(one.map { case (k, v) => k -> v.sorted } == viaWindow)
+    // SQL surface: same aggregate through the registered function
+    graft.plans.GraftFunctions.register(spark)
+    d.createOrReplaceTempView("bkh_docs")
+    val viaSql = spark.sql(
+      "SELECT source, bottom_k_by_hash(id, 5) AS s FROM bkh_docs GROUP BY source")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaSql == one)
+  }
+
   test("warehouse layer write/read roundtrip with partitioned fact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val layer = graft.etl.Stage.build(spark, dir)
