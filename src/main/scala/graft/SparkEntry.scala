@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def groups: Seq[OpGroup] =
     Seq(Relational, Joins, CdcMerge, graft.etl.Pipeline, TextOps, DedupOps,
-      SimilarityOps, Curate, graft.multimodal.Multimodal,
+      SimilarityOps, Curate, TimeSeriesOps, graft.multimodal.Multimodal,
       graft.streaming.Sessionize, graft.sources.Warehouse)
 
   private lazy val allOps: Seq[Op] = {

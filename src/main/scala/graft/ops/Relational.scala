@@ -474,6 +474,43 @@ object Relational extends OpGroup {
   }
 
   // ---------------------------------------------------------------------
+  // A12 — UNPIVOT (melt): the inverse of A7, turning a wide per-nation
+  // metrics row into (nation, metric, value) long form — the shape every
+  // metrics store / plotting layer wants. Spark's native `unpivot` plans
+  // an Expand: a NARROW per-row multiply by #metrics, zero shuffle after
+  // the (broadcast-sized) wide table is built, so the long-form conversion
+  // costs nothing extra at any scale. The wide build itself is two
+  // count aggregations joined to the 25-row nation dim.
+  // ---------------------------------------------------------------------
+  def unpivotReport(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(s, dir, "nation")
+    val cust = Tables.load(s, dir, "customer")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("customers"))
+    val sup = Tables.load(s, dir, "supplier")
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("suppliers"))
+    val wide = nation
+      .join(cust, col("n_nationkey") === col("c_nationkey"), "left")
+      .join(sup, col("n_nationkey") === col("s_nationkey"), "left")
+      .select(col("n_name"),
+        coalesce(col("customers"), lit(0L)).as("customers"),
+        coalesce(col("suppliers"), lit(0L)).as("suppliers"))
+    wide.unpivot(Array(col("n_name")),
+      Array(col("customers"), col("suppliers")), "metric", "value")
+  }
+
+  private val unpivotReportSql =
+    """WITH wide AS (
+      |  SELECT n_name,
+      |    COALESCE(c.cnt, 0) AS customers, COALESCE(s.cnt, 0) AS suppliers
+      |  FROM nation n
+      |  LEFT JOIN (SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY 1) c
+      |    ON n.n_nationkey = c.c_nationkey
+      |  LEFT JOIN (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY 1) s
+      |    ON n.n_nationkey = s.s_nationkey)
+      |SELECT n_name, metric, value
+      |FROM wide UNPIVOT (value FOR metric IN (customers, suppliers))""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A8 — GROUP BY ROLLUP: subtotal + grand-total rows in one pass, the
   // BI report staple. Spark expands the grouping sets inside a single
   // aggregation (ExpandExec multiplies rows by the number of levels, then
@@ -735,6 +772,8 @@ object Relational extends OpGroup {
       "salted two-phase aggregation over a 3-value skewed key"),
     Op("a7_pivot_events", pivotEvents, Some(pivotEventsSql),
       "PIVOT crosstab with explicit value list (one hash-agg, stable schema)"),
+    Op("a12_unpivot", unpivotReport, Some(unpivotReportSql),
+      "UNPIVOT wide metrics to long form (narrow Expand, zero shuffle)"),
     Op("a8_rollup_report", rollupReport, Some(rollupReportSql),
       "GROUP BY ROLLUP subtotals via grouping-set expand, one pass"),
     Op("a9_cube_report", cubeReport, Some(cubeReportSql),

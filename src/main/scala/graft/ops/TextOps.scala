@@ -624,6 +624,100 @@ object TextOps extends OpGroup {
        |    '$ipRe', '<IP>', 'g')) AS redacted_fp
        |FROM enriched""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Vocabulary encoding: map each document's token stream to an id array
+  // against a frequency-ranked vocab (id 1 = most frequent; OOV → 0) —
+  // the tokenize→ids step of a training-data pipeline. The vocab cut is
+  // sized so the OOV path is exercised at test scale (corpus has 31
+  // distinct tokens, V=25 leaves 6 out-of-vocabulary).
+  //
+  // Plan shape: vocab = one explode + hash-agg + TakeOrdered(V); the rank
+  // window then runs on a SINGLE partition of ≤V rows (bounded by
+  // construction — V is a config, not data-dependent). Encoding is a
+  // BROADCAST left join of the posexploded token stream against the
+  // vocab, then one doc_id hash-agg whose collect_list is made
+  // deterministic by sorting on the carried position before projecting
+  // ids. One shuffle total (back to doc grain); the token stream itself
+  // never shuffles on the token.
+  // ---------------------------------------------------------------------
+  val vocabV = 25
+
+  def vocabEncode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, dir).select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(vocabV)
+      .select(col("term"), row_number()
+        .over(Window.orderBy(col("n").desc, col("term").asc))
+        .cast("int").as("id"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(0)))
+      .groupBy(col("doc_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid")).as("token_ids"),
+        sum(when(col("id").isNull, 1).otherwise(0)).cast("int").as("n_oov"))
+  }
+
+  private val vocabEncodeSql =
+    s"""WITH darr AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+       |  FROM documents),
+       |idx AS (SELECT doc_id, arr,
+       |          UNNEST(generate_series(1, len(arr))) AS pos FROM darr),
+       |toks AS (SELECT doc_id, pos, arr[pos] AS term FROM idx),
+       |vocab AS (
+       |  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS INT) AS id
+       |  FROM (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1) f
+       |  ORDER BY n DESC, term ASC LIMIT $vocabV)
+       |SELECT doc_id, list(COALESCE(v.id, 0) ORDER BY pos) AS token_ids,
+       |       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS INT) AS n_oov
+       |FROM toks LEFT JOIN vocab v USING (term)
+       |GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Robust outlier filter: per-language median/MAD z-score over document
+  // length — the quality gate that drops truncated fragments and
+  // concatenation blobs without letting the outliers themselves move the
+  // cut point (mean/stddev would; median/MAD don't). The 2.0 cut is a
+  // parameter, chosen so both branches fire at test scale (max |z| on
+  // this corpus is 2.73).
+  //
+  // Plan shape: two grouped EXACT medians (languages are a bounded set,
+  // so each agg shuffles to ~|langs| groups) broadcast back to the corpus
+  // scan — the fact itself never shuffles. At 100 TB swap
+  // median → percentile_approx exactly as text_quantiles_approx does; the
+  // shape is unchanged. mad=0 (over half the group identical) yields NULL
+  // z and a non-outlier flag rather than ±inf.
+  // ---------------------------------------------------------------------
+  val outlierZCut = 2.0
+
+  def outlierDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val med = d.groupBy(col("lang")).agg(median(col("n_chars")).as("med"))
+    val mad = d.join(broadcast(med), "lang").groupBy(col("lang"))
+      .agg(median(abs(col("n_chars") - col("med"))).as("mad"))
+    val z = (col("n_chars") - col("med")) / col("mad")
+    d.join(broadcast(med), "lang").join(broadcast(mad), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        when(col("mad") === 0, lit(null)).otherwise(round(z, 4))
+          .as("robust_z"),
+        when(col("mad") === 0, lit(false)).otherwise(abs(z) > outlierZCut)
+          .as("outlier"))
+  }
+
+  private val outlierDocsSql =
+    s"""WITH m AS (SELECT lang, median(n_chars) AS med FROM documents GROUP BY 1),
+       |md AS (SELECT d.lang, median(abs(n_chars - med)) AS mad
+       |       FROM documents d JOIN m USING (lang) GROUP BY 1)
+       |SELECT doc_id, d.lang, n_chars,
+       |  CASE WHEN mad = 0 THEN NULL
+       |       ELSE round((n_chars - med) / mad, 4) END AS robust_z,
+       |  CASE WHEN mad = 0 THEN FALSE
+       |       ELSE abs((n_chars - med) / mad) > $outlierZCut END AS outlier
+       |FROM documents d JOIN m USING (lang) JOIN md USING (lang)""".stripMargin
+
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
@@ -667,5 +761,9 @@ object TextOps extends OpGroup {
     Op("text_kl_mixture", klMixture, Some(klMixtureSql),
       "per-source KL divergence from the corpus unigram distribution"),
     Op("text_pii_redact", piiRedact, Some(piiRedactSql),
-      "PII redaction: email/phone/IPv4 classes + counts over a deterministically enriched corpus"))
+      "PII redaction: email/phone/IPv4 classes + counts over a deterministically enriched corpus"),
+    Op("text_vocab_encode", vocabEncode, Some(vocabEncodeSql),
+      "token→id encoding against a frequency-ranked vocab (broadcast join, OOV→0)"),
+    Op("text_outlier_docs", outlierDocs, Some(outlierDocsSql),
+      "robust per-language outlier filter: median/MAD z-score over doc length"))
 }

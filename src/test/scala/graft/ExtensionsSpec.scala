@@ -759,4 +759,71 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(cs.size == (math.max(text.length - 1, 0) / stride) + 1)
     }
   }
+
+  test("gap fill matches an independent driver-side forward-fold") {
+    import spark.implicits._
+    // Independent reference: fold each user's (day → last event value) map
+    // across the day span, carrying the previous close through gaps.
+    val raw = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("d"),
+        unix_micros(col("ts")), col("event_id"), col("value"))
+      .as[(Long, String, Long, Long, Double)].collect()
+    val expected = raw.groupBy(_._1).flatMap { case (uid, evs) =>
+      val close = evs.groupBy(_._2).view.mapValues(
+        _.maxBy(e => (e._3, e._4))._5).toMap
+      val days = close.keys.toSeq.sorted
+      val d0 = java.time.LocalDate.parse(days.head)
+      val d1 = java.time.LocalDate.parse(days.last)
+      Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .scanLeft(("", Option.empty[Double], false)) { case ((_, prev, _), day) =>
+          val obs = close.get(day.toString)
+          (day.toString, obs.orElse(prev), obs.isDefined)
+        }.drop(1).map { case (day, v, obs) => (uid, day) -> ((v, obs)) }
+    }.toMap
+    val got = graft.ops.TimeSeriesOps.gapFill(spark, dir)
+      .select(col("user_id"), col("d").cast("string"), col("filled_value"),
+        col("observed"))
+      .as[(Long, String, Option[Double], Boolean)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (uid, day, v, obs) =>
+      val (ev, eobs) = expected((uid, day))
+      assert(v == ev && obs == eobs, s"user $uid day $day: got ($v,$obs), expected ($ev,$eobs)")
+    }
+  }
+
+  test("vocab encoding decodes back to the original in-vocab token stream") {
+    import spark.implicits._
+    val enc = graft.ops.TextOps.vocabEncode(spark, dir)
+      .as[(Long, Seq[Int], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // rebuild the inverse vocab exactly as the op defines it
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val freq = texts.flatMap(_._2.trim.split("\\s+")).groupBy(identity)
+      .view.mapValues(_.length).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(graft.ops.TextOps.vocabV)
+    val id2tok = freq.zipWithIndex.map { case ((t, _), i) => (i + 1) -> t }.toMap
+    texts.foreach { case (docId, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val (ids, nOov) = enc(docId)
+      assert(ids.length == toks.length, s"doc $docId length")
+      assert(nOov == ids.count(_ == 0), s"doc $docId oov count")
+      ids.zip(toks).foreach { case (id, tok) =>
+        if (id == 0) assert(!id2tok.values.toSet.contains(tok))
+        else assert(id2tok(id) == tok, s"doc $docId decode mismatch")
+      }
+    }
+  }
+
+  test("unpivot is the exact inverse of pivoting back") {
+    val long = graft.ops.Relational.unpivotReport(spark, dir)
+    val back = long.groupBy("n_name").pivot("metric", Seq("customers", "suppliers"))
+      .agg(first("value"))
+    val wideAgain = back.select(col("n_name"), col("customers"), col("suppliers"))
+    // 2 metrics per nation, and the pivot round-trip loses nothing
+    assert(long.count() == wideAgain.count() * 2)
+    val nations = Tables.load(spark, dir, "nation").count()
+    assert(wideAgain.count() == nations)
+    val c = Tables.load(spark, dir, "customer").count()
+    assert(wideAgain.agg(sum("customers")).head.getLong(0) == c)
+  }
 }
