@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def groups: Seq[OpGroup] =
     Seq(Relational, Joins, CdcMerge, graft.etl.Pipeline, TextOps, DedupOps,
-      SimilarityOps, Curate, TimeSeriesOps, graft.multimodal.Multimodal,
+      SimilarityOps, Curate, TimeSeriesOps, ProfileOps,
+      graft.multimodal.Multimodal,
       graft.streaming.Sessionize, graft.sources.Warehouse)
 
   private lazy val allOps: Seq[Op] = {

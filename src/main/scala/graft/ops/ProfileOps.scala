@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators — the `ANALYZE`-shaped pass a warehouse runs
+  * at ingest to drive everything downstream (join-strategy choice, filter
+  * cut points, partition sizing, dirty-data triage). The reference's QA
+  * script approximates this with hand-written per-table checks
+  * (QA.sql:13-176); these two ops generalize it.
+  *
+  * Scale shape: `s_profile_columns` is ONE aggregation pass over the
+  * table — every per-column statistic (null count, distinct count,
+  * min/max) rides the same scan, map-side-combined before the single
+  * shuffle (the multiple COUNT(DISTINCT)s plan as one Expand, the
+  * standard Spark shape — the expand factor is per-ROW cost, never a
+  * second scan of the source). `s_histogram` is a two-column scan +
+  * one hash-agg on a derived bucket key. Neither sorts anything.
+  */
+object ProfileOps extends OpGroup {
+
+  // ---------------------------------------------------------------------
+  // One-pass column profile of `orders`: per column — null count, exact
+  // distinct count, numeric min/max (as DOUBLE) and lexicographic
+  // min/max for strings/timestamps (as VARCHAR). Numeric and string
+  // ranges live in separate typed columns: cross-engine numeric→string
+  // FORMATTING (Java "1.0E7" vs DuckDB "10000000.0") never enters the
+  // comparison, only values in each engine's native type do.
+  // ---------------------------------------------------------------------
+  private val profiled: Seq[(String, Boolean)] = Seq( // (column, isNumeric)
+    ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
+    ("o_totalprice", true), ("o_orderdate", false),
+    ("o_orderpriority", false))
+
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val entries: Seq[Column] = profiled.map { case (c, isNum) =>
+      val (minNum, maxNum) =
+        if (isNum) (min(col(c)).cast("double"), max(col(c)).cast("double"))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      val (minStr, maxStr) =
+        if (isNum) (lit(null).cast("string"), lit(null).cast("string"))
+        else (min(col(c)).cast("string"), max(col(c)).cast("string"))
+      struct(
+        lit(c).as("column_name"),
+        sum(col(c).isNull.cast("long")).as("null_count"),
+        countDistinct(col(c)).as("distinct_count"),
+        minNum.as("min_num"), maxNum.as("max_num"),
+        minStr.as("min_str"), maxStr.as("max_str"))
+    }
+    Tables.load(s, dir, "orders")
+      .agg(array(entries.head +: entries.tail: _*).as("profile"))
+      .select(explode(col("profile")).as("p"))
+      .select(col("p.*"))
+  }
+
+  private val profileColumnsSql = profiled.map { case (c, isNum) =>
+    val (minNum, maxNum) =
+      if (isNum) (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)")
+      else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+    val (minStr, maxStr) =
+      if (isNum) ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      else (s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+    s"""SELECT '$c' AS column_name,
+       |  COUNT(*) - COUNT($c) AS null_count,
+       |  COUNT(DISTINCT $c) AS distinct_count,
+       |  $minNum AS min_num, $maxNum AS max_num,
+       |  $minStr AS min_str, $maxStr AS max_str
+       |FROM orders""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  // ---------------------------------------------------------------------
+  // Equi-width histogram of o_totalprice: fixed [0, 600k) domain in 20
+  // buckets of 30k. The bounds are LITERALS (fed from the profile pass
+  // above in a real deployment) so the histogram stays a single pass —
+  // a data-dependent min/max would force a second scan. Same floor
+  // arithmetic on both engines; empty buckets are absent (sparse form).
+  // ---------------------------------------------------------------------
+  private val bucketWidth = 30000
+
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select((floor(col("o_totalprice") / bucketWidth)).cast("int")
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"),
+        (col("bucket") * bucketWidth).cast("double").as("lo"),
+        ((col("bucket") + 1) * bucketWidth).cast("double").as("hi"),
+        col("cnt"))
+
+  private val histogramSql =
+    s"""SELECT bucket,
+       |  CAST(bucket * $bucketWidth AS DOUBLE) AS lo,
+       |  CAST((bucket + 1) * $bucketWidth AS DOUBLE) AS hi,
+       |  COUNT(*) AS cnt
+       |FROM (SELECT CAST(floor(o_totalprice / $bucketWidth) AS INT) AS bucket
+       |      FROM orders) t
+       |GROUP BY bucket""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("s_profile_columns", profileColumns, Some(profileColumnsSql),
+      "one-pass per-column profile: nulls, exact distinct, typed min/max"),
+    Op("s_histogram", histogram, Some(histogramSql),
+      "equi-width histogram with literal bounds (single pass, sparse buckets)"))
+}

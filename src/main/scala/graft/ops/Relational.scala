@@ -369,6 +369,30 @@ object Relational extends OpGroup {
       |WINDOW wg AS (PARTITION BY patient_id ORDER BY grp ASC)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // W5 — point-in-time snapshot over the SCD2 history: the dimension "as
+  // of" a date, one row per patient whose history had begun. This is the
+  // query the SCD2 table exists to serve (the as-of JOIN answers it per
+  // fact row; this answers it for the whole dimension at once). Scale
+  // shape: the validity filter is a narrow predicate over the already
+  // patient-partitioned scd2 output — at 100 TB you'd store the SCD2 dim
+  // sorted on (valid_from, valid_to) so the snapshot prunes row groups;
+  // no extra shuffle beyond the history build itself.
+  // ---------------------------------------------------------------------
+  private val snapshotTs = "1998-01-01 00:00:00"
+
+  def scd2Snapshot(s: SparkSession, dir: String): DataFrame =
+    scd2Dim(s, dir)
+      .filter(col("valid_from") <= lit(snapshotTs).cast("timestamp") &&
+        (col("valid_to").isNull ||
+          col("valid_to") > lit(snapshotTs).cast("timestamp")))
+
+  private val scd2SnapshotSql =
+    s"""WITH scd AS ($scd2DimSql)
+       |SELECT * FROM scd
+       |WHERE valid_from <= TIMESTAMP '$snapshotTs'
+       |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '$snapshotTs')""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A2 — SELECT DISTINCT row dedup (DWH.sql:28-93, 111-118).
   // ---------------------------------------------------------------------
   def distinctDedup(s: SparkSession, dir: String): DataFrame =
@@ -760,6 +784,8 @@ object Relational extends OpGroup {
       "distributed dense global row numbering (range sort + zipWithIndex)"),
     Op("w3_scd2_dim", scd2Dim, Some(scd2DimSql),
       "SCD type-2 history: change-flag + period numbering + validity ranges"),
+    Op("w5_scd2_snapshot", scd2Snapshot, Some(scd2SnapshotSql),
+      "point-in-time dimension snapshot: SCD2 validity-range filter as of a date"),
     Op("a2_distinct_dedup", distinctDedup, Some(distinctDedupSql),
       "DWH.sql:28-93 SELECT DISTINCT dedup"),
     Op("a3_row_count_report", rowCountReport, Some(rowCountReportSql),

@@ -726,7 +726,46 @@ object TextOps extends OpGroup {
       |  md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Inverted index: token → (df, cf, posting list of doc_id:tf). The
+  // search-side artifact of the corpus (retrieval, contamination lookup,
+  // hard-negative mining all probe it). Shape: explode → (token, doc)
+  // hash-agg for tf → token hash-agg collecting postings. Both
+  // aggregations map-side-combine; nothing is globally sorted — the
+  // posting list is sorted WITHIN each token row by `sort_array`.
+  // Postings are "%06d:tf" strings so lexicographic array order IS
+  // doc_id order and the parquet/DuckDB comparison stays scalar-typed.
+  // At 100 TB a stopword's posting list exceeds one row's sane size:
+  // shard the group key to (token, doc_id DIV shardSpan) and emit one
+  // posting-segment row per shard — same two-agg shape; the df/cf
+  // rollup then sums over shards (exactly the segment pattern
+  // `dedup_segments` uses). The single-row-per-token form here is the
+  // compact head; the sharded form is the documented scale path.
+  // ---------------------------------------------------------------------
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        sort_array(collect_list(
+          format_string("%06d:%d", col("doc_id"), col("tf"))))
+          .as("postings"))
+
+  private val invertedIndexSql =
+    """SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+      |  list(format('{:06d}:{}', doc_id, tf) ORDER BY doc_id) AS postings
+      |FROM (
+      |  SELECT token, doc_id, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |        FROM documents) t
+      |  GROUP BY token, doc_id) tf
+      |GROUP BY token""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("text_inverted_index", invertedIndex, Some(invertedIndexSql),
+      "inverted index: token -> df/cf + sorted doc:tf posting list, two map-side-combined aggs"),
     Op("text_token_stats", tokenStats, Some(tokenStatsSql),
       "token counting: whitespace + BPE-ish regex + mean token length"),
     Op("text_quality_score", qualityScore, Some(qualityScoreSql),

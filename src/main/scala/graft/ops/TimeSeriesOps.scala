@@ -68,7 +68,43 @@ object TimeSeriesOps extends OpGroup {
       |  day_close IS NOT NULL AS observed
       |FROM cal c LEFT JOIN daily dl ON c.user_id = dl.user_id AND c.d = dl.d""".stripMargin
 
+  /** Rolling event-time features: per event, the count/sum/avg of the
+    * user's events in the trailing 7 days (closed interval, event-time
+    * RANGE frame — not a row count, so irregular feeds weight correctly).
+    * The feature-engineering staple for per-entity activity signals.
+    *
+    * Scale shape: ONE shuffle on `user_id`, then a per-partition sort and
+    * a sliding frame evaluated incrementally by WindowExec (add/remove at
+    * the frame edges — never a rescan of the frame per row). The frame is
+    * bounded by wall-clock span, so a bursty user costs O(events in 7
+    * days) memory, not O(history). Both engines see the identical integer
+    * microsecond ORDER key — interval arithmetic at timestamp precision
+    * never crosses an engine boundary.
+    */
+  def rollingFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-7L * 86400L * 1000000L, 0L)
+    ev.select(col("event_id"), col("user_id"), col("ts"),
+      count(lit(1)).over(w).as("cnt_7d"),
+      round(sum(col("value")).over(w), 6).as("sum_7d"),
+      round(avg(col("value")).over(w), 6).as("avg_7d"))
+  }
+
+  private val rollingFeaturesSql =
+    """SELECT event_id, user_id, ts,
+      |  COUNT(*) OVER w AS cnt_7d,
+      |  round(SUM(value) OVER w, 6) AS sum_7d,
+      |  round(AVG(value) OVER w, 6) AS avg_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ts_gap_fill", gapFill, Some(gapFillSql),
-      "daily resample + forward-fill per user: calendar explode, running last(ignoreNulls)"))
+      "daily resample + forward-fill per user: calendar explode, running last(ignoreNulls)"),
+    Op("ts_rolling_features", rollingFeatures, Some(rollingFeaturesSql),
+      "trailing-7-day event-time RANGE frame per user: incremental sliding count/sum/avg"))
 }
