@@ -98,9 +98,53 @@ object ProfileOps extends OpGroup {
        |      FROM orders) t
        |GROUP BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Count-min frequency estimation: build Spark's own `count_min_sketch`
+  // aggregate over user_id (mergeable, map-side combined — the streaming
+  // heavy-hitter sketch at 100 TB), then probe it with the custom
+  // [[graft.expressions.CountMinEstimate]] expression (Spark ships the
+  // build side but no probe). Verified like the HLL twin: exact counts
+  // ride along and every estimate must satisfy the CMS guarantee
+  // exact ≤ est ≤ exact + eps·N; the oracle pins keys + exact counts
+  // and asserts TRUE. Deterministic for a fixed seed.
+  // ---------------------------------------------------------------------
+  private val cmsEps = 0.001
+  private val cmsConfidence = 0.99
+  private val cmsSeed = 42
+  private val heavyK = 10
+
+  def freqSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val sk = ev.agg(
+      count_min_sketch(col("user_id"), lit(cmsEps), lit(cmsConfidence),
+        lit(cmsSeed)).as("sk"),
+      count(lit(1)).as("n_total"))
+    val heavy = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id").asc)
+      .limit(heavyK)
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val est = column(graft.expressions.CountMinEstimate(
+      expression(col("sk")), expression(col("user_id"))))
+    heavy.crossJoin(broadcast(sk))
+      .select(col("user_id"), col("exact_cnt"),
+        (est >= col("exact_cnt") &&
+          est <= col("exact_cnt") +
+            ceil(col("n_total") * cmsEps).cast("long"))
+          .as("within_bounds"))
+  }
+
+  private val freqSketchSql =
+    s"""SELECT user_id, exact_cnt, TRUE AS within_bounds FROM (
+       |  SELECT user_id, COUNT(*) AS exact_cnt FROM events
+       |  GROUP BY user_id
+       |  ORDER BY exact_cnt DESC, user_id ASC LIMIT $heavyK) t""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("s_profile_columns", profileColumns, Some(profileColumnsSql),
       "one-pass per-column profile: nulls, exact distinct, typed min/max"),
     Op("s_histogram", histogram, Some(histogramSql),
-      "equi-width histogram with literal bounds (single pass, sparse buckets)"))
+      "equi-width histogram with literal bounds (single pass, sparse buckets)"),
+    Op("s_freq_sketch", freqSketch, Some(freqSketchSql),
+      "count-min sketch build + custom probe expression, CMS error bound enforced in-op"))
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{BottomKByHash, DotProduct, FastMd5, RollingHash}
+import graft.expressions.{BottomKByHash, CountMinEstimate, DotProduct, FastMd5, RollingHash}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -55,6 +55,10 @@ object GraftFunctions {
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       two("dot_product")(DotProduct.apply)),
+    (FunctionIdentifier("count_min_estimate"),
+      new ExpressionInfo(classOf[CountMinEstimate].getName,
+        "count_min_estimate"),
+      two("count_min_estimate")(CountMinEstimate.apply)),
     (FunctionIdentifier("bottom_k_by_hash"),
       new ExpressionInfo(classOf[BottomKByHash].getName, "bottom_k_by_hash"),
       {

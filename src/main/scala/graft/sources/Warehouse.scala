@@ -170,6 +170,39 @@ object Warehouse extends OpGroup {
     csvBack
   }
 
+  /** Schema evolution at the ingest boundary: a long-lived table's files
+    * never share one schema — generation 2 adds `region_fk` after
+    * generation 1 landed. `mergeSchema` unions the footers at read time
+    * and null-extends the old files; the aggregate proves it (every gen-1
+    * row reads region_fk as NULL, no gen-2 row does). At 100 TB this is
+    * why ADD COLUMN is metadata-only: no rewrite of landed data, and the
+    * per-file schema stays prunable. (The reference's ALTER TABLE ADD
+    * COLUMN + UPDATE backfill, Stage_area.sql:139-147, maps to exactly
+    * this plus a lazy backfill view.) mergeSchema's footer pass is the
+    * documented cost — production pins the merged schema in a catalog
+    * rather than re-deriving it per read.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = layerPath(dir, "schema_evo")
+    val n = Tables.load(s, dir, "nation")
+    n.select(col("n_nationkey"), col("n_name"), lit(1).as("gen"))
+      .write.mode("overwrite").parquet(s"$base/gen1")
+    n.select(col("n_nationkey"), col("n_name"), lit(2).as("gen"),
+        col("n_regionkey").cast("long").as("region_fk"))
+      .write.mode("overwrite").parquet(s"$base/gen2")
+    val merged = s.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen1", s"$base/gen2")
+    merged.groupBy(col("gen"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("region_fk").isNull.cast("long")).as("missing_region_fk"))
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT 1 AS gen, COUNT(*) AS n_rows, COUNT(*) AS missing_region_fk
+      |FROM nation
+      |UNION ALL
+      |SELECT 2 AS gen, COUNT(*), CAST(0 AS BIGINT) FROM nation""".stripMargin
+
   /** S2/S8: register the harness tables as namespaced temp views and list
     * them from the catalog (SHOW TABLES semantics, DWH.sql:215).
     */
@@ -471,6 +504,8 @@ object Warehouse extends OpGroup {
     Op("s_format_roundtrip", formatRoundtrip,
       Some("SELECT * FROM nation"),
       "CSV + JSON + ORC write/read round-trip with schema-pinned reads"),
+    Op("s_schema_evolution", schemaEvolution, Some(schemaEvolutionSql),
+      "mergeSchema ingest across file generations: added column null-extends old files"),
     Op("s_bucketed_join", bucketedJoin, Some(bucketedJoinSql),
       "bucketBy co-located join: zero exchanges on either join side"),
     Op("s_sorted_layout", sortedLayoutScan, Some(sortedLayoutScanSql),

@@ -113,6 +113,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == one)
   }
 
+  test("count-min probe: exact lower bound, eps upper bound, SQL surface") {
+    graft.plans.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"))
+      .createOrReplaceTempView("cms_events")
+    // Build one sketch per row type (long key and string key), probe every
+    // distinct key: CMS guarantees est >= exact always, and the aggregate
+    // overcount is bounded by eps * N (here deterministically, fixed seed).
+    for ((keyCol, n) <- Seq(("user_id", "CAST(user_id AS STRING)"))) {
+      val rows = spark.sql(
+        s"""WITH sk AS (SELECT count_min_sketch($keyCol, 0.001d, 0.99d, 42) AS s,
+           |                    COUNT(*) AS n FROM cms_events),
+           |     ex AS (SELECT $keyCol AS k, COUNT(*) AS exact
+           |            FROM cms_events GROUP BY $keyCol)
+           |SELECT exact, count_min_estimate(s, k) AS est, n
+           |FROM ex CROSS JOIN sk""".stripMargin).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (exact, est, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(est >= exact, s"CMS underestimated: $est < $exact")
+        assert(est <= exact + math.ceil(n * 0.001).toLong,
+          s"CMS overshoot beyond eps*N: $est vs $exact (N=$n)")
+      }
+    }
+    // String keys hash as UTF-8 bytes on the build side; the probe must
+    // align representations (UTF8String -> bytes) or every estimate is 0.
+    val sRows = spark.sql(
+      """WITH sk AS (SELECT count_min_sketch(event_type, 0.001d, 0.99d, 7) AS s
+        |            FROM cms_events),
+        |     ex AS (SELECT event_type AS k, COUNT(*) AS exact
+        |            FROM cms_events GROUP BY event_type)
+        |SELECT exact, count_min_estimate(s, k) AS est
+        |FROM ex CROSS JOIN sk""".stripMargin).collect()
+    sRows.foreach(r => assert(r.getLong(1) >= r.getLong(0)))
+  }
+
   test("warehouse layer write/read roundtrip with partitioned fact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val layer = graft.etl.Stage.build(spark, dir)
