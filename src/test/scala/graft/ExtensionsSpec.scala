@@ -252,6 +252,47 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming restart from checkpoint resumes exactly-once, no re-emission") {
+    // The fault-tolerance contract a 100 TB deployment leans on: kill the
+    // query, restart with the same checkpoint — the new query must resume
+    // from the committed offsets (not reprocess batch 1) and the file
+    // sink's commit log must keep every window exactly once.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val src = s"$root/src"
+    val out = s"$root/out"
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def write(rows: Seq[(java.sql.Timestamp, String, Double)]): Unit =
+      rows.toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    write(Seq((ts(0, 10), "a", 1.0), (ts(0, 40), "a", 2.0), (ts(2, 30), "b", 4.0)))
+    val schema = spark.read.parquet(src).schema
+    // run 1: watermark reaches 01:30 — hour-0 finalizes and emits
+    val q1 = Sessionize.hourlyAppendQuery(spark, src, out, schema)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterRun1 = spark.read.parquet(s"$out/data").collect()
+    assert(afterRun1.count(_.getTimestamp(0) == ts(0, 0)) == 1,
+      "hour-0 window missing after run 1")
+    // crash boundary: new data lands while no query is running
+    write(Seq((ts(2, 45), "b", 8.0), (ts(4, 0), "c", 16.0)))
+    // run 2: NEW query object, same checkpoint + sink
+    val q2 = Sessionize.hourlyAppendQuery(spark, src, out, schema)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(s"$out/data")
+    // hour-0 must appear EXACTLY once (a restart that replayed batch 1
+    // into the sink would duplicate it; the commit log must prevent that)
+    assert(rows.filter(col("window_start") === ts(0, 0)).count() == 1,
+      "restart duplicated or dropped the hour-0 window")
+    // hour-2 finalized by run 2's watermark (04:00 - 1h) and must carry
+    // BOTH hour-2 events: the pre-crash one recovered from state, the
+    // post-crash one from the new batch
+    val h2 = rows.filter(col("window_start") === ts(2, 0)).collect()
+    assert(h2.length == 1 && h2.head.getLong(2) == 2L &&
+      h2.head.getDouble(3) == 12.0,
+      s"hour-2 state not recovered across restart: ${h2.mkString}")
+  }
+
   test("minhash-lsh candidates lose no true near-dup pair at threshold") {
     // ground truth: ALL-pairs jaccard over the op's own shingle sets;
     // the banded candidates must contain every pair >= the 0.8 threshold
