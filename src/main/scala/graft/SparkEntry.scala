@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def groups: Seq[OpGroup] =
     Seq(Relational, Joins, CdcMerge, graft.etl.Pipeline, TextOps, DedupOps,
-      SimilarityOps, Curate, TimeSeriesOps, ProfileOps,
+      SimilarityOps, PqOps, Curate, TimeSeriesOps, ProfileOps,
       graft.multimodal.Multimodal,
       graft.streaming.Sessionize, graft.sources.Warehouse)
 

@@ -312,6 +312,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(missed == 0, s"$missed true near-dup pairs missed by LSH banding")
   }
 
+  test("pq adc candidate recall vs exact L2 supports rerank") {
+    import graft.ops.PqOps
+    // exact L2 top-k ground truth per query
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < PqOps.pqQueryCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val d2 = graft.functions.TextFns.dotProduct(col("embedding"), col("embedding")) -
+      lit(2d) * graft.functions.TextFns.dotProduct(col("embedding"), col("qe")) +
+      graft.functions.TextFns.dotProduct(col("qe"), col("qe"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val exact = e.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(d2, 6).as("d"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= PqOps.pqTopK)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def adcHead(n: Int): Set[(Long, Long)] = {
+      val wa = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+        .orderBy(col("approx_d2").asc, col("vec_id").asc)
+      PqOps.adcScores(spark, dir)
+        .withColumn("rn", row_number().over(wa)).filter(col("rn") <= n)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // direct ADC top-10 on a structureless corpus: noisy but useful
+    // (measured 0.34-0.36 across scale factors)
+    val direct = (adcHead(PqOps.pqTopK) & exact).size.toDouble / exact.size
+    assert(direct >= 0.25, f"PQ ADC direct recall collapsed: $direct%.2f")
+    // candidate generation for exact rerank: a 100-deep ADC head must
+    // cover most of the exact top-10 (measured 0.86)
+    val cand = (adcHead(100) & exact).size.toDouble / exact.size
+    assert(cand >= 0.7, f"PQ ADC candidate recall too low for rerank: $cand%.2f")
+  }
+
   test("ivf near-dup recall vs brute force holds at two cell counts") {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
