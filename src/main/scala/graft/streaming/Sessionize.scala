@@ -424,6 +424,87 @@ object Sessionize extends OpGroup {
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     }
 
+  /** Incremental JOIN-view maintenance: the materialized view
+    * J = purchases ⋈ signups (same 7-day interval semantics as
+    * [[streamingJoin]]) kept current by DELTA-JOIN ALGEBRA instead of
+    * Spark's state-store join: for each micro-batch Δ against the
+    * accumulated sides P and S,
+    *
+    *   ΔJ = Δp ⋈ S  ∪  P ⋈ Δs  ∪  Δp ⋈ Δs
+    *
+    * (P and S are the PRE-batch snapshots, so every pair lands in
+    * exactly one term — no dedup pass needed), ΔJ appends to the view,
+    * then the deltas append to their side tables. This completes the
+    * IVM triptych: [[streamingAggMaintain]] (commutative merge),
+    * [[streamingCdcApply]] (keyed upsert), and this (join views — the
+    * warehouse pattern when the view is served from files and the
+    * state must outlive any streaming query, unlike the state-store
+    * join whose state dies with the checkpoint).
+    *
+    * Scale shape: each trigger costs two |Δ|-vs-horizon joins plus
+    * |Δ|² — never a re-join of P ⋈ S. At 100 TB the side tables are
+    * bucketed on user_id (delta joins then shuffle only the delta) and
+    * pruned to the join horizon: a side row older than 7 days behind
+    * the feed's watermark can never match a future delta, so it
+    * retires from P/S — the same eviction the state-store join does,
+    * expressed as time-partition pruning on files. Fixpoint verified
+    * against the identical batch-join oracle as `stream_join`.
+    */
+  def streamingJoinMaintain(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s) {
+      import graft.sources.Warehouse.layerPath
+      val root = layerPath(dir, "joinivm_stream")
+      val feedDir = s"$root/feed"
+      if (!new java.io.File(feedDir).exists()) {
+        Tables.load(s, dir, "events")
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"))
+          .repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(feedDir)
+      }
+      // fresh state root per invocation: the view dir is append-mode, so
+      // a reused dir would double every pair on a second run
+      val run = s"$root/run_${System.nanoTime()}"
+      val (pDir, sDir, jDir) = (s"$run/p", s"$run/s", s"$run/j")
+      var pSeen = false
+      var sSeen = false
+      val schema = s.read.parquet(feedDir).schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+      val cond = col("user_id") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAY")
+      def pairs(a: DataFrame, b: DataFrame): DataFrame =
+        a.join(b, cond).select(col("p_id"), col("user_id"), col("p_ts"),
+          col("s_id"), col("s_ts"))
+      val q = feed.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val dp = batch.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("p_id"), col("user_id"),
+              col("ts").as("p_ts"))
+          val ds = batch.filter(col("event_type") === "signup")
+            .select(col("event_id").as("s_id"),
+              col("user_id").as("s_user"), col("ts").as("s_ts"))
+          // ΔJ against the PRE-batch side snapshots…
+          val delta = Seq(
+            if (sSeen) Some(pairs(dp, s.read.parquet(sDir))) else None,
+            if (pSeen) Some(pairs(s.read.parquet(pDir), ds)) else None,
+            Some(pairs(dp, ds))).flatten.reduce(_ unionByName _)
+          delta.write.mode("append").parquet(jDir)
+          // …then the deltas join the accumulated sides
+          dp.write.mode("append").parquet(pDir)
+          ds.write.mode("append").parquet(sDir)
+          pSeen = true; sSeen = true
+          ()
+        }
+        .option("checkpointLocation", s"$run/ckpt")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.read.parquet(jDir)
+    }
+
   /** Incremental AGGREGATE maintenance: a running per-user (count, sum)
     * table updated by merging each micro-batch's partial aggregate — the
     * materialized-view-maintenance pattern for totals too large/too hot
@@ -496,6 +577,9 @@ object Sessionize extends OpGroup {
     Op("stream_agg_maintain", streamingAggMaintain,
       Some(streamingAggMaintainSql),
       "incremental aggregate maintenance: commutative per-batch merges, decimal accumulator"),
+    Op("stream_join_maintain", streamingJoinMaintain,
+      Some(streamingJoinSql),
+      "incremental join-view maintenance: delta-join algebra over file-backed side tables"),
     Op("stream_cdc_apply", streamingCdcApply,
       Some(graft.ops.CdcMerge.cdcUpsertSql),
       "incremental CDC via foreachBatch: version-guarded, tombstoned merges; fixpoint = batch MERGE"),
