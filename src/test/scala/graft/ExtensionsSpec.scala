@@ -546,6 +546,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(SparkEntry.queries("a9_cube_report")(spark, dir)
       .queryExecution.executedPlan.toString.contains("Expand"),
       "cube lost its grouping-set expand")
+    // PQ encoding is a PURE MAP: codebooks are broadcast literals, so the
+    // codes table costs zero exchanges — an added shuffle means the
+    // codebook stopped being driver-collected
+    val pqc = c("sim_pq_codes")
+    assert(pqc("shuffles") == 0 && pqc("sortMergeJoins") == 0,
+      s"sim_pq_codes: $pqc")
+    // ADC top-k reads only the codes table: the per-query rank's exchange
+    // and nothing else (no join back to embeddings)
+    val pqt = c("sim_pq_topk")
+    assert(pqt("shuffles") == 1 && pqt("sortMergeJoins") == 0,
+      s"sim_pq_topk: $pqt")
+    // long-form profile: two hash-agg levels, no joins; a third exchange
+    // means the multi-distinct Expand shape crept back
+    val prof = c("s_profile_columns")
+    assert(prof("shuffles") == 2 && prof("sortMergeJoins") == 0,
+      s"s_profile_columns: $prof")
+    // inverted index: (token, doc) tf agg + token posting assembly
+    val inv = c("text_inverted_index")
+    assert(inv("shuffles") == 2 && inv("sortMergeJoins") == 0,
+      s"text_inverted_index: $inv")
+    // rolling features: the one user_id window exchange
+    val rf = c("ts_rolling_features")
+    assert(rf("shuffles") == 1, s"ts_rolling_features: $rf")
+    // SCD2 snapshot filters the history without adding an exchange
+    val snap = c("w5_scd2_snapshot")
+    assert(snap("shuffles") == 1, s"w5_scd2_snapshot: $snap")
+    // CMS probe: sketch side broadcasts; heavy-hitter agg is the shuffle
+    val fs = c("s_freq_sketch")
+    assert(fs("shuffles") <= 2 && fs("broadcasts") >= 1,
+      s"s_freq_sketch: $fs")
     // sorted layout: the time-range filter must reach the parquet scan
     // (min-max row-group skipping rides on the pushed predicate)
     val sl = c("s_sorted_layout")
