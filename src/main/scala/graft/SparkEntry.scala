@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def groups: Seq[OpGroup] =
     Seq(Relational, Joins, CdcMerge, graft.etl.Pipeline, TextOps, DedupOps,
+      AnalyticsOps,
       SimilarityOps, PqOps, Curate, TimeSeriesOps, ProfileOps,
       graft.multimodal.Multimodal,
       graft.streaming.Sessionize, graft.sources.Warehouse)

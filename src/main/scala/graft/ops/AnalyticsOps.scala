@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral-analytics operators over the event stream — the BI queries
+  * a warehouse's analysts actually run against the star schema the ETL
+  * produces (the reference's pre-aggregation, DWH.sql:203-210, is the
+  * first member of this family; funnels and cohorts are its sequel).
+  *
+  * Scale shape: both ops key every join, window, and aggregation on
+  * `user_id` — ONE hash partitioning reused end-to-end, no global sort.
+  * Stage ordering ("first X after Y") is conditional MIN aggregation,
+  * never a self-join of the raw feed against itself per stage pair.
+  */
+object AnalyticsOps extends OpGroup {
+
+  private def ev(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+
+  // ---------------------------------------------------------------------
+  // Three-stage funnel: first signup → first click at-or-after it →
+  // first purchase at-or-after that click; conversion = purchase within
+  // 7 days of signup. Per-stage "first after" is MIN(CASE WHEN ts >=
+  // prior stage) over a per-user LEFT join — each stage costs one
+  // user_id join + one hash-agg on the same key, so an n-stage funnel
+  // is n reuses of one partitioning, not n² event self-joins.
+  // ---------------------------------------------------------------------
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val s0 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val c0 = s0
+      .join(e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts")), Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(when(col("c_ts") >= col("signup_ts"), col("c_ts")))
+        .as("click_ts"))
+    val p0 = c0
+      .join(e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts")), Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("signup_ts"), col("click_ts"))
+      .agg(min(when(col("p_ts") >= col("click_ts"), col("p_ts")))
+        .as("purchase_ts"))
+    p0.select(col("user_id"), col("signup_ts"), col("click_ts"),
+      col("purchase_ts"),
+      when(col("purchase_ts").isNotNull, 3)
+        .when(col("click_ts").isNotNull, 2).otherwise(1)
+        .cast("int").as("stage"),
+      coalesce(
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 7 DAY"),
+        lit(false)).as("converted_7d"))
+  }
+
+  private val funnelSql =
+    """WITH s0 AS (
+      |  SELECT user_id, MIN(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |c0 AS (
+      |  SELECT s.user_id, s.signup_ts,
+      |         MIN(CASE WHEN e.ts >= s.signup_ts THEN e.ts END) AS click_ts
+      |  FROM s0 s LEFT JOIN events e
+      |    ON e.user_id = s.user_id AND e.event_type = 'click'
+      |  GROUP BY s.user_id, s.signup_ts),
+      |p0 AS (
+      |  SELECT c.user_id, c.signup_ts, c.click_ts,
+      |         MIN(CASE WHEN e.ts >= c.click_ts THEN e.ts END) AS purchase_ts
+      |  FROM c0 c LEFT JOIN events e
+      |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+      |  GROUP BY c.user_id, c.signup_ts, c.click_ts)
+      |SELECT user_id, signup_ts, click_ts, purchase_ts,
+      |  CAST(CASE WHEN purchase_ts IS NOT NULL THEN 3
+      |            WHEN click_ts IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage,
+      |  COALESCE(purchase_ts <= signup_ts + INTERVAL 7 DAY, FALSE) AS converted_7d
+      |FROM p0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Retention cohorts: users grouped by first-activity week, counted
+  // distinct in each subsequent activity week. The (user, week) distinct
+  // collapses the raw feed FIRST (hash-agg, map-side combined), so the
+  // cohort join touches one row per user-week, never per event — the
+  // difference between joining 10^8 users and 10^11 events at scale.
+  // ---------------------------------------------------------------------
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    // cast to DATE: Spark's date_trunc yields a timestamp, DuckDB's a
+    // date — the week boundary is the same instant either way
+    val firstWeek = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val activeWeeks = e
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    activeWeeks.join(firstWeek, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  private val retentionCohortsSql =
+    """WITH fw AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |aw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |       FROM events)
+      |SELECT f.cohort_week,
+      |  CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
+      |  COUNT(DISTINCT a.user_id) AS n_active
+      |FROM aw a JOIN fw f USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("a13_funnel", funnel, Some(funnelSql),
+      "3-stage funnel via conditional MIN per stage: one user_id partitioning reused, no event self-join pairs"),
+    Op("a14_retention_cohorts", retentionCohorts, Some(retentionCohortsSql),
+      "retention cohorts: (user, week) distinct collapses the feed before the cohort join"))
+}

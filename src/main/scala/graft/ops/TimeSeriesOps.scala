@@ -80,6 +80,14 @@ object TimeSeriesOps extends OpGroup {
     * days) memory, not O(history). Both engines see the identical integer
     * microsecond ORDER key — interval arithmetic at timestamp precision
     * never crosses an engine boundary.
+    *
+    * The windowed sums accumulate in an exact DECIMAL (the feed's values
+    * carry 2 decimals): a double accumulator sums in frame order on
+    * Spark but segment-tree order in DuckDB, and at sf0.1 frame sizes
+    * that 1-ulp drift crossed a round(…, 6) boundary on 2 of 100k rows
+    * — caught only by the per-round sf0.1 probe. The average is the
+    * exact sum over the count in ONE deterministic divide; never
+    * `avg()`, whose internal accumulation re-opens the same hole.
     */
   def rollingFeatures(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
@@ -87,17 +95,21 @@ object TimeSeriesOps extends OpGroup {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_micros(col("ts")))
       .rangeBetween(-7L * 86400L * 1000000L, 0L)
+    val cnt = count(lit(1)).over(w)
+    val dsum = sum(col("value")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w)
     ev.select(col("event_id"), col("user_id"), col("ts"),
-      count(lit(1)).over(w).as("cnt_7d"),
-      round(sum(col("value")).over(w), 6).as("sum_7d"),
-      round(avg(col("value")).over(w), 6).as("avg_7d"))
+      cnt.as("cnt_7d"),
+      dsum.cast("double").as("sum_7d"),
+      round(dsum.cast("double") / cnt, 6).as("avg_7d"))
   }
 
   private val rollingFeaturesSql =
     """SELECT event_id, user_id, ts,
       |  COUNT(*) OVER w AS cnt_7d,
-      |  round(SUM(value) OVER w, 6) AS sum_7d,
-      |  round(AVG(value) OVER w, 6) AS avg_7d
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |        / (COUNT(*) OVER w), 6) AS avg_7d
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
