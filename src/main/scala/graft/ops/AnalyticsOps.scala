@@ -112,7 +112,65 @@ object AnalyticsOps extends OpGroup {
       |FROM aw a JOIN fw f USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Correlation + least-squares per group — corr / regr_slope /
+  // regr_intercept semantics WITHOUT the built-ins: their double
+  // accumulators fold in partition order, so two engines (or two runs at
+  // different parallelism) disagree in the low bits. Instead the five
+  // moments (Σx, Σy, Σxy, Σx², Σy²) accumulate EXACTLY — x is the
+  // 2-decimal value scaled to BIGINT, products ride DECIMAL(38,0) so
+  // 10^12-row groups cannot overflow — and the closed-form statistics
+  // are one identical double formula at the end. One hash-agg pass,
+  // map-side combined; the statistics cost nothing beyond the sums.
+  // ---------------------------------------------------------------------
+  def corrStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = round(col("value") * 100).cast("long")
+    val y = hour(col("ts")).cast("long")
+    val a = Tables.load(s, dir, "events")
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    val vx = d("n") * d("sxx") - d("sx") * d("sx")
+    val vy = d("n") * d("syy") - d("sy") * d("sy")
+    val slope = num / vx
+    a.select(col("event_type"), col("n"),
+      round(num / sqrt(vx * vy), 6).as("corr_xy"),
+      round(slope, 6).as("slope"),
+      round((d("sy") - slope * d("sx")) / d("n"), 6).as("intercept"))
+  }
+
+  private val corrStatsSql = {
+    val num = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val vx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val vy = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    s"""WITH b AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
+       |         CAST(hour(ts) AS BIGINT) AS y
+       |  FROM events),
+       |a AS (
+       |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+       |         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+       |         SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+       |  FROM b GROUP BY event_type)
+       |SELECT event_type, n,
+       |  round($num / sqrt($vx * $vy), 6) AS corr_xy,
+       |  round($num / $vx, 6) AS slope,
+       |  round((CAST(sy AS DOUBLE) - ($num / $vx) * CAST(sx AS DOUBLE))
+       |        / CAST(n AS DOUBLE), 6) AS intercept
+       |FROM a""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
+    Op("a15_corr_stats", corrStats, Some(corrStatsSql),
+      "corr/regr_slope/regr_intercept from exact integer moments: engine- and order-stable"),
     Op("a13_funnel", funnel, Some(funnelSql),
       "3-stage funnel via conditional MIN per stage: one user_id partitioning reused, no event self-join pairs"),
     Op("a14_retention_cohorts", retentionCohorts, Some(retentionCohortsSql),
