@@ -70,6 +70,9 @@ object Bench {
         // bucketed tables: built once, probed by every retrieval query
         Future(timed("ivf_cells")(
           graft.ops.SimilarityOps.ivfCells(spark, sfDir).count())),
+        // PQ codebook + codes: the other one-time ANN index build
+        Future(timed("pq_codes")(
+          graft.ops.PqOps.pqCodes(spark, sfDir).count())),
         Future(timed("sorted_layout")(
           run(graft.sources.Warehouse.sortedLayoutScan(spark, sfDir)))))),
         Duration.Inf)

@@ -203,6 +203,60 @@ object Warehouse extends OpGroup {
       |UNION ALL
       |SELECT 2 AS gen, COUNT(*), CAST(0 AS BIGINT) FROM nation""".stripMargin
 
+  /** Malformed-input ingest: a JSON-lines feed where every 5th record is
+    * deterministically truncated mid-object, read back PERMISSIVE with a
+    * `_corrupt_record` column. Bad rows parse to NULL fields + the raw
+    * line in the corrupt column — quarantined, counted, never fatal. At
+    * 100 TB this is the only viable read mode for third-party feeds: one
+    * mangled line out of 10^11 must not kill the job (FAILFAST's
+    * behavior, proven in ExtensionsSpec), and DROPMALFORMED silently
+    * changes row counts — PERMISSIVE plus a corrupt-rate QA gate keeps
+    * both the data and the evidence. The aggregate proves exactly the
+    * planted lines (key % 5 = 0) were quarantined and every surviving
+    * field parsed.
+    */
+  def corruptRecords(s: SparkSession, dir: String): DataFrame = {
+    val base = layerPath(dir, "corrupt_feed")
+    val n = Tables.load(s, dir, "nation")
+    val line = to_json(struct(col("n_nationkey"), col("n_name"),
+      col("n_regionkey")))
+    n.select(
+      when(col("n_nationkey") % 5 === 0,
+        // drop the closing brace (and a char) => malformed JSON
+        expr("substring(" +
+          "to_json(struct(n_nationkey, n_name, n_regionkey)), 1, " +
+          "length(to_json(struct(n_nationkey, n_name, n_regionkey))) - 2)"))
+        .otherwise(line).as("value"))
+      .write.mode("overwrite").text(base)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_nationkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_regionkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    // cache: Spark disallows aggregating a just-parsed frame through the
+    // corrupt column alone (the parser would need a second pass); the
+    // tiny cached frame sidesteps the restriction for any column mix
+    val parsed = s.read.schema(schema)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(base).cache()
+    parsed.agg(
+      count(lit(1)).as("n_lines"),
+      count(col("n_nationkey")).as("n_good"),
+      count(col("_corrupt_record")).as("n_corrupt"),
+      sum(col("n_nationkey")).as("key_sum"))
+  }
+
+  private val corruptRecordsSql =
+    """SELECT COUNT(*) AS n_lines,
+      |  SUM(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END) AS n_good,
+      |  SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
+      |  SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END) AS key_sum
+      |FROM nation""".stripMargin
+
   /** S2/S8: register the harness tables as namespaced temp views and list
     * them from the catalog (SHOW TABLES semantics, DWH.sql:215).
     */
@@ -506,6 +560,8 @@ object Warehouse extends OpGroup {
       "CSV + JSON + ORC write/read round-trip with schema-pinned reads"),
     Op("s_schema_evolution", schemaEvolution, Some(schemaEvolutionSql),
       "mergeSchema ingest across file generations: added column null-extends old files"),
+    Op("s_corrupt_records", corruptRecords, Some(corruptRecordsSql),
+      "PERMISSIVE malformed-JSON ingest: planted bad lines quarantined to _corrupt_record, counted"),
     Op("s_bucketed_join", bucketedJoin, Some(bucketedJoinSql),
       "bucketBy co-located join: zero exchanges on either join side"),
     Op("s_sorted_layout", sortedLayoutScan, Some(sortedLayoutScanSql),

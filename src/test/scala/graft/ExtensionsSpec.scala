@@ -113,6 +113,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == one)
   }
 
+  test("corrupt-record ingest: PERMISSIVE quarantines, FAILFAST dies") {
+    // the op itself wrote the feed (every 5th record truncated) and
+    // proved the PERMISSIVE counts against the oracle; here: the same
+    // feed under FAILFAST must abort — the contrast that makes
+    // PERMISSIVE the only viable mode for third-party feeds at scale
+    Warehouse.corruptRecords(spark, dir).collect() // writes + verifies feed
+    val base = Warehouse.layerPath(dir, "corrupt_feed")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_nationkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_name",
+        org.apache.spark.sql.types.StringType)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST")
+        .json(base).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("FAILFAST") || m.contains("Malformed")),
+      s"unexpected failure: ${messages(ex).headOption}")
+  }
+
   test("count-min probe: exact lower bound, eps upper bound, SQL surface") {
     graft.plans.GraftFunctions.register(spark)
     Tables.load(spark, dir, "events")
