@@ -230,13 +230,48 @@ object SimilarityOps extends OpGroup {
        |  SELECT a.cell, e.vec_id, e.embedding
        |  FROM assign2 a JOIN embeddings e ON e.vec_id = a.vec_id)""".stripMargin
 
-  private lazy val ivfNearDupSql =
-    s"""WITH $ivfCellsCtes
-       |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  /** The near-dup pair scan as a CTE body, shared by [[ivfNearDup]]'s
+    * oracle and [[semanticDedup]]'s.
+    */
+  private lazy val ivfPairsSelect =
+    s"""SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
        |FROM cells a JOIN cells b
        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= $nearDupThreshold""".stripMargin
+
+  private lazy val ivfNearDupSql =
+    s"""WITH $ivfCellsCtes
+       |$ivfPairsSelect""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Semantic deduplication (SemDeDup, Abbas et al. 2023): embedding-space
+  // near-duplicates — paraphrases, re-encodings, translations that no
+  // lexical fingerprint catches — removed by clustering the corpus into
+  // IVF cells and dropping, within each cell, every vector that has an
+  // in-threshold neighbor with a smaller id (greedy keeper = min id; the
+  // published algorithm likewise keeps one arbitrary member per semantic
+  // group). Rides [[ivfNearDup]]'s candidate discipline: pairwise cosines
+  // touch cell-mates only, never all pairs, so the scan cost is
+  // sum(cell²) ≈ N^1.5 / k at k ≈ √N cells — the same budget as the index
+  // build itself. Survivor selection is ONE anti-join against the
+  // dropped-id side of the pair table. Chains (a~b, b~c, a≁c) drop both
+  // b and c — strictly more aggressive than one-per-connected-component;
+  // a deployment wanting exact one-per-cluster semantics feeds these
+  // pairs to the dedup_clusters pointer-jumping pass instead.
+  // ---------------------------------------------------------------------
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val dropped = ivfNearDup(s, dir)
+      .select(col("vec_b").as("vec_id")).distinct()
+    emb(s, dir).join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
+  private lazy val semanticDedupSql =
+    s"""WITH $ivfCellsCtes,
+       |pairs AS ($ivfPairsSelect)
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.vec_b = e.vec_id)""".stripMargin
 
   // ---------------------------------------------------------------------
   // LSH bucketing: random-hyperplane signatures. Hyperplane j's
@@ -417,6 +452,8 @@ object SimilarityOps extends OpGroup {
       "per-vector symmetric int8 quantization (4x index compression), integer-verified"),
     Op("sim_ivf_neardup", (s, d) => ivfNearDup(s, d), Some(ivfNearDupSql),
       "IVF near-dup pair scan (k-means cells, see ivfCells)"),
+    Op("dedup_semantic", semanticDedup, Some(semanticDedupSql),
+      "SemDeDup: embedding-space near-dup removal over IVF cells (greedy min-id keeper)"),
     Op("sim_ivf_topk", ivfTopk, Some(ivfTopkSql),
       "ANN retrieval: IVF top-2 cell probe + exact cosine + per-query top-k"),
     Op("sim_lsh_buckets", lshSignatures, Some(lshSignaturesSql),

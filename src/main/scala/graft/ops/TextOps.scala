@@ -763,6 +763,140 @@ object TextOps extends OpGroup {
       |  GROUP BY token, doc_id) tf
       |GROUP BY token""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Deterministic global shuffle: the last step before training — break
+  // source/time locality by scattering the corpus into `shuffleShards`
+  // pseudorandom shards with a pseudorandom order inside each. Both
+  // coordinates derive from a salted md5 of the doc id, so the shuffle is
+  // reproducible across reruns, engines, repartitions, and appends
+  // (engine-RNG `orderBy(rand())` is none of those). Shard = the first
+  // hex nibble's high 3 bits (8 equiprobable buckets via string range
+  // compares — no hex→int conversion, which the two engines don't share);
+  // within-shard position = row_number over (hash, doc_id).
+  //
+  // Scale shape: the shard map is a narrow codegen'd stage; the ordinal
+  // is ONE shuffle on the shard key. A shard at 100 TB / 8 is still too
+  // big for one window partition, so the deployment path is
+  // repartitionByRange(shard, h) + sortWithinPartitions(h) — writers
+  // emit hash-ordered files per shard and the within-shard ordinal
+  // becomes (file sequence, row-in-file), the same dense-numbering
+  // decomposition SurrogateKeys.withGlobalRowNumber uses. The
+  // oracle-pinned form here verifies the coordinates themselves.
+  // ---------------------------------------------------------------------
+  val shuffleShards = 8
+
+  def globalShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = fastMd5(concat(lit("shuf|"), col("doc_id").cast("string")))
+    val c = substring(col("h"), 1, 1)
+    val shard = Seq("2", "4", "6", "8", "a", "c", "e").zipWithIndex
+      .foldRight(lit(7): org.apache.spark.sql.Column) {
+        case ((ceil, i), rest) => when(c < ceil, lit(i)).otherwise(rest)
+      }
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    docs(s, dir).select(col("doc_id"), h.as("h"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  private val globalShuffleSql = {
+    val cases = Seq("2", "4", "6", "8", "a", "c", "e").zipWithIndex
+      .map { case (ceil, i) => s"WHEN substring(h, 1, 1) < '$ceil' THEN $i" }
+      .mkString(" ")
+    s"""WITH h AS (
+       |  SELECT doc_id, md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |sh AS (SELECT doc_id, h, CASE $cases ELSE 7 END AS shard FROM h)
+       |SELECT doc_id, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+       |    ORDER BY h ASC, doc_id ASC) AS INT) AS pos
+       |FROM sh""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // DSIR-style importance sampling (Xie et al. 2023): re-weight the
+  // corpus toward a target domain by each document's average unigram
+  // log importance ratio ln(p_target/q_corpus), then accept documents
+  // with probability increasing in that score. Target here = the 'en'
+  // slice (stand-in for any curated domain); add-one smoothing over the
+  // corpus vocabulary keeps target-unseen tokens finite.
+  //
+  // Determinism: like lmScore, each distinct token's log-ratio is floored
+  // to integer MICRO-units before summation (exact BIGINT arithmetic in
+  // any engine/order); the acceptance TIER is chosen by integer
+  // cross-multiplication (lr_sum·20 vs ±1e6·n_tokens — never a float
+  // threshold), and acceptance itself is a salted-hash hex-prefix
+  // compare, the same engine-stable coin as text_split_assign. Shape:
+  // two explode→hash-aggs build the two distributions, one token join
+  // scores docs — identical plan family (and cost) to lmScore.
+  // ---------------------------------------------------------------------
+  def importanceSample(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tFreq = toks.filter(col("lang") === "en")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val corpusTot = freq.agg(count(lit(1)).as("v"), sum("c").as("n"))
+    val targetTot = toks.filter(col("lang") === "en")
+      .agg(count(lit(1)).as("n_t"))
+    val lr = freq.join(tFreq, Seq("tok"), "left")
+      .select(col("tok"), col("c"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+      .crossJoin(broadcast(corpusTot)).crossJoin(broadcast(targetTot))
+      .select(col("tok"),
+        floor(log(
+          ((col("c_t") + 1).cast("double") / (col("n_t") + col("v"))) /
+            ((col("c") + 1).cast("double") / (col("n") + col("v"))))
+          * lit(1e6)).cast("long").as("lr_micro"))
+    val tier = when(col("lr_sum") * 20 >= col("n_tokens") * lit(1000000L), "d0")
+      .when(col("lr_sum") >= 0, "80")
+      .when(col("lr_sum") * 20 >= col("n_tokens") * lit(-1000000L), "40")
+      .otherwise("10")
+    toks.join(lr, "tok")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum("lr_micro").as("lr_sum"))
+      .select(col("doc_id"), col("lang"), col("n_tokens").cast("int"),
+        // + 0 normalizes IEEE signed zero: DuckDB's round keeps -0.0 for a
+        // tiny negative sum, Spark's BigDecimal round yields +0.0
+        (round(col("lr_sum").cast("double") / lit(1e6) / col("n_tokens"), 4)
+          + lit(0d)).as("avg_log_ratio"),
+        tier.as("tier"),
+        (substring(fastMd5(concat(lit("dsir|"), col("doc_id").cast("string"))),
+          1, 2) < tier).as("sampled"))
+  }
+
+  private val importanceSampleSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      |tfreq AS (SELECT tok, COUNT(*) AS c_t FROM toks WHERE lang = 'en' GROUP BY tok),
+      |ctot AS (SELECT COUNT(*) AS v, SUM(c) AS n FROM freq),
+      |ttot AS (SELECT COUNT(*) AS n_t FROM toks WHERE lang = 'en'),
+      |lr AS (
+      |  SELECT f.tok, CAST(FLOOR(ln(
+      |      ((COALESCE(t.c_t, 0) + 1) / CAST(tt.n_t + ct.v AS DOUBLE))
+      |      / ((f.c + 1) / CAST(ct.n + ct.v AS DOUBLE))) * 1000000) AS BIGINT) AS lr_micro
+      |  FROM freq f LEFT JOIN tfreq t USING (tok), ctot ct, ttot tt),
+      |scored AS (
+      |  SELECT k.doc_id, k.lang, COUNT(*) AS n_tokens, SUM(l.lr_micro) AS lr_sum
+      |  FROM toks k JOIN lr l USING (tok)
+      |  GROUP BY k.doc_id, k.lang),
+      |tiered AS (
+      |  SELECT doc_id, lang, n_tokens, lr_sum,
+      |    CASE WHEN lr_sum * 20 >= n_tokens * 1000000 THEN 'd0'
+      |         WHEN lr_sum >= 0 THEN '80'
+      |         WHEN lr_sum * 20 >= n_tokens * -1000000 THEN '40'
+      |         ELSE '10' END AS tier
+      |  FROM scored)
+      |SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+      |  round(CAST(lr_sum AS DOUBLE) / 1000000 / n_tokens, 4) + 0 AS avg_log_ratio,
+      |  tier,
+      |  substring(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 2) < tier AS sampled
+      |FROM tiered""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("text_inverted_index", invertedIndex, Some(invertedIndexSql),
       "inverted index: token -> df/cf + sorted doc:tf posting list, two map-side-combined aggs"),
@@ -804,5 +938,9 @@ object TextOps extends OpGroup {
     Op("text_vocab_encode", vocabEncode, Some(vocabEncodeSql),
       "token→id encoding against a frequency-ranked vocab (broadcast join, OOV→0)"),
     Op("text_outlier_docs", outlierDocs, Some(outlierDocsSql),
-      "robust per-language outlier filter: median/MAD z-score over doc length"))
+      "robust per-language outlier filter: median/MAD z-score over doc length"),
+    Op("text_global_shuffle", globalShuffle, Some(globalShuffleSql),
+      "deterministic pre-training shuffle: salted-hash shard + within-shard ordinal"),
+    Op("text_importance_sample", importanceSample, Some(importanceSampleSql),
+      "DSIR-style importance sampling toward a target domain (integer-tiered acceptance)"))
 }

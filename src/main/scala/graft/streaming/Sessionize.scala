@@ -240,6 +240,43 @@ object Sessionize extends OpGroup {
       | AND p.event_type = 'purchase' AND s.event_type = 'signup'
       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY""".stripMargin
 
+  /** Stream-STATIC enrichment join: the event stream decorated with a
+    * batch dimension (customer attributes keyed by user_id) — the
+    * streaming twin of J1's conformed-key dim join and the most common
+    * streaming topology there is (enrich-then-route). Stateless: a
+    * stream-static join keeps NO join state across triggers (the static
+    * side is re-planned per micro-batch, so updates to the dim are picked
+    * up on the next trigger), needs no watermark, and emits in append
+    * mode as rows arrive. The dim side is broadcast — per-trigger cost is
+    * one map stage over the batch, no shuffle of the stream; a dim too
+    * big to broadcast flips to a shuffled join per micro-batch, which is
+    * the cue to pre-key the stream's partitioning to the dim's bucketing
+    * (the s_bucketed_join layout) instead. LEFT join so unmatched events
+    * survive with NULL attributes (orphan events are QA's job, not the
+    * enricher's).
+    */
+  def streamingEnrich(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s) {
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_name"),
+          col("c_mktsegment"))
+      val out = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .join(broadcast(dim), Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"), col("c_mktsegment"))
+      val name = s"memsink_enrich_${System.identityHashCode(out).toHexString}"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+    }
+
+  private val streamingEnrichSql =
+    """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+      |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id""".stripMargin
+
   /** State-store partition count for the stateful streaming queries.
     *
     * A stateful operator pays a fixed per-partition-per-micro-batch cost
@@ -590,5 +627,7 @@ object Sessionize extends OpGroup {
     Op("stream_dedup", streamingDedup, Some(streamingDedupSql),
       "watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)"),
     Op("stream_join", streamingJoin, Some(streamingJoinSql),
-      "stream-stream interval join with watermark-evicted join state"))
+      "stream-stream interval join with watermark-evicted join state"),
+    Op("stream_enrich", streamingEnrich, Some(streamingEnrichSql),
+      "stateless stream-static broadcast enrichment join (append mode, no watermark)"))
 }

@@ -979,6 +979,81 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("global shuffle scatters every shard and numbers it densely") {
+    val out = graft.ops.TextOps.globalShuffle(spark, dir).cache()
+    val total = Tables.load(spark, dir, "documents").count()
+    assert(out.count() == total)
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("maxpos"),
+        countDistinct("pos").as("npos"))
+      .collect()
+    // md5 nibble bits are uniform: all 8 shards populated at 500 docs
+    assert(byShard.length == 8)
+    byShard.foreach { r =>
+      assert(r.getAs[Int]("shard") >= 0 && r.getAs[Int]("shard") < 8)
+      // pos is a dense 1..n ordinal within its shard
+      assert(r.getAs[Int]("maxpos").toLong == r.getAs[Long]("n"))
+      assert(r.getAs[Long]("npos") == r.getAs[Long]("n"))
+    }
+    // the shuffle actually breaks id order: positions are not the id order
+    val firstShard = out.filter(col("shard") === 0)
+      .orderBy("pos").select("doc_id").collect().map(_.getLong(0))
+    assert(firstShard.length > 2 && !firstShard.sameElements(firstShard.sorted),
+      "within-shard order should be hash order, not doc_id order")
+    out.unpersist()
+  }
+
+  test("semantic dedup survivors have no remaining in-threshold pair") {
+    val pairs = graft.ops.SimilarityOps.ivfNearDup(spark, dir).cache()
+    val survivors = graft.ops.SimilarityOps.semanticDedup(spark, dir).cache()
+    val all = Tables.load(spark, dir, "embeddings")
+    // partition: survivors = corpus minus the dropped (higher-id) pair ends
+    val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
+    assert(survivors.count() + dropped.count() == all.count())
+    // greedy guarantee: every near-dup pair lost at least its higher id,
+    // so no pair survives with both ends intact
+    val bothAlive = pairs
+      .join(survivors.select(col("vec_id").as("vec_a")), "vec_a")
+      .join(survivors.select(col("vec_id").as("vec_b")), "vec_b")
+    assert(bothAlive.count() == 0)
+    pairs.unpersist(); survivors.unpersist()
+  }
+
+  test("importance sampling prefers the target domain and is deterministic") {
+    val out = graft.ops.TextOps.importanceSample(spark, dir).cache()
+    val mean = out.groupBy(col("lang") === "en")
+      .agg(avg("avg_log_ratio")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // target-domain docs must score higher under ln(p_target/q_corpus)
+    assert(mean(true) > mean(false),
+      s"en mean ${mean(true)} should exceed non-en ${mean(false)}")
+    // acceptance is a pure hash of (tier, doc_id): a rerun samples the
+    // exact same set (the property engine-RNG sampling does not have)
+    val again = graft.ops.TextOps.importanceSample(spark, dir)
+    assert(out.select("doc_id", "sampled").exceptAll(
+      again.select("doc_id", "sampled")).isEmpty)
+    // higher tier ceiling ⇒ higher observed acceptance (hex-prefix coin)
+    val rates = out.groupBy("tier")
+      .agg(avg(col("sampled").cast("double")).as("rate"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    for {
+      (lo, hi) <- Seq("10" -> "80", "40" -> "d0")
+      (rLo, nLo) <- rates.get(lo); (rHi, nHi) <- rates.get(hi)
+      if nLo >= 30 && nHi >= 30
+    } assert(rHi > rLo, s"tier $hi rate $rHi <= tier $lo rate $rLo")
+    out.unpersist()
+  }
+
+  test("stream-static enrichment neither drops nor fans out events") {
+    val enriched = graft.streaming.Sessionize.streamingEnrich(spark, dir)
+    val events = Tables.load(spark, dir, "events")
+    // LEFT join on a unique dim key: exactly one output row per event
+    assert(enriched.count() == events.count())
+    assert(enriched.filter(col("c_mktsegment").isNull).count() == 0,
+      "every sf user_id resolves against the customer dim")
+  }
+
   test("unpivot is the exact inverse of pivoting back") {
     val long = graft.ops.Relational.unpivotReport(spark, dir)
     val back = long.groupBy("n_name").pivot("metric", Seq("customers", "suppliers"))
