@@ -63,7 +63,43 @@ object Curate extends OpGroup {
        |WHERE d.source <> '${DedupOps.benchmarkSource}'
        |  AND COALESCE(h.n_shared, 0) = 0""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Per-domain quota cap (the C4/RefinedWeb "no domain dominates" rule):
+  // keep at most `domainCap` documents per source, preferring longer
+  // documents (length as the quality proxy; swap in any score), with a
+  // doc_id tie-break so the cut is a total order.
+  //
+  // Scale shape: ONE shuffle on source + a rank window per source. The
+  // number of sources is bounded (domains, not documents), but a single
+  // hot domain at 100 TB can outgrow one window partition — the scale
+  // escape is two-phase: per-source count + quantile pass first (the
+  // text_length_quantiles shape) to find each source's length cut point,
+  // then a stateless filter, with the window reserved for the boundary
+  // stratum only. The windowed form here is the oracle-pinned semantics.
+  // ---------------------------------------------------------------------
+  val domainCap = 15 // < the 25 docs/source of the smallest SF, so the cap BITES
+
+  def domainCapped(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= domainCap)
+  }
+
+  private val domainCappedSql =
+    s"""SELECT doc_id, source, n_chars, rank_in_source FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rank_in_source
+       |  FROM documents) r
+       |WHERE rank_in_source <= $domainCap""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("curate_corpus", curatedCorpus, Some(curatedCorpusSql),
-      "composed curation: lang + quality + exact/near dedup + decontamination"))
+      "composed curation: lang + quality + exact/near dedup + decontamination"),
+    Op("curate_domain_cap", domainCapped, Some(domainCappedSql),
+      "per-domain quota cap: top-K docs per source by length (C4/RefinedWeb rule)"))
 }

@@ -897,6 +897,70 @@ object TextOps extends OpGroup {
       |  substring(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 2) < tier AS sampled
       |FROM tiered""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // BM25 retrieval scoring (Robertson/Sparck Jones): the ranking function
+  // behind Lucene/Elasticsearch, over the same (token, doc) tf table the
+  // inverted index builds. Query = the corpus's top-`bm25QueryTerms`
+  // df tokens (derived IN the plan, so the op is self-contained and
+  // identical at every scale factor); score(d) = Σ_t idf(t) ·
+  // tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+  //
+  // Scale shape: the query-term table is tiny by construction →
+  // broadcast semi-reduction of the tf table BEFORE any per-doc work, so
+  // only docs containing a query term are ever scored; final top-k is
+  // orderBy+limit (TakeOrdered — k rows per partition then a k-merge,
+  // never a single-partition window). Determinism: per-(doc, term)
+  // scores are floored to integer MICRO-units before the per-doc sum,
+  // and the cut's total order (score DESC, doc_id ASC) is engine-stable.
+  // ---------------------------------------------------------------------
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+  val bm25QueryTerms = 3
+  val bm25TopK = 20
+
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("total"))
+    val q = df.orderBy(col("df").desc, col("tok").asc).limit(bm25QueryTerms)
+    val avgdl = col("total").cast("double") / col("n")
+    val idf = log(((col("n") - col("df") + 0.5) / (col("df") + 0.5)) + 1)
+    val denom = col("tf") + lit(bm25K1) *
+      (lit(1) - lit(bm25B) + lit(bm25B) * (col("dl") / avgdl))
+    tf.join(broadcast(q), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(idf * ((col("tf") * lit(bm25K1 + 1)) / denom) * lit(1e6))
+          .cast("long").as("term_micro"))
+      .groupBy(col("doc_id"))
+      .agg(sum("term_micro").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(bm25TopK)
+  }
+
+  private val bm25Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+       |q AS (SELECT tok, df FROM df ORDER BY df DESC, tok ASC LIMIT $bm25QueryTerms)
+       |SELECT t.doc_id, CAST(SUM(CAST(FLOOR(
+       |    ln(((s.n - q.df + 0.5) / (q.df + 0.5)) + 1)
+       |    * ((t.tf * ${bm25K1 + 1}) /
+       |       (t.tf + $bm25K1 * (1 - $bm25B + $bm25B * (d.dl / (CAST(s.total AS DOUBLE) / s.n)))))
+       |    * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+       |FROM tf t JOIN q USING (tok) JOIN dl d USING (doc_id), stats s
+       |GROUP BY t.doc_id
+       |ORDER BY score_micro DESC, t.doc_id ASC LIMIT $bm25TopK""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("text_inverted_index", invertedIndex, Some(invertedIndexSql),
       "inverted index: token -> df/cf + sorted doc:tf posting list, two map-side-combined aggs"),
@@ -942,5 +1006,7 @@ object TextOps extends OpGroup {
     Op("text_global_shuffle", globalShuffle, Some(globalShuffleSql),
       "deterministic pre-training shuffle: salted-hash shard + within-shard ordinal"),
     Op("text_importance_sample", importanceSample, Some(importanceSampleSql),
-      "DSIR-style importance sampling toward a target domain (integer-tiered acceptance)"))
+      "DSIR-style importance sampling toward a target domain (integer-tiered acceptance)"),
+    Op("text_bm25", bm25, Some(bm25Sql),
+      "BM25 retrieval scoring over the tf table (broadcast query semi-reduction + TakeOrdered)"))
 }

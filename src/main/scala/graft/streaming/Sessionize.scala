@@ -277,6 +277,54 @@ object Sessionize extends OpGroup {
     """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
       |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id""".stripMargin
 
+  /** Sessionization via Spark's NATIVE `session_window` aggregation — the
+    * declarative twin of [[sessionizeStream]]'s hand-rolled
+    * flatMapGroupsWithState. Catalyst plans session merging itself
+    * (UpdatingSessionsExec + merging state store), so prefer this form
+    * whenever the per-session result is an aggregation; the custom-state
+    * path earns its keep only for non-aggregable session payloads (e.g.
+    * the ordered event list). Same 30-minute gap; `window.end` is
+    * last-event + gap by definition, mirrored in the oracle as
+    * MAX(ts) + gap over the lag/cumsum session assignment. Complete mode
+    * memory sink for the harness (the bounded-state deployment form is
+    * append + watermark, exactly as hourlyWindowedAppend demonstrates for
+    * tumbling windows).
+    */
+  def sessionWindowed(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s) {
+      val out = eventsStream(s, dir)
+        .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+      val name = s"memsink_sw_${System.identityHashCode(out).toHexString}"
+      val q = out.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+    }
+
+  private val sessionWindowedSql =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+       |           ORDER BY ts ASC, event_id ASC) > INTERVAL $gapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events),
+       |y AS (
+       |  SELECT user_id, ts,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |                   ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM x)
+       |SELECT user_id, MIN(ts) AS session_start,
+       |       MAX(ts) + INTERVAL $gapMinutes MINUTE AS session_end,
+       |       COUNT(*) AS n_events
+       |FROM y GROUP BY user_id, sess""".stripMargin
+
   /** State-store partition count for the stateful streaming queries.
     *
     * A stateful operator pays a fixed per-partition-per-micro-batch cost
@@ -629,5 +677,7 @@ object Sessionize extends OpGroup {
     Op("stream_join", streamingJoin, Some(streamingJoinSql),
       "stream-stream interval join with watermark-evicted join state"),
     Op("stream_enrich", streamingEnrich, Some(streamingEnrichSql),
-      "stateless stream-static broadcast enrichment join (append mode, no watermark)"))
+      "stateless stream-static broadcast enrichment join (append mode, no watermark)"),
+    Op("stream_session_window", sessionWindowed, Some(sessionWindowedSql),
+      "sessionization via the NATIVE session_window aggregation (Catalyst-planned session merge)"))
 }

@@ -1054,6 +1054,63 @@ class ExtensionsSpec extends AnyFunSuite {
       "every sf user_id resolves against the customer dim")
   }
 
+  test("bm25 ranks only docs containing a query term, highest score first") {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+    val queryTerms = toks.groupBy(col("doc_id"), col("tok")).count()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc)
+      .limit(graft.ops.TextOps.bm25QueryTerms)
+      .collect().map(_.getString(0)).toSet
+    val out = graft.ops.TextOps.bm25(spark, dir).collect()
+    assert(out.length == graft.ops.TextOps.bm25TopK)
+    // descending scores with doc_id tie-break = a total order
+    val scores = out.map(r => (r.getAs[Long]("score_micro"), r.getAs[Long]("doc_id")))
+    assert(scores.sameElements(scores.sortBy(t => (-t._1, t._2))))
+    // every ranked doc really contains a query term (scores > 0 only come
+    // from matched terms; idf of a majority term can be near zero but the
+    // semi-join means no term, no row)
+    val ranked = out.map(_.getAs[Long]("doc_id")).toSet
+    val withTerm = toks.filter(col("tok").isin(queryTerms.toSeq: _*))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ranked.subsetOf(withTerm))
+  }
+
+  test("domain cap keeps exactly the longest docs of each source") {
+    val out = graft.ops.Curate.domainCapped(spark, dir).cache()
+    val cap = graft.ops.Curate.domainCap
+    val perSource = out.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= cap))
+    // the cut is by (n_chars DESC, doc_id ASC): no dropped doc may
+    // strictly out-length a kept doc of the same source
+    val all = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val dropped = all.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+    val maxDropped = dropped.groupBy("source")
+      .agg(max("n_chars").as("max_dropped"))
+    val minKept = out.groupBy("source").agg(min("n_chars").as("min_kept"))
+    val bad = maxDropped.join(minKept, "source")
+      .filter(col("max_dropped") > col("min_kept"))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
+  test("native session_window agrees with the hand-rolled sessionizer") {
+    val native = graft.streaming.Sessionize.sessionWindowed(spark, dir)
+      .select(col("user_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+    val handRolled = graft.streaming.Sessionize.sessionizeBatch(spark, dir)
+      .select(col("user_id"), col("session_start"),
+        (col("session_end") + expr(
+          s"INTERVAL ${graft.streaming.Sessionize.gapMinutes} MINUTE"))
+          .as("session_end"),
+        col("n_events").cast("long").as("n_events"))
+    assert(native.exceptAll(handRolled).isEmpty
+      && handRolled.exceptAll(native).isEmpty,
+      "session_window must assign the identical sessions")
+  }
+
   test("unpivot is the exact inverse of pivoting back") {
     val long = graft.ops.Relational.unpivotReport(spark, dir)
     val back = long.groupBy("n_name").pivot("metric", Seq("customers", "suppliers"))
