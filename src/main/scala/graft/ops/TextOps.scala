@@ -961,6 +961,99 @@ object TextOps extends OpGroup {
        |GROUP BY t.doc_id
        |ORDER BY score_micro DESC, t.doc_id ASC LIMIT $bm25TopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // BPE merge training (Sennrich et al. 2016): the first `bpeRounds`
+  // merge rules a byte-pair-encoding tokenizer would learn from this
+  // corpus. Each round counts ADJACENT symbol pairs over the vocabulary
+  // (weighted by word frequency, overlapping pairs counted like the
+  // reference implementations), picks the most frequent pair with a
+  // (count DESC, pair ASC) total-order tie-break, and applies the merge
+  // greedily left-to-right — exactly the single-pass non-overlapping
+  // `replace` both engines share, which for one rule IS the exhaustive
+  // greedy application ("aaa" + (a,a) → [aa, a]).
+  //
+  // Scale design: after the one corpus pass that builds the word-
+  // frequency table, every round runs over the VOCABULARY (distinct
+  // words), not the corpus — the cost structure that lets real BPE
+  // trainers do 50k merges. Words are "|"-delimited symbol strings
+  // ("|a|b|c|"), safe because the corpus is pipe-free (asserted upstream
+  // of the delimiter choice); pair extraction is a per-word adjacent zip
+  // (explode + map-side-combined hash-agg), and the winning pair is ONE
+  // collected row per round — the k-means-centroid shape, not a driver
+  // loop over data. Production BPE maintains incremental pair-count
+  // deltas instead of recounting; the full recount here is what makes
+  // each round independently oracle-verifiable. All-integer counts, no
+  // floats anywhere. Character-level splitting is codepoint-based in
+  // both engines (identical on this BMP-only corpus); a byte-level BPE
+  // would first hex-encode, same shape.
+  // ---------------------------------------------------------------------
+  val bpeRounds = 3
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|"))
+        .as("rep"), col("freq"))
+      .cache()
+    val pairStructs = expr(
+      "transform(slice(toks, 1, size(toks)-1), (x, i) -> " +
+        "struct(x AS a, toks[i+1] AS b))")
+    var cur = words
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to bpeRounds) {
+      val best = cur
+        .withColumn("toks", filter(split(col("rep"), "\\|", -1), _ =!= ""))
+        .select(explode(pairStructs).as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      best.headOption.foreach { row =>
+        val (a, b, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((r, a, b, a + b, c))
+        cur = cur.withColumn("rep", replace(col("rep"),
+          lit(s"|$a|$b|"), lit(s"|$a$b|")))
+      }
+    }
+    words.unpersist()
+    merges.result()
+      .toDF("round", "left", "right", "merged", "pair_count")
+  }
+
+  private val bpeMergesSql = {
+    def round(n: Int): String =
+      s"""p$n AS (
+         |  SELECT l[i] AS a, l[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM (SELECT l, freq, unnest(range(2, len(l) - 1)) AS i
+         |        FROM (SELECT string_split(rep, '|') AS l, freq
+         |              FROM w${n - 1}) s) t
+         |  GROUP BY 1, 2),
+         |b$n AS (SELECT a, b, c FROM p$n ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |w$n AS (
+         |  SELECT replace(rep, (SELECT '|' || a || '|' || b || '|' FROM b$n),
+         |                      (SELECT '|' || a || b || '|' FROM b$n)) AS rep,
+         |         freq
+         |  FROM w${n - 1})""".stripMargin
+    val rounds = (1 to bpeRounds).map(round).mkString(",\n")
+    val selects = (1 to bpeRounds).map { n =>
+      s"""SELECT $n AS round, a AS "left", b AS "right",
+         |  a || b AS merged, c AS pair_count FROM b$n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT tok AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |        FROM documents) t
+       |  WHERE tok <> '' GROUP BY tok),
+       |w0 AS (
+       |  SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS rep, freq
+       |  FROM words),
+       |$rounds
+       |$selects""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("text_inverted_index", invertedIndex, Some(invertedIndexSql),
       "inverted index: token -> df/cf + sorted doc:tf posting list, two map-side-combined aggs"),
@@ -1008,5 +1101,7 @@ object TextOps extends OpGroup {
     Op("text_importance_sample", importanceSample, Some(importanceSampleSql),
       "DSIR-style importance sampling toward a target domain (integer-tiered acceptance)"),
     Op("text_bm25", bm25, Some(bm25Sql),
-      "BM25 retrieval scoring over the tf table (broadcast query semi-reduction + TakeOrdered)"))
+      "BM25 retrieval scoring over the tf table (broadcast query semi-reduction + TakeOrdered)"),
+    Op("text_bpe_merges", bpeMerges, Some(bpeMergesSql),
+      "BPE tokenizer training: first merge rules via vocabulary-level pair counting rounds"))
 }

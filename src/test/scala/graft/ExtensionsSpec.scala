@@ -1111,6 +1111,40 @@ class ExtensionsSpec extends AnyFunSuite {
       "session_window must assign the identical sessions")
   }
 
+  test("bpe merges match an independent driver-side reference trainer") {
+    val words = Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // classic dict BPE: count adjacent pairs over (symbols, freq) words,
+    // merge the (count DESC, pair ASC) winner greedily left-to-right
+    var reps = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val expected = (1 to graft.ops.TextOps.bpeRounds).flatMap { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((toks, f) <- reps; i <- 0 until toks.length - 1)
+        counts.updateWith((toks(i), toks(i + 1)))(v => Some(v.getOrElse(0L) + f))
+      if (counts.isEmpty) None
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        reps = reps.map { case (toks, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          (out.result(), f)
+        }
+        Some((r, a, b, a + b, c))
+      }
+    }
+    val got = graft.ops.TextOps.bpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected, s"spark merges $got != reference $expected")
+  }
+
   test("unpivot is the exact inverse of pivoting back") {
     val long = graft.ops.Relational.unpivotReport(spark, dir)
     val back = long.groupBy("n_name").pivot("metric", Seq("customers", "suppliers"))
