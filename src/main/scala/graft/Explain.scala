@@ -28,6 +28,9 @@ object Explain {
       "shuffles" -> distinctIds("Exchange hashpartitioning"),
       "broadcasts" -> distinctIds("BroadcastExchange"),
       "sortMergeJoins" -> "SortMergeJoin".r.findAllIn(plan).size,
+      // the two non-equi scale-killers: O(N·M) row-compare joins
+      "nestedLoopJoins" -> ("BroadcastNestedLoopJoin".r.findAllIn(plan).size
+        + "CartesianProduct".r.findAllIn(plan).size),
       // toString marks codegen stages as "*(n)" prefixes, not the word
       // "WholeStageCodegen"; distinct ids = number of codegen spans.
       "codegenSpans" -> "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)

@@ -467,7 +467,48 @@ object Joins extends OpGroup {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // J14 (beyond reference) — binned range join: a PURE range predicate
+  // (|p.value − s.value| ≤ δ) with NO equi key. Naively Spark plans this
+  // as BroadcastNestedLoopJoin — O(N·M) row compares, the canonical
+  // non-equi scale-killer. Binning recovers an equi join: bucket both
+  // sides by floor(value/δ); any in-range pair is within ±1 bin, so the
+  // probe side explodes to its 3 candidate bins, joins on the bin key,
+  // and the exact predicate filters the candidates. Each true pair is
+  // emitted exactly once (the build row has ONE bin; the probe's 3 bins
+  // are distinct). δ a power of two keeps the bucketing float-exact in
+  // any engine. Candidate cost: O(N+M) shuffle + per-bin products — the
+  // same discipline as the LSH band join, applied to scalar ranges.
+  // Plan-pinned: zero nested-loop/cartesian operators.
+  // ---------------------------------------------------------------------
+  val rangeJoinDelta = 0.5
+
+  def binnedRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("value").as("p_value"))
+      .withColumn("bin", explode(array(
+        floor(col("p_value") / rangeJoinDelta).cast("long") - 1,
+        floor(col("p_value") / rangeJoinDelta).cast("long"),
+        floor(col("p_value") / rangeJoinDelta).cast("long") + 1)))
+    val build = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("value").as("s_value"),
+        floor(col("value") / rangeJoinDelta).cast("long").as("bin"))
+    probes.join(build, Seq("bin"))
+      .filter(abs(col("p_value") - col("s_value")) <= rangeJoinDelta)
+      .select(col("p_id"), col("s_id"), col("p_value"), col("s_value"))
+  }
+
+  private val binnedRangeJoinSql =
+    s"""SELECT p.event_id AS p_id, s.event_id AS s_id,
+       |       p.value AS p_value, s.value AS s_value
+       |FROM events p JOIN events s
+       |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
+       | AND abs(p.value - s.value) <= $rangeJoinDelta""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("j13_binned_range_join", binnedRangeJoin, Some(binnedRangeJoinSql),
+      "pure range-predicate join via delta-binning: equi join on bins, never a nested loop"),
     Op("j11_runtime_bloom_join", runtimeBloomJoin, Some(runtimeBloomJoinSql),
       "bloom-filter semi-join reduction: fact rows pre-filtered before the shuffle"),
     Op("j12_salted_skew_join", saltedSkewJoin, Some(saltedSkewJoinSql),

@@ -618,6 +618,25 @@ class ExtensionsSpec extends AnyFunSuite {
             .toString).distinct.sorted
     }.flatten
     assert(scanned == Seq("2024-01-10", "2024-01-11"), scanned.toString)
+    // binned range join: the whole point is escaping the nested loop —
+    // zero BNLJ/cartesian operators, candidates meet in an equi join
+    val rj = c("j13_binned_range_join")
+    assert(rj("nestedLoopJoins") == 0, s"j13_binned_range_join: $rj")
+    assert(rj("sortMergeJoins") + rj("broadcasts") >= 1,
+      s"j13_binned_range_join must join on the bin key: $rj")
+    // domain cap: one source-key exchange feeding the rank window
+    val dc = c("curate_domain_cap")
+    assert(dc("shuffles") == 1 && dc("sortMergeJoins") == 0,
+      s"curate_domain_cap: $dc")
+    // global shuffle: one shard-key exchange feeding the ordinal window
+    val gs = c("text_global_shuffle")
+    assert(gs("shuffles") == 1 && gs("broadcasts") == 0,
+      s"text_global_shuffle: $gs")
+    // BM25: the query-term and corpus-stats sides broadcast; only the
+    // tf/dl aggregations shuffle
+    val bm = c("text_bm25")
+    assert(bm("broadcasts") >= 2 && bm("nestedLoopJoins") <= 1,
+      s"text_bm25: $bm")
   }
 
   test("approx-distinct raw path keeps the single-shuffle sketch shape") {
