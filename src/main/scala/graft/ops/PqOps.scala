@@ -260,9 +260,66 @@ object PqOps extends OpGroup {
        |  FROM adc) t
        |WHERE rank <= $pqTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // IVF-PQ: the production ANN composition — the IVF coarse quantizer
+  // restricts WHICH vectors are scored (the query's probed cells), PQ's
+  // ADC decides HOW cheaply (4 LUT lookups per candidate, embeddings
+  // never read). Here the cell restriction is a semi-join of the ADC
+  // scan against the (query, cell-mate) candidate table; a deployment
+  // co-partitions the CODES table by cell so the probe prunes partitions
+  // at the scan (the s_partitioned_layout lever) and per-query cost is
+  // O(probed-cells · cell-size) lookups — independent of corpus size at
+  // k ≈ √N cells. Rank ties break on vec_id; both index artifacts
+  // (cells, codes) are the bench's one-time builds.
+  // ---------------------------------------------------------------------
+  def ivfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val cells = graft.ops.SimilarityOps.ivfCells(s, dir)
+    val q = cells.filter(col("vec_id") < pqQueryCount)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val cand = cells.select(col("cell"), col("vec_id"))
+      .join(broadcast(q), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_d2").asc, col("vec_id").asc)
+    adcScores(s, dir).join(cand, Seq("q_id", "vec_id"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= pqTopK)
+  }
+
+  private lazy val ivfPqTopkSql =
+    s"""WITH ${graft.ops.SimilarityOps.ivfCellsCtesForCompose},
+       |$pqCtes,
+       |lut AS (
+       |  SELECT qs.vec_id AS q_id, qs.j, d.code,
+       |         ${d2Sql("qs.sv", "d.cv")} AS ld
+       |  FROM sv qs JOIN cbl d ON d.j = qs.j
+       |  WHERE qs.vec_id < $pqQueryCount),
+       |cand AS (
+       |  SELECT DISTINCT qc.vec_id AS q_id, c.vec_id
+       |  FROM cells qc JOIN cells c ON c.cell = qc.cell
+       |  WHERE qc.vec_id < $pqQueryCount AND c.vec_id <> qc.vec_id),
+       |adc AS (
+       |  SELECT l0.q_id, c.vec_id,
+       |         round(l0.ld + l1.ld + l2.ld + l3.ld, 6) AS approx_d2
+       |  FROM codes c
+       |  JOIN lut l0 ON l0.j = 0 AND l0.code = c.c0
+       |  JOIN lut l1 ON l1.j = 1 AND l1.code = c.c1 AND l1.q_id = l0.q_id
+       |  JOIN lut l2 ON l2.j = 2 AND l2.code = c.c2 AND l2.q_id = l0.q_id
+       |  JOIN lut l3 ON l3.j = 3 AND l3.code = c.c3 AND l3.q_id = l0.q_id
+       |  JOIN cand x ON x.q_id = l0.q_id AND x.vec_id = c.vec_id)
+       |SELECT q_id, vec_id, approx_d2, rank FROM (
+       |  SELECT q_id, vec_id, approx_d2,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY approx_d2 ASC, vec_id ASC) AS INT) AS rank
+       |  FROM adc) t
+       |WHERE rank <= $pqTopK""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("sim_pq_codes", pqCodes, Some(pqCodesSql),
       "product-quantization encoding: 4x16-code codebook (seeded Lloyd round), ~32x index compression"),
     Op("sim_pq_topk", pqTopk, Some(pqTopkSql),
-      "PQ ADC top-k: per-query LUT over the codes table, embeddings never re-read"))
+      "PQ ADC top-k: per-query LUT over the codes table, embeddings never re-read"),
+    Op("sim_ivfpq_topk", ivfPqTopk, Some(ivfPqTopkSql),
+      "IVF-PQ retrieval: ADC scan restricted to the query's probed k-means cells"))
 }

@@ -220,6 +220,11 @@ object SimilarityOps extends OpGroup {
     s"CASE WHEN substring(bucket, ${b + 1}, 1) = '1' THEN ${1 << (ivfSeedBits - 1 - b)} ELSE 0 END"
   }.mkString(" + ")
 
+  /** The IVF cell CTE chain for cross-module oracle composition (IVF-PQ
+    * reuses it; CTE names are collision-checked against PqOps's chain).
+    */
+  private[ops] def ivfCellsCtesForCompose: String = ivfCellsCtes
+
   // lazy: lshSignaturesSql is declared later in this object body
   private lazy val ivfCellsCtes =
     s"""sigs AS ($lshSignaturesSql),

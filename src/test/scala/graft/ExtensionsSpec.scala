@@ -1164,6 +1164,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == expected, s"spark merges $got != reference $expected")
   }
 
+  test("ivf-pq scans only cell-mates and holds the measured recall floor") {
+    val out = graft.ops.PqOps.ivfPqTopk(spark, dir).cache()
+    // structural guarantee: every scored candidate shares a probed cell
+    // with its query
+    val cells = graft.ops.SimilarityOps.ivfCells(spark, dir)
+      .select(col("cell"), col("vec_id"))
+    val qCells = cells.filter(col("vec_id") < graft.ops.PqOps.pqQueryCount)
+      .select(col("cell"), col("vec_id").as("q_id"))
+    val legal = cells.join(qCells, "cell")
+      .select("q_id", "vec_id").distinct()
+    assert(out.join(legal, Seq("q_id", "vec_id"), "left_anti").count() == 0,
+      "ivf-pq scored a vector outside the probed cells")
+    // measured recall@10 vs exact L2 at sf0.001: 0.30 (PQ full ADC scan:
+    // 0.36 — the cell restriction trades 0.06 recall for scanning ~2/8 of
+    // the corpus on this structureless random corpus). Deterministic
+    // computation, so the floor is tight.
+    val exact = {
+      val e = Tables.load(spark, dir, "embeddings")
+      val q = e.filter(col("vec_id") < graft.ops.PqOps.pqQueryCount)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val d2 = graft.functions.TextFns.dotProduct(col("embedding"), col("embedding")) -
+        lit(2) * graft.functions.TextFns.dotProduct(col("embedding"), col("q_emb")) +
+        graft.functions.TextFns.dotProduct(col("q_emb"), col("q_emb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id").asc)
+      e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), d2.as("d2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select("q_id", "vec_id")
+    }
+    val hits = out.select("q_id", "vec_id").join(exact, Seq("q_id", "vec_id"))
+      .count().toDouble
+    val recall = hits / exact.count()
+    assert(recall >= 0.29, s"ivf-pq recall@10 fell to $recall")
+    out.unpersist()
+  }
+
   test("unpivot is the exact inverse of pivoting back") {
     val long = graft.ops.Relational.unpivotReport(spark, dir)
     val back = long.groupBy("n_name").pivot("metric", Seq("customers", "suppliers"))
