@@ -97,9 +97,53 @@ object Curate extends OpGroup {
        |  FROM documents) r
        |WHERE rank_in_source <= $domainCap""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Curriculum staging: assign each document a difficulty stage (1..4 by
+  // length quartile — swap in any difficulty signal) WITHOUT a global
+  // sort. The naive form is ntile(4) over a corpus-wide ORDER BY — one
+  // window partition holding every row, the single worst plan shape at
+  // 100 TB. Instead: one exact-percentile aggregation computes the three
+  // cut points (a sketch at deployment scale, like text_quantiles_approx),
+  // they re-enter the plan as a broadcast, and stage assignment is a
+  // stateless codegen'd CASE — the same two-phase discipline as
+  // text_outlier_docs. Within-stage ordering at training time composes
+  // with text_global_shuffle. Boundary docs (n_chars == a cut) land in
+  // the lower stage in both engines: the cuts are identical doubles and
+  // the comparison is <=.
+  // ---------------------------------------------------------------------
+  def curriculumStages(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val cuts = d.agg(
+      expr("percentile(n_chars, 0.25)").as("q1"),
+      expr("percentile(n_chars, 0.5)").as("q2"),
+      expr("percentile(n_chars, 0.75)").as("q3"))
+    d.select(col("doc_id"), col("n_chars"))
+      .crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") <= col("q1"), 1)
+          .when(col("n_chars") <= col("q2"), 2)
+          .when(col("n_chars") <= col("q3"), 3)
+          .otherwise(4).as("stage"))
+  }
+
+  private val curriculumStagesSql =
+    """WITH cuts AS (
+      |  SELECT quantile_cont(n_chars, 0.25) AS q1,
+      |         quantile_cont(n_chars, 0.5) AS q2,
+      |         quantile_cont(n_chars, 0.75) AS q3
+      |  FROM documents)
+      |SELECT doc_id, n_chars,
+      |  CASE WHEN n_chars <= q1 THEN 1
+      |       WHEN n_chars <= q2 THEN 2
+      |       WHEN n_chars <= q3 THEN 3
+      |       ELSE 4 END AS stage
+      |FROM documents, cuts""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("curate_corpus", curatedCorpus, Some(curatedCorpusSql),
       "composed curation: lang + quality + exact/near dedup + decontamination"),
     Op("curate_domain_cap", domainCapped, Some(domainCappedSql),
-      "per-domain quota cap: top-K docs per source by length (C4/RefinedWeb rule)"))
+      "per-domain quota cap: top-K docs per source by length (C4/RefinedWeb rule)"),
+    Op("curate_curriculum", curriculumStages, Some(curriculumStagesSql),
+      "curriculum staging: quartile difficulty bins via broadcast cut points, no global sort"))
 }

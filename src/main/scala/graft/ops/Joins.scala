@@ -483,20 +483,31 @@ object Joins extends OpGroup {
   // ---------------------------------------------------------------------
   val rangeJoinDelta = 0.5
 
+  /** The binning core over (p_id, p_value) × (s_id, s_value) inputs —
+    * exposed for the equivalence property test, which proves it equal to
+    * the naive θ-join on generated data.
+    */
+  private[graft] def binnedRangePairs(probe: DataFrame, build: DataFrame,
+      delta: Double): DataFrame = {
+    val probes = probe.withColumn("bin", explode(array(
+      floor(col("p_value") / delta).cast("long") - 1,
+      floor(col("p_value") / delta).cast("long"),
+      floor(col("p_value") / delta).cast("long") + 1)))
+    val binned = build.withColumn("bin",
+      floor(col("s_value") / delta).cast("long"))
+    probes.join(binned, Seq("bin"))
+      .filter(abs(col("p_value") - col("s_value")) <= delta)
+      .select(col("p_id"), col("s_id"), col("p_value"), col("s_value"))
+  }
+
   def binnedRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
-    val probes = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("value").as("p_value"))
-      .withColumn("bin", explode(array(
-        floor(col("p_value") / rangeJoinDelta).cast("long") - 1,
-        floor(col("p_value") / rangeJoinDelta).cast("long"),
-        floor(col("p_value") / rangeJoinDelta).cast("long") + 1)))
-    val build = ev.filter(col("event_type") === "signup")
-      .select(col("event_id").as("s_id"), col("value").as("s_value"),
-        floor(col("value") / rangeJoinDelta).cast("long").as("bin"))
-    probes.join(build, Seq("bin"))
-      .filter(abs(col("p_value") - col("s_value")) <= rangeJoinDelta)
-      .select(col("p_id"), col("s_id"), col("p_value"), col("s_value"))
+    binnedRangePairs(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("value").as("p_value")),
+      ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("value").as("s_value")),
+      rangeJoinDelta)
   }
 
   private val binnedRangeJoinSql =

@@ -1054,6 +1054,97 @@ object TextOps extends OpGroup {
        |$selects""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Hard-negative mining (retrieval/embedding training data): for each
+  // query document, the top-scoring OTHER documents under BM25 on the
+  // query's own token set — lexically close but non-identical, exactly
+  // the negatives a dual encoder learns the most from. Exact duplicates
+  // (same normalized fingerprint) are excluded: a copy of the query is a
+  // false negative that would poison the contrastive loss; the near-dup
+  // exclusion can be widened with dedup_minhash_lsh's pair table.
+  //
+  // Scale shape: query docs are bounded by construction, so their token
+  // sets broadcast and semi-reduce the tf table exactly like text_bm25's
+  // query terms; scoring touches only (candidate, shared-token) rows.
+  // Per-query top-k via ONE rank window on q_id — the query side is the
+  // bounded dimension, so the window partitions stay small at any corpus
+  // size. Same integer micro-unit scoring as text_bm25.
+  // ---------------------------------------------------------------------
+  val hnQueryDocs = 3
+  val hnTopK = 5
+
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("total"))
+    val qterms = toks.filter(col("doc_id") < hnQueryDocs)
+      .select(col("doc_id").as("q_id"), col("tok")).distinct()
+      .join(df, "tok")
+    val fp = d.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val qfp = fp.filter(col("doc_id") < hnQueryDocs)
+      .select(col("doc_id").as("q_id"), col("fp").as("q_fp"))
+    val avgdl = col("total").cast("double") / col("n")
+    val idf = log(((col("n") - col("df") + 0.5) / (col("df") + 0.5)) + 1)
+    val denom = col("tf") + lit(bm25K1) *
+      (lit(1) - lit(bm25B) + lit(bm25B) * (col("dl") / avgdl))
+    val scored = tf.join(broadcast(qterms), Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        floor(idf * ((col("tf") * lit(bm25K1 + 1)) / denom) * lit(1e6))
+          .cast("long").as("term_micro"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum("term_micro").as("score_micro"))
+      .join(fp, "doc_id").join(broadcast(qfp), "q_id")
+      .filter(col("fp") =!= col("q_fp"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= hnTopK)
+      .select(col("q_id"), col("doc_id"), col("score_micro"), col("rank"))
+  }
+
+  private val hardNegativesSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+       |qterms AS (
+       |  SELECT DISTINCT t.doc_id AS q_id, t.tok, d.df
+       |  FROM toks t JOIN df d USING (tok) WHERE t.doc_id < $hnQueryDocs),
+       |fp AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |scored AS (
+       |  SELECT q.q_id, t.doc_id, CAST(SUM(CAST(FLOOR(
+       |      ln(((s.n - q.df + 0.5) / (q.df + 0.5)) + 1)
+       |      * ((t.tf * ${bm25K1 + 1}) /
+       |         (t.tf + $bm25K1 * (1 - $bm25B + $bm25B * (d.dl / (CAST(s.total AS DOUBLE) / s.n)))))
+       |      * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+       |  FROM tf t JOIN qterms q USING (tok) JOIN dl d ON d.doc_id = t.doc_id,
+       |       stats s
+       |  WHERE t.doc_id <> q.q_id
+       |  GROUP BY q.q_id, t.doc_id)
+       |SELECT q_id, doc_id, score_micro, rank FROM (
+       |  SELECT sc.q_id, sc.doc_id, sc.score_micro,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY sc.q_id
+       |      ORDER BY sc.score_micro DESC, sc.doc_id ASC) AS INT) AS rank
+       |  FROM scored sc
+       |  JOIN fp c ON c.doc_id = sc.doc_id
+       |  JOIN fp q ON q.doc_id = sc.q_id
+       |  WHERE c.fp <> q.fp) t
+       |WHERE rank <= $hnTopK""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("text_inverted_index", invertedIndex, Some(invertedIndexSql),
       "inverted index: token -> df/cf + sorted doc:tf posting list, two map-side-combined aggs"),
@@ -1103,5 +1194,7 @@ object TextOps extends OpGroup {
     Op("text_bm25", bm25, Some(bm25Sql),
       "BM25 retrieval scoring over the tf table (broadcast query semi-reduction + TakeOrdered)"),
     Op("text_bpe_merges", bpeMerges, Some(bpeMergesSql),
-      "BPE tokenizer training: first merge rules via vocabulary-level pair counting rounds"))
+      "BPE tokenizer training: first merge rules via vocabulary-level pair counting rounds"),
+    Op("text_hard_negatives", hardNegatives, Some(hardNegativesSql),
+      "hard-negative mining: per-query BM25 top-k over non-identical docs (dual-encoder training)"))
 }

@@ -1201,6 +1201,46 @@ class ExtensionsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("hard negatives are dense-ranked, non-self, and never exact dupes") {
+    val out = graft.ops.TextOps.hardNegatives(spark, dir).cache()
+    val k = graft.ops.TextOps.hnTopK
+    val byQ = out.groupBy("q_id").agg(
+      count(lit(1)).as("n"), max("rank").as("maxr"),
+      countDistinct("rank").as("nr")).collect()
+    assert(byQ.length == graft.ops.TextOps.hnQueryDocs)
+    byQ.foreach { r =>
+      assert(r.getAs[Long]("n") == k && r.getAs[Int]("maxr") == k
+        && r.getAs[Long]("nr") == k, s"ranks not dense 1..$k: $r")
+    }
+    assert(out.filter(col("q_id") === col("doc_id")).count() == 0)
+    // no negative may share the query's normalized fingerprint
+    val fp = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+    val joined = out
+      .join(fp.select(col("doc_id").as("q_id"), col("fp").as("q_fp")), "q_id")
+      .join(fp, "doc_id")
+    assert(joined.filter(col("fp") === col("q_fp")).count() == 0)
+    out.unpersist()
+  }
+
+  test("curriculum stages are monotone in difficulty and quartile-balanced") {
+    val out = graft.ops.Curate.curriculumStages(spark, dir).cache()
+    val stages = out.groupBy("stage")
+      .agg(count(lit(1)).as("n"), min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .orderBy("stage").collect()
+    assert(stages.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    // stages tile the difficulty axis: each stage's max is below the next
+    // stage's min (boundary ties all land in the lower stage)
+    stages.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"),
+        s"stage overlap: $a vs $b")
+    }
+    // exact quartiles of 500 docs: ~125 per stage, ties may shift a few
+    stages.foreach(r => assert(math.abs(r.getAs[Long]("n") - 125L) <= 25,
+      s"stage imbalance: $r"))
+    out.unpersist()
+  }
+
   test("unpivot is the exact inverse of pivoting back") {
     val long = graft.ops.Relational.unpivotReport(spark, dir)
     val back = long.groupBy("n_name").pivot("metric", Seq("customers", "suppliers"))

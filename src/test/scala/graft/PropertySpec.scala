@@ -234,6 +234,25 @@ object PropertySpec extends Properties("graft") {
     b <- Gen.choose(0L, 30L) if a != b
   } yield (a, b)
 
+  property("binned range join equals the naive theta-join on random values") =
+    Prop.forAll(
+      Gen.listOfN(25, Gen.choose(-100.0, 100.0)),
+      Gen.listOfN(25, Gen.choose(-100.0, 100.0)),
+      Gen.oneOf(0.25, 0.5, 1.0, 4.0)) { (ps, ss, delta) =>
+      val probe = ps.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("p_id", "p_value")
+      val build = ss.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("s_id", "s_value")
+      val got = ops.Joins.binnedRangePairs(probe, build, delta)
+        .select("p_id", "s_id").as[(Long, Long)].collect().toSet
+      val model = (for {
+        (pv, pi) <- ps.zipWithIndex
+        (sv, si) <- ss.zipWithIndex
+        if math.abs(pv - sv) <= delta
+      } yield (pi.toLong, si.toLong)).toSet
+      got == model
+    }
+
   property("connected components equal union-find on random graphs") =
     Prop.forAll(Gen.listOfN(20, edgeGen)) { es =>
       val got = ops.DedupOps
