@@ -58,6 +58,7 @@ object Explain {
           val c = counters(df)
           println(f"PLAN $n%-28s shuffles=${c("shuffles")} " +
             f"bcastJoin=${c("broadcasts")} sortMergeJoin=${c("sortMergeJoins")} " +
+            f"nestedLoop=${c("nestedLoopJoins")} " +
             f"codegenSpans=${c("codegenSpans")} pushedFilterScans=${c("pushedFilterScans")}")
           if (args.length > 1) println(df.queryExecution.executedPlan.toString)
         } catch { case e: Throwable => println(s"PLAN $n ERROR: ${e.getMessage}") }

@@ -450,7 +450,77 @@ object SimilarityOps extends OpGroup {
       |  md5(array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), ',')) AS q_md5
       |FROM q""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Class prototypes: per-label mean embedding (the nearest-class-mean
+  // classifier's model, and the standard embedding-space diagnostic —
+  // how separable are the labels?). Centroids use the same
+  // micro-quantized BIGINT-sum means as the IVF path (exact in any
+  // engine/order); each vector is then assigned its nearest prototype by
+  // rounded cosine (ties to the smallest label) and the op reports
+  // per-label membership vs nearest-prototype agreement. Label count is
+  // bounded (classes, not rows), so prototypes collect to the driver and
+  // re-enter as broadcast literals: assignment is ONE codegen'd map over
+  // the corpus, no shuffle beyond the label hash-agg.
+  // ---------------------------------------------------------------------
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"),
+      graft.functions.TextFns.l2norm(col("embedding")).as("nrm"))
+    val centRows = e
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        round(col("col").cast("double") * 1000000).cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(col("q")).cast("double") / (count(lit(1)) * 1000000.0), 6)
+        .as("c"))
+      .collect()
+    val cents = centRows.groupBy(_.getInt(0)).toSeq.map { case (l, rs) =>
+      val arr = new Array[Double](64)
+      rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      l -> arr
+    }.sortBy(_._1)
+    val choices = cents.map { case (l, v) =>
+      val cn = math.sqrt(v.map(x => x * x).sum) // index-order fold, = oracle
+      struct(
+        round(graft.functions.TextFns.dotProduct(col("embedding"),
+          typedLit(v.toSeq)) / (col("nrm") * lit(cn)), 6).as("sim"),
+        lit(-l).as("negl"))
+    }
+    e.withColumn("pred", -greatest(choices: _*).getField("negl"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_members"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_members"), 4)
+          .as("accuracy"))
+  }
+
+  private val labelCentroidsSql =
+    s"""WITH q AS (
+       |  SELECT e.label, t.i,
+       |         CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+       |  FROM embeddings e, range(1, 65) t(i)),
+       |cent AS (
+       |  SELECT label, i,
+       |         round(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS c
+       |  FROM q GROUP BY label, i),
+       |centl AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+       |pred AS (
+       |  SELECT vec_id, label, pl FROM (
+       |    SELECT e.vec_id, e.label, s.label AS pl,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(${cosSql("e.embedding", "s.cv")}, 6) DESC, s.label ASC) AS rn
+       |    FROM embeddings e CROSS JOIN centl s) t
+       |  WHERE rn = 1)
+       |SELECT label, COUNT(*) AS n_members,
+       |  CAST(SUM(CASE WHEN pl = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  round(CAST(SUM(CASE WHEN pl = label THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*), 4) AS accuracy
+       |FROM pred GROUP BY label""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("sim_label_centroids", labelCentroids, Some(labelCentroidsSql),
+      "class prototypes: per-label centroid + nearest-prototype agreement (separability diagnostic)"),
     Op("sim_cosine_topk", cosineTopK, Some(cosineTopKSql),
       "brute-force cosine top-k vs query vector (baseline)"),
     Op("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql),

@@ -1145,6 +1145,72 @@ object TextOps extends OpGroup {
        |  WHERE c.fp <> q.fp) t
        |WHERE rank <= $hnTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Collocation mining: top bigrams by pointwise mutual information —
+  // PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) — with a minimum-count floor
+  // (PMI's classic failure mode is hapax pairs scoring highest; the
+  // floor is the standard fix). The vocabulary-building explode +
+  // hash-agg shapes are shared with lmScore; bigram extraction is the
+  // same adjacent zip the BPE trainer uses, over doc token arrays.
+  // Determinism: the single PMI double is computed with one identical
+  // expression tree in both engines and floored to integer micro-units
+  // BEFORE the (pmi DESC, pair ASC) cut, so ranking never compares raw
+  // floats. Top-k via orderBy+limit (TakeOrdered).
+  // ---------------------------------------------------------------------
+  val pmiMinCount = 5
+  val pmiTopK = 20
+
+  def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(tokens(col("text")).as("toks"))
+    val pairs = toks
+      .select(explode(expr("transform(slice(toks, 1, size(toks)-1), " +
+        "(x, i) -> struct(x AS a, toks[i+1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val big = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val uni = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tTot = uni.agg(sum("c").as("t"))
+    val bTot = big.agg(sum("c_ab").as("bt"))
+    val pmi = floor(log(
+      (col("c_ab").cast("double") / col("bt")) /
+        ((col("c_a").cast("double") / col("t"))
+          * (col("c_b").cast("double") / col("t")))) * lit(1e6))
+      .cast("long")
+    big.filter(col("c_ab") >= pmiMinCount)
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(bTot))
+      .select(col("a"), col("b"), col("c_ab"), pmi.as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("a").asc, col("b").asc)
+      .limit(pmiTopK)
+  }
+
+  private val pmiBigramsSql =
+    s"""WITH d AS (
+       |  SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |pairs AS (
+       |  SELECT toks[i] AS a, toks[i + 1] AS b
+       |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM d) t),
+       |big AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY a, b),
+       |uni AS (
+       |  SELECT tok, COUNT(*) AS c
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |        FROM documents) u
+       |  GROUP BY tok),
+       |ttot AS (SELECT SUM(c) AS t FROM uni),
+       |btot AS (SELECT SUM(c_ab) AS bt FROM big)
+       |SELECT g.a, g.b, g.c_ab,
+       |  CAST(FLOOR(ln(
+       |    (CAST(g.c_ab AS DOUBLE) / bt.bt) /
+       |    ((CAST(ua.c AS DOUBLE) / tt.t) * (CAST(ub.c AS DOUBLE) / tt.t)))
+       |    * 1000000) AS BIGINT) AS pmi_micro
+       |FROM big g
+       |JOIN uni ua ON ua.tok = g.a
+       |JOIN uni ub ON ub.tok = g.b, ttot tt, btot bt
+       |WHERE g.c_ab >= $pmiMinCount
+       |ORDER BY pmi_micro DESC, g.a ASC, g.b ASC LIMIT $pmiTopK""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("text_inverted_index", invertedIndex, Some(invertedIndexSql),
       "inverted index: token -> df/cf + sorted doc:tf posting list, two map-side-combined aggs"),
@@ -1196,5 +1262,7 @@ object TextOps extends OpGroup {
     Op("text_bpe_merges", bpeMerges, Some(bpeMergesSql),
       "BPE tokenizer training: first merge rules via vocabulary-level pair counting rounds"),
     Op("text_hard_negatives", hardNegatives, Some(hardNegativesSql),
-      "hard-negative mining: per-query BM25 top-k over non-identical docs (dual-encoder training)"))
+      "hard-negative mining: per-query BM25 top-k over non-identical docs (dual-encoder training)"),
+    Op("text_pmi_bigrams", pmiBigrams, Some(pmiBigramsSql),
+      "collocation mining: top bigrams by PMI with a min-count floor, integer-micro ranking"))
 }

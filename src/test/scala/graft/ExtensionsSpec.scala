@@ -1241,6 +1241,44 @@ class ExtensionsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("label centroids partition the corpus and beat the random floor") {
+    val out = graft.ops.SimilarityOps.labelCentroids(spark, dir).cache()
+    val total = Tables.load(spark, dir, "embeddings").count()
+    val agg = out.agg(sum("n_members"), sum("n_correct")).head
+    assert(agg.getLong(0) == total, "per-label members must tile the corpus")
+    assert(out.filter(col("n_correct") > col("n_members")).count() == 0)
+    // 10 labels → random assignment = 0.1 agreement; the prototypes must
+    // recover real signal (measured ≈ 0.4 on this corpus)
+    val acc = agg.getLong(1).toDouble / agg.getLong(0)
+    assert(acc >= 0.2, s"nearest-prototype agreement $acc at the random floor")
+    out.unpersist()
+  }
+
+  test("pmi bigrams rank by the hand-computed formula, floor enforced") {
+    val out = graft.ops.TextOps.pmiBigrams(spark, dir).cache()
+    assert(out.count() == graft.ops.TextOps.pmiTopK)
+    assert(out.filter(col("c_ab") < graft.ops.TextOps.pmiMinCount).count() == 0)
+    val rows = out.orderBy(col("pmi_micro").desc, col("a"), col("b")).collect()
+    assert(rows.sliding(2).forall { case Array(x, y) =>
+      x.getAs[Long]("pmi_micro") >= y.getAs[Long]("pmi_micro") })
+    // hand-verify the top pair from independently derived counts
+    val top = rows.head
+    val toks = Tables.load(spark, dir, "documents")
+      .select(graft.functions.TextFns.tokens(col("text")).as("ts"))
+      .collect().map(_.getSeq[String](0))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bigs = toks.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (a, b) = (top.getAs[String]("a"), top.getAs[String]("b"))
+    val (tTot, bTot) = (uni.values.sum.toDouble, bigs.values.sum.toDouble)
+    val want = math.floor(math.log(
+      (bigs((a, b)) / bTot) / ((uni(a) / tTot) * (uni(b) / tTot))) * 1e6).toLong
+    assert(top.getAs[Long]("c_ab") == bigs((a, b)))
+    assert(top.getAs[Long]("pmi_micro") == want,
+      s"pmi mismatch: got ${top.getAs[Long]("pmi_micro")} want $want")
+    out.unpersist()
+  }
+
   test("unpivot is the exact inverse of pivoting back") {
     val long = graft.ops.Relational.unpivotReport(spark, dir)
     val back = long.groupBy("n_name").pivot("metric", Seq("customers", "suppliers"))
