@@ -924,7 +924,9 @@ object TextOps extends OpGroup {
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // doc length re-aggregates the tf table (Σtf per doc ≡ token count):
+    // one corpus explode feeds everything, never two
+    val dl = tf.groupBy(col("doc_id")).agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("total"))
     val q = df.orderBy(col("df").desc, col("tok").asc).limit(bm25QueryTerms)
     val avgdl = col("total").cast("double") / col("n")
@@ -949,7 +951,7 @@ object TextOps extends OpGroup {
        |  FROM documents),
        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
-       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
        |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
        |q AS (SELECT tok, df FROM df ORDER BY df DESC, tok ASC LIMIT $bm25QueryTerms)
        |SELECT t.doc_id, CAST(SUM(CAST(FLOOR(
@@ -1080,7 +1082,7 @@ object TextOps extends OpGroup {
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("total"))
     val qterms = toks.filter(col("doc_id") < hnQueryDocs)
       .select(col("doc_id").as("q_id"), col("tok")).distinct()
@@ -1116,7 +1118,7 @@ object TextOps extends OpGroup {
        |  FROM documents),
        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
-       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
        |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
        |qterms AS (
        |  SELECT DISTINCT t.doc_id AS q_id, t.tok, d.df
