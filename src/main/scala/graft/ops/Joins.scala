@@ -517,7 +517,72 @@ object Joins extends OpGroup {
        |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
        | AND abs(p.value - s.value) <= $rangeJoinDelta""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // J15 (beyond reference) — fuzzy string join, edit distance ≤ 1, via
+  // DELETION NEIGHBORHOODS (the SymSpell trick): every key emits itself
+  // plus each single-character deletion; two strings within one edit
+  // (insert/delete/substitute) ALWAYS share a neighborhood entry, so
+  // candidates meet in an equi join on the variant — never the O(N·M)
+  // levenshtein nested loop. The neighborhood over-generates (e.g.
+  // "ab"/"ba" share variants at distance 2), so an exact levenshtein
+  // verifies candidates only — LSH-band discipline on strings. Cost:
+  // (len+1) variants per key, linear in data; the oracle is the naive
+  // θ-join, which DuckDB can afford at sf scale.
+  //
+  // The corpus has no typos, so the probe side is a deterministic
+  // typo'd copy of the customer names (digit deleted at a key-derived
+  // position), mirrored in the oracle — same pattern as the phash twins.
+  // ---------------------------------------------------------------------
+  /** The deletion-neighborhood core over (l_id, l_name) × (r_id, r_name)
+    * — exposed for the equivalence property test against the naive
+    * levenshtein θ-join on generated strings.
+    */
+  private[graft] def fuzzyPairs(left: DataFrame, right: DataFrame): DataFrame = {
+    def neighborhood(name: String) = expr(
+      s"""array_distinct(transform(sequence(0, length($name)), i ->
+         |  CASE WHEN i = 0 THEN $name
+         |       ELSE concat(substring($name, 1, i - 1), substring($name, i + 1))
+         |  END))""".stripMargin)
+    val lv = left.select(col("l_id"), col("l_name"),
+      explode(neighborhood("l_name")).as("variant"))
+    val rv = right.select(col("r_id"), col("r_name"),
+      explode(neighborhood("r_name")).as("variant"))
+    lv.join(rv, Seq("variant"))
+      .select(col("l_id"), col("r_id"), col("l_name"), col("r_name"))
+      .distinct()
+      .filter(levenshtein(col("l_name"), col("r_name")) <= 1)
+      .select(col("l_id"), col("r_id"),
+        levenshtein(col("l_name"), col("r_name")).cast("int").as("distance"))
+  }
+
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val typos = cust.select(
+      (col("c_custkey") + 10000000L).as("r_id"),
+      expr("concat(substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT)), " +
+        "substring(c_name, CAST(9 + c_custkey % 9 AS INT) + 2))").as("r_name"))
+    fuzzyPairs(
+      cust.select(col("c_custkey").as("l_id"), col("c_name").as("l_name")),
+      typos)
+      .select(col("l_id").as("c_custkey"), col("r_id").as("t_id"),
+        col("distance"))
+  }
+
+  private val fuzzyJoinSql =
+    """WITH typos AS (
+      |  SELECT c_custkey + 10000000 AS t_id,
+      |         substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
+      |           || substring(c_name, CAST(9 + c_custkey % 9 AS INT) + 2) AS t_name
+      |  FROM customer)
+      |SELECT c.c_custkey, t.t_id,
+      |       CAST(levenshtein(c.c_name, t.t_name) AS INT) AS distance
+      |FROM customer c JOIN typos t
+      |  ON levenshtein(c.c_name, t.t_name) <= 1""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("j14_fuzzy_join", fuzzyJoin, Some(fuzzyJoinSql),
+      "typo-tolerant join via SymSpell deletion neighborhoods + exact verify, never O(N*M)"),
     Op("j13_binned_range_join", binnedRangeJoin, Some(binnedRangeJoinSql),
       "pure range-predicate join via delta-binning: equi join on bins, never a nested loop"),
     Op("j11_runtime_bloom_join", runtimeBloomJoin, Some(runtimeBloomJoinSql),

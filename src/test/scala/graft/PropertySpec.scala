@@ -253,6 +253,37 @@ object PropertySpec extends Properties("graft") {
       got == model
     }
 
+  property("fuzzy join equals the naive levenshtein join on random strings") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.choose(4, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))),
+      Gen.listOfN(12, Gen.choose(4, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))) {
+      (ls, rs) =>
+        // tiny alphabet + short strings force collisions, substitutions,
+        // and distance-2 near-misses the neighborhood must NOT emit
+        val left = ls.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+          .toDF("l_id", "l_name")
+        val right = rs.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+          .toDF("r_id", "r_name")
+        val got = ops.Joins.fuzzyPairs(left, right)
+          .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+        def lev(a: String, b: String): Int = {
+          val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+            if (i == 0) j else if (j == 0) i else 0 }
+          for (i <- 1 to a.length; j <- 1 to b.length)
+            d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+              d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          d(a.length)(b.length)
+        }
+        val model = (for {
+          (ln, li) <- ls.zipWithIndex
+          (rn, ri) <- rs.zipWithIndex
+          if lev(ln, rn) <= 1
+        } yield (li.toLong, ri.toLong)).toSet
+        got == model
+    }
+
   property("connected components equal union-find on random graphs") =
     Prop.forAll(Gen.listOfN(20, edgeGen)) { es =>
       val got = ops.DedupOps
