@@ -152,6 +152,11 @@ object DedupOps extends OpGroup {
        |        HAVING COUNT(*) <= $hotBucketCap) ok
        |    ON b.band = ok.band AND b.sig = ok.sig)""".stripMargin
 
+  /** The LSH candidate-pair query for cross-module oracle composition
+    * (the dataset card counts it).
+    */
+  private[ops] def minhashLshSqlForCompose: String = minhashLshSql
+
   private val minhashLshSql =
     s"""WITH $bandsCte
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -525,7 +530,99 @@ object DedupOps extends OpGroup {
        |  md5(coalesce(clean, '')) AS clean_fp
        |FROM c LEFT JOIN rebuilt USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // INCREMENTAL dedup — the production shape at 100 TB: an arriving
+  // batch is checked against the EXISTING corpus's persisted dedup
+  // index (the fingerprint table + the capped LSH band table), and the
+  // corpus text is never rescanned. Per-batch cost is O(batch · index
+  // probes); re-deduplicating the whole corpus per arrival — what every
+  // whole-corpus op here would cost if misused incrementally — is the
+  // anti-pattern this op replaces. Status per batch doc:
+  // 'exact_dup' (normalized fingerprint already in the corpus),
+  // 'near_dup' (shares a capped band signature with a corpus doc — the
+  // candidate tier; the Jaccard verify of dedup_ngram_jaccard composes
+  // downstream), else 'new'. match_id = the smallest matching corpus id.
+  //
+  // The simulated arrival mixes genuinely new docs (the doc_id % 10
+  // slice) with RE-CRAWLED copies of corpus docs (identical text under
+  // fresh batch ids) — the re-fetch case every incremental crawl hits —
+  // so both dup branches fire non-vacuously; the oracle constructs the
+  // identical batch.
+  // ---------------------------------------------------------------------
+  val incrBatchMod = 10
+  val recrawlMod = 7
+  val recrawlIdOffset = 2000000L
+
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val batch = d.filter(col("doc_id") % incrBatchMod === 0)
+      .select(col("doc_id").as("batch_id"), col("doc_id").as("src_id"))
+      .unionByName(
+        d.filter(col("doc_id") % recrawlMod === 1
+            && col("doc_id") % incrBatchMod =!= 0)
+          .select((col("doc_id") + recrawlIdOffset).as("batch_id"),
+            col("doc_id").as("src_id")))
+    val fp = d.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val exact = batch
+      .join(fp.withColumnRenamed("doc_id", "src_id"), "src_id")
+      .join(fp.filter(col("doc_id") % incrBatchMod =!= 0)
+        .select(col("fp"), col("doc_id").as("m")), "fp")
+      .groupBy(col("batch_id")).agg(min("m").as("exact_m"))
+    val bands = cappedBands(s, dir)
+    val near = batch
+      .join(bands.withColumnRenamed("doc_id", "src_id"), "src_id")
+      .join(bands.filter(col("doc_id") % incrBatchMod =!= 0)
+        .select(col("band"), col("sig"), col("doc_id").as("m")),
+        Seq("band", "sig"))
+      .filter(col("m") =!= col("src_id"))
+      .groupBy(col("batch_id")).agg(min("m").as("near_m"))
+    batch.select("batch_id")
+      .join(exact, Seq("batch_id"), "left")
+      .join(near, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        when(col("exact_m").isNotNull, "exact_dup")
+          .when(col("near_m").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_m"), col("near_m")).as("match_id"))
+  }
+
+  private val incrementalDedupSql =
+    s"""WITH $bandsCte,
+       |fpn AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |batch AS (
+       |  SELECT doc_id AS batch_id, doc_id AS src_id FROM documents
+       |  WHERE doc_id % $incrBatchMod = 0
+       |  UNION ALL
+       |  SELECT doc_id + $recrawlIdOffset, doc_id FROM documents
+       |  WHERE doc_id % $recrawlMod = 1 AND doc_id % $incrBatchMod <> 0),
+       |exact AS (
+       |  SELECT b.batch_id, MIN(c.doc_id) AS exact_m
+       |  FROM batch b
+       |  JOIN fpn s ON s.doc_id = b.src_id
+       |  JOIN fpn c ON c.fp = s.fp AND c.doc_id % $incrBatchMod <> 0
+       |  GROUP BY b.batch_id),
+       |near AS (
+       |  SELECT b.batch_id, MIN(cb.doc_id) AS near_m
+       |  FROM batch b
+       |  JOIN bands_capped sb ON sb.doc_id = b.src_id
+       |  JOIN bands_capped cb ON cb.band = sb.band AND cb.sig = sb.sig
+       |    AND cb.doc_id % $incrBatchMod <> 0 AND cb.doc_id <> b.src_id
+       |  GROUP BY b.batch_id)
+       |SELECT b.batch_id,
+       |  CASE WHEN e.exact_m IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.near_m IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS status,
+       |  COALESCE(e.exact_m, n.near_m) AS match_id
+       |FROM batch b
+       |LEFT JOIN exact e ON e.batch_id = b.batch_id
+       |LEFT JOIN near n ON n.batch_id = b.batch_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("dedup_incremental", incrementalDedup, Some(incrementalDedupSql),
+      "incremental batch-vs-corpus dedup against persisted fingerprint + band indexes"),
     Op("dedup_segments", segmentDedup, Some(segmentDedupSql),
       "corpus-wide segment (line-level) dedup with ordered reassembly"),
     Op("text_contamination", contamination, Some(contaminationSql),

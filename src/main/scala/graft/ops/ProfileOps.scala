@@ -155,7 +155,54 @@ object ProfileOps extends OpGroup {
        |  GROUP BY user_id
        |  ORDER BY exact_cnt DESC, user_id ASC LIMIT $heavyK) t""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Dataset card: the corpus-level report every published dataset ships —
+  // size, token inventory, language/source diversity, exact-dup rate,
+  // near-dup candidate volume — as one (metric, value) table. All scalar
+  // aggregates fold in ONE corpus pass (a single agg row unpivoted by
+  // stack — the same fused-scalar trick Qa.dimStats uses); the near-dup
+  // pair count reads the memoized capped band table, so the card reuses
+  // the dedup index instead of re-deriving it. All-integer values: the
+  // card is hash-comparable with no float anywhere.
+  // ---------------------------------------------------------------------
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.tokens
+    val d = Tables.load(s, dir, "documents")
+    val scalars = d.agg(
+      count(lit(1)).as("docs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(size(tokens(col("text"))).cast("long")).as("tokens"),
+      countDistinct(col("lang")).as("langs"),
+      countDistinct(col("source")).as("sources"),
+      countDistinct(md5(col("text"))).as("distinct_texts"))
+    val card = scalars.select(expr(
+      """stack(6,
+        |  'docs', docs,
+        |  'total_chars', total_chars,
+        |  'tokens', tokens,
+        |  'langs', langs,
+        |  'sources', sources,
+        |  'distinct_texts', distinct_texts) AS (metric, value)""".stripMargin))
+    val nearPairs = DedupOps.minhashLsh(s, dir)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("near_dup_candidate_pairs").as("metric"), col("value"))
+    card.unionByName(nearPairs)
+  }
+
+  private val datasetCardSql =
+    s"""SELECT 'docs' AS metric, COUNT(*) AS value FROM documents
+       |UNION ALL SELECT 'total_chars', CAST(SUM(n_chars) AS BIGINT) FROM documents
+       |UNION ALL SELECT 'tokens',
+       |  CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) FROM documents
+       |UNION ALL SELECT 'langs', COUNT(DISTINCT lang) FROM documents
+       |UNION ALL SELECT 'sources', COUNT(DISTINCT source) FROM documents
+       |UNION ALL SELECT 'distinct_texts', COUNT(DISTINCT md5(text)) FROM documents
+       |UNION ALL SELECT 'near_dup_candidate_pairs', COUNT(*) FROM (
+       |  ${DedupOps.minhashLshSqlForCompose.replace("\n", "\n  ")}) nd""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("s_dataset_card", datasetCard, Some(datasetCardSql),
+      "dataset card: corpus size/diversity/dup metrics in one pass + the dedup index"),
     Op("s_profile_columns", profileColumns, Some(profileColumnsSql),
       "one-pass per-column profile: nulls, exact distinct, typed min/max"),
     Op("s_histogram", histogram, Some(histogramSql),

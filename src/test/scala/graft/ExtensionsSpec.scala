@@ -1319,6 +1319,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == model, s"banding diverged: got ${got.size}, model ${model.size}")
   }
 
+  test("incremental dedup flags every re-crawl as an exact dup of its source") {
+    val dd = graft.ops.DedupOps
+    val out = dd.incrementalDedup(spark, dir).cache()
+    // re-crawled copies carry batch_id = src + offset and identical text:
+    // all must come back exact_dup matched to their own source
+    val recrawls = out.filter(col("batch_id") >= dd.recrawlIdOffset)
+    assert(recrawls.count() > 0, "the re-crawl branch must be non-vacuous")
+    assert(recrawls.filter(col("status") =!= "exact_dup").count() == 0)
+    assert(recrawls
+      .filter(col("match_id") =!= col("batch_id") - dd.recrawlIdOffset)
+      .count() == 0, "re-crawl must match its own source doc")
+    // fresh docs are never exact dups (all corpus texts are distinct) and
+    // 'new' docs carry no match
+    val fresh = out.filter(col("batch_id") < dd.recrawlIdOffset)
+    assert(fresh.filter(col("status") === "exact_dup").count() == 0)
+    assert(out.filter(col("status") === "new")
+      .filter(col("match_id").isNotNull).count() == 0)
+    out.unpersist()
+  }
+
   test("unpivot is the exact inverse of pivoting back") {
     val long = graft.ops.Relational.unpivotReport(spark, dir)
     val back = long.groupBy("n_name").pivot("metric", Seq("customers", "suppliers"))
