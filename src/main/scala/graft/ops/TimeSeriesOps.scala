@@ -114,9 +114,66 @@ object TimeSeriesOps extends OpGroup {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Time-series anomaly flags: per (user, day) event counts scored
+  // against the user's own trailing-28-day baseline — the volume-spike
+  // detector every ingestion pipeline runs. The 3σ rule is evaluated in
+  // EXACT INTEGER arithmetic via cross-multiplication:
+  //   (x − μ)² > 9σ²  with μ = Σx/n, σ² = (n·Σx² − (Σx)²)/n²
+  //   ⟺  (x·n − Σx)² > 9·(n·Σx² − (Σx)²)
+  // — trailing n, Σx, Σx² are BIGINT window sums (day counts are small,
+  // no overflow reachable), so the flag is engine- and order-exact with
+  // zero float thresholds (the a15_corr_stats moment discipline applied
+  // to a sliding frame). The baseline EXCLUDES the current day (frame
+  // ends at 1 PRECEDING): a spike must not mask itself by inflating its
+  // own baseline; days with fewer than minBaselineDays of history stay
+  // unflagged. One user_id shuffle; the daily pre-aggregation collapses
+  // the event feed before any window work.
+  // ---------------------------------------------------------------------
+  val anomalyBaselineDays = 28L
+  val minBaselineDays = 7L
+
+  def anomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-anomalyBaselineDays, -1L)
+    val n = count(lit(1)).over(w)
+    val sx = sum(col("x")).over(w)
+    val sxx = sum(col("x") * col("x")).over(w)
+    daily.select(col("user_id"), col("day"), col("x").as("n_events"),
+      n.as("base_days"), sx.as("base_sum"),
+      (coalesce(n, lit(0L)) >= minBaselineDays &&
+        (col("n_events") * n - sx) > 0 &&
+        (col("n_events") * n - sx) * (col("n_events") * n - sx) >
+          lit(9L) * (n * sxx - sx * sx)).as("anomaly"))
+  }
+
+  private val anomalyDaysSql =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT user_id, day, x,
+       |    COUNT(*) OVER w AS n, SUM(x) OVER w AS sx, SUM(x * x) OVER w AS sxx
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY datediff('day', DATE '1970-01-01', day)
+       |    RANGE BETWEEN $anomalyBaselineDays PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, day, CAST(x AS BIGINT) AS n_events,
+       |  n AS base_days, CAST(sx AS BIGINT) AS base_sum,
+       |  (COALESCE(n, 0) >= $minBaselineDays
+       |   AND (x * n - sx) > 0
+       |   AND (x * n - sx) * (x * n - sx) > 9 * (n * sxx - sx * sx)) AS anomaly
+       |FROM scored""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ts_gap_fill", gapFill, Some(gapFillSql),
       "daily resample + forward-fill per user: calendar explode, running last(ignoreNulls)"),
     Op("ts_rolling_features", rollingFeatures, Some(rollingFeaturesSql),
-      "trailing-7-day event-time RANGE frame per user: incremental sliding count/sum/avg"))
+      "trailing-7-day event-time RANGE frame per user: incremental sliding count/sum/avg"),
+    Op("ts_anomaly_days", anomalyDays, Some(anomalyDaysSql),
+      "volume-spike flags: 3-sigma vs trailing self-baseline in exact integer cross-multiplied form"))
 }

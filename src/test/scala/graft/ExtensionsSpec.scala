@@ -1339,6 +1339,33 @@ class ExtensionsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("anomaly flags equal a driver-side trailing-baseline model") {
+    val ts = graft.ops.TimeSeriesOps
+    val out = ts.anomalyDays(spark, dir)
+      .select("user_id", "day", "n_events", "anomaly")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2), r.getBoolean(3)))
+    val byUser = out.groupBy(_._1)
+    var flagged = 0
+    byUser.foreach { case (_, rows) =>
+      val days = rows.map(r => r._2 -> r._3).toMap
+      rows.foreach { case (_, d, x, got) =>
+        val base = days.filter { case (bd, _) =>
+          bd >= d - ts.anomalyBaselineDays && bd <= d - 1 }.values.toSeq
+        val n = base.size.toLong
+        val want = n >= ts.minBaselineDays && {
+          val sx = base.sum; val sxx = base.map(v => v * v).sum
+          val dev = x * n - sx
+          dev > 0 && dev * dev > 9 * (n * sxx - sx * sx)
+        }
+        assert(got == want, s"day $d x=$x: got $got want $want")
+        if (got) flagged += 1
+      }
+    }
+    assert(flagged > 0, "the anomaly branch must fire on this corpus")
+  }
+
   test("unpivot is the exact inverse of pivoting back") {
     val long = graft.ops.Relational.unpivotReport(spark, dir)
     val back = long.groupBy("n_name").pivot("metric", Seq("customers", "suppliers"))
