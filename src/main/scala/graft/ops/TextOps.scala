@@ -1213,6 +1213,69 @@ object TextOps extends OpGroup {
        |WHERE g.c_ab >= $pmiMinCount
        |ORDER BY pmi_micro DESC, g.a ASC, g.b ASC LIMIT $pmiTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Bigram LM quality score: lmScore's conditional twin — each document's
+  // average log P(w_i | w_{i-1}) under the corpus's own bigram model
+  // with add-one smoothing over the vocabulary, p(b|a) =
+  // (c(a,b) + 1) / (c(a) + V). Catches locally-scrambled text that the
+  // unigram filter scores as perfectly in-distribution (same words,
+  // impossible transitions). Same shapes as lmScore: the bigram table is
+  // the BPE/PMI adjacent zip; log terms quantize to integer MICRO-units
+  // per DISTINCT bigram before the per-doc sum, so results are
+  // engine/order-exact; the bigram-table join key is (prev, cur),
+  // shuffled once.
+  // ---------------------------------------------------------------------
+  def lmBigramScore(s: SparkSession, dir: String): DataFrame = {
+    val pairsByDoc = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, size(toks)-1), (x, i) -> " +
+          "struct(x AS a, toks[i+1] AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bigrams = pairsByDoc.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val uni = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val lp = bigrams
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .crossJoin(broadcast(vocab))
+      .select(col("a"), col("b"),
+        floor(log((col("c_ab") + 1).cast("double") / (col("c_a") + col("v")))
+          * lit(1e6)).cast("long").as("lp_micro"))
+    pairsByDoc.join(lp, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum("lp_micro").as("lp_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lp_sum").cast("double") / lit(1e6) / col("n_bigrams"), 4)
+          .as("avg_logprob"))
+  }
+
+  private val lmBigramScoreSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM d) t),
+      |bigrams AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY a, b),
+      |uni AS (
+      |  SELECT tok, COUNT(*) AS c
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM documents) u
+      |  GROUP BY tok),
+      |vocab AS (SELECT COUNT(*) AS v FROM uni),
+      |lp AS (
+      |  SELECT g.a, g.b,
+      |    CAST(FLOOR(ln(CAST(g.c_ab + 1 AS DOUBLE) / (ua.c + vv.v)) * 1000000) AS BIGINT) AS lp_micro
+      |  FROM bigrams g JOIN uni ua ON ua.tok = g.a, vocab vv)
+      |SELECT p.doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+      |  round(CAST(SUM(l.lp_micro) AS DOUBLE) / 1000000 / COUNT(*), 4) AS avg_logprob
+      |FROM pairs p JOIN lp l ON l.a = p.a AND l.b = p.b
+      |GROUP BY p.doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("text_inverted_index", invertedIndex, Some(invertedIndexSql),
       "inverted index: token -> df/cf + sorted doc:tf posting list, two map-side-combined aggs"),
@@ -1266,5 +1329,7 @@ object TextOps extends OpGroup {
     Op("text_hard_negatives", hardNegatives, Some(hardNegativesSql),
       "hard-negative mining: per-query BM25 top-k over non-identical docs (dual-encoder training)"),
     Op("text_pmi_bigrams", pmiBigrams, Some(pmiBigramsSql),
-      "collocation mining: top bigrams by PMI with a min-count floor, integer-micro ranking"))
+      "collocation mining: top bigrams by PMI with a min-count floor, integer-micro ranking"),
+    Op("text_lm_bigram_score", lmBigramScore, Some(lmBigramScoreSql),
+      "bigram LM quality score: avg log P(w|prev) with add-one smoothing, integer-quantized"))
 }

@@ -175,5 +175,48 @@ object TimeSeriesOps extends OpGroup {
     Op("ts_rolling_features", rollingFeatures, Some(rollingFeaturesSql),
       "trailing-7-day event-time RANGE frame per user: incremental sliding count/sum/avg"),
     Op("ts_anomaly_days", anomalyDays, Some(anomalyDaysSql),
-      "volume-spike flags: 3-sigma vs trailing self-baseline in exact integer cross-multiplied form"))
+      "volume-spike flags: 3-sigma vs trailing self-baseline in exact integer cross-multiplied form"),
+    Op("ts_event_gaps", eventGaps, Some(eventGapsSql),
+      "inter-event gap quantiles per event type (lag over a total order, exact percentiles)"))
+
+  // ---------------------------------------------------------------------
+  // Inter-event gap distribution: per event type, the median and p95 of
+  // the time between a user's consecutive events of that type — the
+  // cadence profile behind session-gap and watermark-delay tuning (the
+  // 30-minute sessionization gap and the streaming watermark should come
+  // FROM this table, not from folklore). Gaps are integer microseconds
+  // (unix_micros diff over a (user, type) window with an event_id
+  // tie-break, so duplicate timestamps still order totally); quantiles
+  // are Spark's EXACT sort-based percentile = DuckDB's quantile_cont,
+  // rounded 4dp — the text_length_quantiles discipline. One
+  // (user_id, event_type) shuffle, then an event_type hash-agg.
+  // ---------------------------------------------------------------------
+  def eventGaps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gap = col("us") - lag(col("us"), 1).over(w)
+    ev.withColumn("gap", gap)
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap, 0.5)"), 4).as("p50_gap_us"),
+        round(expr("percentile(gap, 0.95)"), 4).as("p95_gap_us"))
+  }
+
+  // lazy: declared after the ops list that references it
+  private lazy val eventGapsSql =
+    """SELECT event_type, COUNT(*) AS n_gaps,
+      |  round(quantile_cont(gap, 0.5), 4) AS p50_gap_us,
+      |  round(quantile_cont(gap, 0.95), 4) AS p95_gap_us
+      |FROM (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS gap
+      |  FROM events) g
+      |WHERE gap IS NOT NULL
+      |GROUP BY event_type""".stripMargin
 }

@@ -1366,6 +1366,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(flagged > 0, "the anomaly branch must fire on this corpus")
   }
 
+  test("bigram LM scores every doc over exactly its adjacent pairs") {
+    val out = graft.ops.TextOps.lmBigramScore(spark, dir).cache()
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).as("n_toks"))
+    // every doc with ≥2 tokens appears, with n_bigrams = tokens − 1
+    val joined = docs.filter(col("n_toks") >= 2)
+      .join(out, Seq("doc_id"), "full_outer")
+    assert(joined.filter(col("n_toks").isNull || col("n_bigrams").isNull)
+      .count() == 0)
+    assert(joined.filter(col("n_bigrams") =!= col("n_toks") - 1).count() == 0)
+    // log-probs of a smoothed model are strictly negative
+    assert(out.filter(col("avg_logprob") >= 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("event gap counts tile the feed minus one per (user, type) series") {
+    val out = graft.ops.TimeSeriesOps.eventGaps(spark, dir)
+    val ev = Tables.load(spark, dir, "events")
+    val expected = ev.groupBy("event_type")
+      .agg((count(lit(1)) - countDistinct(col("user_id"))).as("want"))
+    val bad = out.join(expected, "event_type")
+      .filter(col("n_gaps") =!= col("want"))
+    assert(bad.count() == 0, "each user's first event of a type has no gap")
+    assert(out.filter(col("p95_gap_us") < col("p50_gap_us")).count() == 0)
+  }
+
   test("unpivot is the exact inverse of pivoting back") {
     val long = graft.ops.Relational.unpivotReport(spark, dir)
     val back = long.groupBy("n_name").pivot("metric", Seq("customers", "suppliers"))
