@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics operators over the event stream — the BI queries
@@ -168,7 +169,82 @@ object AnalyticsOps extends OpGroup {
        |FROM a""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // A16 — path analysis: the top 3-step event-type sequences users
+  // actually walk (the free-form cousin of a13_funnel's FIXED stages —
+  // funnels test a hypothesis, paths discover one). Each user's event
+  // stream in (ts, event_id) total order yields overlapping trigrams via
+  // two leads over ONE window pass; counting is a hash-agg on the path,
+  // top-k is orderBy+limit. One user_id shuffle; path cardinality is
+  // |types|³-bounded, so the agg output stays tiny at any corpus size.
+  // ---------------------------------------------------------------------
+  val pathTopK = 15
+
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("event_type").as("s1"),
+        lead(col("event_type"), 1).over(w).as("s2"),
+        lead(col("event_type"), 2).over(w).as("s3"))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1").asc, col("s2").asc, col("s3").asc)
+      .limit(pathTopK)
+  }
+
+  private lazy val eventPathsSql =
+    s"""SELECT s1, s2, s3, COUNT(*) AS n FROM (
+       |  SELECT event_type AS s1,
+       |    lead(event_type, 1) OVER w AS s2,
+       |    lead(event_type, 2) OVER w AS s3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) t
+       |WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+       |GROUP BY s1, s2, s3
+       |ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC LIMIT $pathTopK""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A17 — Markov transition matrix over event types: P(next | current)
+  // from the same ordered streams (ONE lead instead of two). Probability
+  // is the exact pair count over the exact row total in one
+  // deterministic divide, rounded 6dp — never a float accumulation. The
+  // output is |types|² rows: aggregate-sized forever.
+  // ---------------------------------------------------------------------
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("src")).agg(sum("n").as("n_src"))
+    pairs.join(totals, "src")
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / col("n_src"), 6).as("p"))
+  }
+
+  private lazy val markovTransitionsSql =
+    """WITH pairs AS (
+      |  SELECT src, dst, COUNT(*) AS n FROM (
+      |    SELECT event_type AS src, lead(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst
+      |    FROM events) t
+      |  WHERE dst IS NOT NULL GROUP BY src, dst),
+      |totals AS (SELECT src, SUM(n) AS n_src FROM pairs GROUP BY src)
+      |SELECT p.src, p.dst, p.n,
+      |  round(CAST(p.n AS DOUBLE) / t.n_src, 6) AS p
+      |FROM pairs p JOIN totals t USING (src)""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("a16_event_paths", eventPaths, Some(eventPathsSql),
+      "path discovery: top 3-step event-type sequences via two leads in one window pass"),
+    Op("a17_markov_transitions", markovTransitions, Some(markovTransitionsSql),
+      "event-type Markov transition matrix with exact-count probabilities"),
     Op("a15_corr_stats", corrStats, Some(corrStatsSql),
       "corr/regr_slope/regr_intercept from exact integer moments: engine- and order-stable"),
     Op("a13_funnel", funnel, Some(funnelSql),

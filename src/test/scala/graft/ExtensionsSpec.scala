@@ -1393,6 +1393,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.filter(col("p95_gap_us") < col("p50_gap_us")).count() == 0)
   }
 
+  test("markov transitions conserve the feed and row-normalize") {
+    val out = graft.ops.AnalyticsOps.markovTransitions(spark, dir).cache()
+    val ev = Tables.load(spark, dir, "events")
+    // one transition per event except each user's last
+    val want = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.agg(sum("n")).head.getLong(0) == want)
+    // every row of the matrix sums to 1 within rounding
+    val rows = out.groupBy("src").agg(sum("p").as("psum")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
+      s"row ${r.getString(0)} sums to ${r.getDouble(1)}"))
+    out.unpersist()
+  }
+
   test("unpivot is the exact inverse of pivoting back") {
     val long = graft.ops.Relational.unpivotReport(spark, dir)
     val back = long.groupBy("n_name").pivot("metric", Seq("customers", "suppliers"))
