@@ -555,6 +555,25 @@ object Joins extends OpGroup {
         levenshtein(col("l_name"), col("r_name")).cast("int").as("distance"))
   }
 
+  /** The NAIVE range θ-join, written the way a user who doesn't know the
+    * binning trick would write it — with [[graft.plans.RangeJoinRewrite]]
+    * installed, the optimizer rewrites it into the disjoint 3-branch
+    * binned union (same semantics as [[binnedRangeJoin]], proven by the
+    * shared oracle) and the plan carries zero nested-loop operators.
+    * This is the rule's end-to-end correctness gate; the plan assertion
+    * lives in ExtensionsSpec.
+    */
+  def rewrittenRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.RangeJoinRewrite.install(s)
+    val ev = Tables.load(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("value").as("p_value"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("value").as("s_value"))
+    p.join(sg, abs(col("p_value") - col("s_value")) <= rangeJoinDelta, "inner")
+      .select(col("p_id"), col("s_id"), col("p_value"), col("s_value"))
+  }
+
   def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"))
@@ -585,6 +604,8 @@ object Joins extends OpGroup {
       "typo-tolerant join via SymSpell deletion neighborhoods + exact verify, never O(N*M)"),
     Op("j13_binned_range_join", binnedRangeJoin, Some(binnedRangeJoinSql),
       "pure range-predicate join via delta-binning: equi join on bins, never a nested loop"),
+    Op("j15_rewritten_range_join", rewrittenRangeJoin, Some(binnedRangeJoinSql),
+      "the NAIVE range theta-join auto-rewritten to binned form by the optimizer rule"),
     Op("j11_runtime_bloom_join", runtimeBloomJoin, Some(runtimeBloomJoinSql),
       "bloom-filter semi-join reduction: fact rows pre-filtered before the shuffle"),
     Op("j12_salted_skew_join", saltedSkewJoin, Some(saltedSkewJoinSql),

@@ -1248,9 +1248,13 @@ object TextOps extends OpGroup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
         sum("lp_micro").as("lp_sum"))
+      // the average stays in integer micro-units via FLOOR division —
+      // round(x, 4) of a ratio has half-boundary cases where the two
+      // engines' rounding disagrees (hit at sf0.1: one doc in 5000 landed
+      // exactly on .00005); floor of the same double has no boundary
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("lp_sum").cast("double") / lit(1e6) / col("n_bigrams"), 4)
-          .as("avg_logprob"))
+        floor(col("lp_sum").cast("double") / col("n_bigrams"))
+          .cast("long").as("avg_logprob_micro"))
   }
 
   private val lmBigramScoreSql =
@@ -1272,7 +1276,7 @@ object TextOps extends OpGroup {
       |    CAST(FLOOR(ln(CAST(g.c_ab + 1 AS DOUBLE) / (ua.c + vv.v)) * 1000000) AS BIGINT) AS lp_micro
       |  FROM bigrams g JOIN uni ua ON ua.tok = g.a, vocab vv)
       |SELECT p.doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
-      |  round(CAST(SUM(l.lp_micro) AS DOUBLE) / 1000000 / COUNT(*), 4) AS avg_logprob
+      |  CAST(FLOOR(CAST(SUM(l.lp_micro) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_logprob_micro
       |FROM pairs p JOIN lp l ON l.a = p.a AND l.b = p.b
       |GROUP BY p.doc_id""".stripMargin
 

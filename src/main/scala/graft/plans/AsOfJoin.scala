@@ -175,6 +175,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
     GraftFunctions.all.foreach(e.injectFunction)
   }
 }

@@ -1378,7 +1378,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .count() == 0)
     assert(joined.filter(col("n_bigrams") =!= col("n_toks") - 1).count() == 0)
     // log-probs of a smoothed model are strictly negative
-    assert(out.filter(col("avg_logprob") >= 0).count() == 0)
+    assert(out.filter(col("avg_logprob_micro") >= 0).count() == 0)
     out.unpersist()
   }
 
@@ -1404,6 +1404,36 @@ class ExtensionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
       s"row ${r.getString(0)} sums to ${r.getDouble(1)}"))
     out.unpersist()
+  }
+
+  test("optimizer rule turns the naive range join nested-loop-free") {
+    // negative control first: WITHOUT the rule, the naive θ-join plans a
+    // nested loop — that is the plan the rule exists to kill
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_ == graft.plans.RangeJoinRewrite)
+    try {
+      val ev = Tables.load(spark, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("value").as("p_value"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("value").as("s_value"))
+      val naive = p.join(sg,
+        abs(col("p_value") - col("s_value")) <= graft.ops.Joins.rangeJoinDelta,
+        "inner")
+      assert(Explain.counters(naive)("nestedLoopJoins") >= 1,
+        "control failed: the naive plan should nested-loop without the rule")
+    } finally spark.experimental.extraOptimizations = prev
+    // with the rule (installed by the op itself): zero nested loops, and
+    // the 3-branch binned union joins on the bin equality
+    val rewritten = graft.ops.Joins.rewrittenRangeJoin(spark, dir)
+    val c = Explain.counters(rewritten)
+    assert(c("nestedLoopJoins") == 0, s"rule did not fire: $c")
+    assert(c("sortMergeJoins") + c("broadcasts") >= 1,
+      s"rewritten plan must join on the bin key: $c")
+    // and the rewrite is lossless: identical rows to the hand-binned form
+    val hand = graft.ops.Joins.binnedRangeJoin(spark, dir)
+    assert(rewritten.exceptAll(hand).isEmpty && hand.exceptAll(rewritten).isEmpty)
   }
 
   test("unpivot is the exact inverse of pivoting back") {
