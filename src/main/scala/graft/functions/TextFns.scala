@@ -68,6 +68,16 @@ object TextFns {
       regexp_replace(trim(c), "\\s+", " "),
       lit("(?<![^ ])(?=([^ ]+ [^ ]+ [^ ]+))"), lit(1))
 
+  /** All overlapping word n-grams — the general form of
+    * [[overlappingTrigrams]]'s lookahead regex. Texts with fewer than
+    * `n` words yield an empty array (callers add a whole-text shingle
+    * for short docs, mirroring the oracle's slice rule).
+    */
+  def overlappingNgrams(c: Column, n: Int): Column =
+    regexp_extract_all(
+      regexp_replace(trim(c), "\\s+", " "),
+      lit(s"(?<![^ ])(?=([^ ]+(?: [^ ]+){${n - 1}}))"), lit(1))
+
   /** All overlapping word bigrams, in order with duplicates — same
     * lookahead-regex shape as [[overlappingTrigrams]]. Texts with fewer
     * than 2 words yield an empty array.

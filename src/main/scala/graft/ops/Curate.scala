@@ -145,5 +145,84 @@ object Curate extends OpGroup {
     Op("curate_domain_cap", domainCapped, Some(domainCappedSql),
       "per-domain quota cap: top-K docs per source by length (C4/RefinedWeb rule)"),
     Op("curate_curriculum", curriculumStages, Some(curriculumStagesSql),
-      "curriculum staging: quartile difficulty bins via broadcast cut points, no global sort"))
+      "curriculum staging: quartile difficulty bins via broadcast cut points, no global sort"),
+    Op("curate_training_set", trainingSet, Some(trainingSetSql),
+      "end-to-end training-set layout: curated corpus -> domain cap -> split -> shuffle coordinates"))
+
+  // ---------------------------------------------------------------------
+  // The full training-set materialization in ONE declarative plan — what
+  // actually ships to the trainer: the curated corpus (lang + quality +
+  // exact/near dedup + decontamination, from curate_corpus), re-capped
+  // per domain AMONG the survivors (the cap must apply after cleaning,
+  // or junk holds quota), then every surviving doc gets its final layout
+  // coordinates: train/eval split (content-hash, append-stable),
+  // pseudorandom shard within its split, and within-shard position —
+  // text_global_shuffle's coordinates partitioned by (split, shard).
+  // Each stage is a semi-join or narrow map over the previous one;
+  // nothing re-derives an upstream gate. At 100 TB this is the one job
+  // whose output IS the dataset.
+  // ---------------------------------------------------------------------
+  // final val of a literal = compile-time constant: the `ops` list above
+  // forces trainingSetSql during object init, BEFORE later plain vals
+  // would initialize (a plain val here interpolated as 0)
+  final val trainingDomainCap = 10
+
+  def trainingSet(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val curated = curatedCorpus(s, dir)
+      .join(Tables.load(s, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+    val capW = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val capped = curated.withColumn("rk", row_number().over(capW))
+      .filter(col("rk") <= trainingDomainCap)
+    val split = when(
+      substring(graft.functions.TextFns.fastMd5(col("doc_id").cast("string")),
+        1, 2) < TextOps.evalHexCeiling, lit("eval")).otherwise(lit("train"))
+    val h = graft.functions.TextFns.fastMd5(
+      concat(lit("shuf|"), col("doc_id").cast("string")))
+    val c = substring(col("h"), 1, 1)
+    val shard = Seq("2", "4", "6", "8", "a", "c", "e").zipWithIndex
+      .foldRight(lit(7): org.apache.spark.sql.Column) {
+        case ((ceil, i), rest) => when(c < ceil, lit(i)).otherwise(rest)
+      }
+    val posW = Window.partitionBy(col("split"), col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    capped.select(col("doc_id"), col("source"), split.as("split"), h.as("h"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(posW))
+      .select(col("doc_id"), col("source"), col("split"), col("shard"),
+        col("pos"))
+  }
+
+  private lazy val trainingSetSql = {
+    val cases = Seq("2", "4", "6", "8", "a", "c", "e").zipWithIndex
+      .map { case (ceil, i) => s"WHEN substring(h, 1, 1) < '$ceil' THEN $i" }
+      .mkString(" ")
+    // wrap curatedCorpusSql's final SELECT into a `cur` CTE and extend
+    val curAsCte = curatedCorpusSql
+      .replaceFirst("\\nSELECT d\\.doc_id", ",\ncur AS (SELECT d.doc_id") + ")"
+    s"""$curAsCte,
+       |cap_ts AS (
+       |  SELECT doc_id, source FROM (
+       |    SELECT cur.doc_id, d2.source,
+       |      ROW_NUMBER() OVER (PARTITION BY d2.source
+       |        ORDER BY cur.n_chars DESC, cur.doc_id ASC) AS rk
+       |    FROM cur JOIN documents d2 ON d2.doc_id = cur.doc_id) c
+       |  WHERE rk <= $trainingDomainCap),
+       |coords_ts AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+       |           < '${TextOps.evalHexCeiling}'
+       |         THEN 'eval' ELSE 'train' END AS split,
+       |    md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM cap_ts),
+       |sharded_ts AS (
+       |  SELECT doc_id, source, split, h, CASE $cases ELSE 7 END AS shard
+       |  FROM coords_ts)
+       |SELECT doc_id, source, split, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY split, shard
+       |    ORDER BY h ASC, doc_id ASC) AS INT) AS pos
+       |FROM sharded_ts""".stripMargin
+  }
 }

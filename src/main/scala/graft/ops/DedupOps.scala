@@ -416,9 +416,34 @@ object DedupOps extends OpGroup {
   // ---------------------------------------------------------------------
   val benchmarkSource = "src0"
 
+  /** Decontamination n-gram length. 3-grams (the dedup shingle) are too
+    * promiscuous for contamination at scale — at sf0.1 a 3-gram overlap
+    * flags 4748 of 4750 docs (every doc shares SOME common trigram with a
+    * 500-doc benchmark set), which would empty the curated corpus.
+    * 8-token n-grams are the published decontamination standard
+    * (GPT-3 ~13-gram, FLAN/Gopher 8-gram): long enough that a shared
+    * shingle means genuinely copied benchmark text.
+    */
+  val contaminationNgram = 8
+
+  /** Contamination's own shingle table (8-grams; [[shingleRows]]' 3-grams
+    * stay the MinHash input). Docs shorter than the n-gram contribute
+    * their whole text, mirroring the oracle's slice rule.
+    */
+  private def contaminationShingles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.of(s, dir, "contamShingleRows") {
+      val d = docs(s, dir)
+      val full = d.select(col("doc_id"),
+        explode(overlappingNgrams(col("text"), contaminationNgram)).as("x"))
+      val short = d.filter(size(tokens(col("text"))) < contaminationNgram)
+        .select(col("doc_id"),
+          concat_ws(" ", tokens(col("text"))).as("x"))
+      full.unionByName(short).cache()
+    }
+
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val sh = shingleRows(s, dir)
+    val sh = contaminationShingles(s, dir)
     val benchIds = d.filter(col("source") === benchmarkSource)
       .select(col("doc_id"))
     val bench = sh.join(benchIds, Seq("doc_id")).select(col("x")).distinct()
@@ -441,7 +466,12 @@ object DedupOps extends OpGroup {
     * so they compose with [[clusterCtes]] in the curation oracle).
     */
   private[ops] val contaminationCtes =
-    s"""csh AS ($shinglesSql),
+    s"""csh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |      range(0, greatest(len(words) - $contaminationNgram, 0) + 1),
+       |      i -> array_to_string(words[i+1:i+$contaminationNgram], ' '))) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+       |        FROM documents) w),
        |cex AS (SELECT s.doc_id, t.x FROM csh s, unnest(s.sh) AS t(x)),
        |cbench AS (
        |  SELECT DISTINCT e.x FROM cex e
