@@ -1280,6 +1280,61 @@ object TextOps extends OpGroup {
       |FROM pairs p JOIN lp l ON l.a = p.a AND l.b = p.b
       |GROUP BY p.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Mixture-plan EXECUTION: mixtureWeights plans per-source sampling
+  // rates; this op applies them deterministically. The planned rate
+  // (a data-dependent double) becomes a 256-level acceptance threshold —
+  // floor(rate·256) rendered as a 2-hex-char ceiling — and each doc's
+  // salted content-hash prefix is compared against its source's ceiling:
+  // P(sampled) = floor(rate·256)/256, reproducible across reruns,
+  // engines, repartitions, and appends (the text_split_assign coin with
+  // a data-driven threshold). rate = 1 short-circuits to accept-all
+  // ('zz' out-ranges every hex prefix) so full-keep sources cost no
+  // precision. The budget sits well under the per-source token counts at
+  // the verification SF so rejection genuinely fires (~40% of docs);
+  // the tiny-SF corpus keeps everything, exercising the accept-all
+  // branch there. One broadcast of the aggregate-sized plan; the corpus
+  // never shuffles.
+  // ---------------------------------------------------------------------
+  final val applyTokenBudget = 800
+
+  def mixtureApply(s: SparkSession, dir: String): DataFrame = {
+    val plan = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("rate",
+        round(least(lit(1.0), lit(applyTokenBudget.toDouble) / col("n_tokens")), 6))
+      .withColumn("lvl",
+        least(lit(256), floor(col("rate") * 256)).cast("int"))
+      .withColumn("ceil", when(col("lvl") >= 256, lit("zz"))
+        .otherwise(lpad(lower(hex(col("lvl"))), 2, "0")))
+      .select(col("source"), col("rate"), col("ceil"))
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(plan), "source")
+      .select(col("doc_id"), col("source"), col("rate"),
+        (substring(fastMd5(concat(lit("mix|"), col("doc_id").cast("string"))),
+          1, 2) < col("ceil")).as("sampled"))
+  }
+
+  private val mixtureApplySql =
+    s"""WITH plan AS (
+       |  SELECT source,
+       |    round(least(1.0, $applyTokenBudget.0 /
+       |      CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)), 6) AS rate
+       |  FROM documents GROUP BY source),
+       |th AS (
+       |  SELECT source, rate,
+       |    CAST(least(256, FLOOR(rate * 256)) AS INT) AS lvl
+       |  FROM plan),
+       |th2 AS (
+       |  SELECT source, rate,
+       |    CASE WHEN lvl >= 256 THEN 'zz'
+       |         ELSE lpad(lower(to_hex(lvl)), 2, '0') END AS ceil
+       |  FROM th)
+       |SELECT d.doc_id, d.source, t.rate,
+       |  substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 2) < t.ceil AS sampled
+       |FROM documents d JOIN th2 t USING (source)""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("text_inverted_index", invertedIndex, Some(invertedIndexSql),
       "inverted index: token -> df/cf + sorted doc:tf posting list, two map-side-combined aggs"),
@@ -1335,5 +1390,7 @@ object TextOps extends OpGroup {
     Op("text_pmi_bigrams", pmiBigrams, Some(pmiBigramsSql),
       "collocation mining: top bigrams by PMI with a min-count floor, integer-micro ranking"),
     Op("text_lm_bigram_score", lmBigramScore, Some(lmBigramScoreSql),
-      "bigram LM quality score: avg log P(w|prev) with add-one smoothing, integer-quantized"))
+      "bigram LM quality score: avg log P(w|prev) with add-one smoothing, integer-quantized"),
+    Op("text_mixture_apply", mixtureApply, Some(mixtureApplySql),
+      "mixture-plan execution: planned rates as 256-level hash-coin acceptance thresholds"))
 }
