@@ -223,7 +223,9 @@ object AnalyticsOps extends OpGroup {
       .filter(col("dst").isNotNull)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
     val totals = pairs.groupBy(col("src")).agg(sum("n").as("n_src"))
-    pairs.join(totals, "src")
+    // totals is |types| rows — broadcast, so the pairs side never
+    // re-shuffles on src
+    pairs.join(broadcast(totals), "src")
       .select(col("src"), col("dst"), col("n"),
         round(col("n").cast("double") / col("n_src"), 6).as("p"))
   }
