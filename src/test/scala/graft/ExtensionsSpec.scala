@@ -637,6 +637,20 @@ class ExtensionsSpec extends AnyFunSuite {
     val bm = c("text_bm25")
     assert(bm("broadcasts") >= 2 && bm("nestedLoopJoins") <= 1,
       s"text_bm25: $bm")
+    // mixture apply: plan broadcasts, corpus maps — exactly the one
+    // per-source aggregation shuffle
+    val mx = c("text_mixture_apply")
+    assert(mx("shuffles") == 1 && mx("broadcasts") >= 1,
+      s"text_mixture_apply: $mx")
+    // the composed training set and the incremental dedup must never
+    // fall into a nested loop anywhere in their join chains
+    val tsp = c("curate_training_set")
+    assert(tsp("nestedLoopJoins") == 0, s"curate_training_set: $tsp")
+    val inc = c("dedup_incremental")
+    assert(inc("nestedLoopJoins") == 0, s"dedup_incremental: $inc")
+    // fuzzy join: variants meet in an equi join, never an O(N*M) loop
+    val fz = c("j14_fuzzy_join")
+    assert(fz("nestedLoopJoins") == 0, s"j14_fuzzy_join: $fz")
   }
 
   test("approx-distinct raw path keeps the single-shuffle sketch shape") {
