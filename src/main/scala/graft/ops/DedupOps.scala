@@ -202,14 +202,19 @@ object DedupOps extends OpGroup {
   // n-gram Jaccard verification over the LSH candidate pairs: true
   // similarity on distinct 3-gram shingle sets.
   // ---------------------------------------------------------------------
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Distinct shingle sets per doc, rebuilt from the exploded rows
-    // (collect_set = the array_distinct the set-ratio needs; element
-    // order is irrelevant to intersect/union sizes).
-    val sh = Memo.of(s, dir, "dedupShingles") {
+  /** Distinct shingle sets per doc, rebuilt from the exploded rows
+    * (collect_set = the array_distinct the set-ratio needs; element
+    * order is irrelevant to intersect/union/containment sizes). Memoized:
+    * the Jaccard and containment verifies share one build.
+    */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "dedupShingles") {
       shingleRows(s, dir).groupBy(col("doc_id"))
         .agg(collect_set(col("x")).as("sh")).cache()
     }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(s, dir)
     val pairs = minhashLsh(s, dir)
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -239,6 +244,53 @@ object DedupOps extends OpGroup {
   private val ngramJaccardSql =
     s"""WITH $jaccardCtes
        |SELECT doc_a, doc_b, jaccard FROM jaccard""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Asymmetric containment over the LSH candidates: C(A,B) = |A∩B|/|A|
+  // (Broder's containment) in BOTH directions per pair. Jaccard is
+  // symmetric, so a short document quoted wholesale inside a long one
+  // scores low (|∩|/|∪| shrinks with the size gap) even though one side
+  // is a near-total subset — the quote/boilerplate-inclusion case a
+  // training-data pipeline wants flagged separately from mutual near-
+  // duplication. Candidates are the banded, hot-bucket-capped LSH pairs
+  // (same discipline as the Jaccard/edit verifies: O(candidates), never
+  // all-pairs). Honest bias note: MinHash banding recalls pairs by
+  // JACCARD, so extreme-ratio containments (tiny A inside huge B) can
+  // miss the candidate set; the scale remedy is divided/partitioned
+  // MinHash on the short side's shingles — same band-join plumbing, a
+  // different signature source. The flag threshold 0.9 marks near-total
+  // inclusion either way.
+  // ---------------------------------------------------------------------
+  val containmentThreshold = 0.9
+
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(s, dir)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    minhashLsh(s, dir).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(inter / size(col("sh_a")), 4).as("cont_a_in_b"),
+        round(inter / size(col("sh_b")), 4).as("cont_b_in_a"))
+      .withColumn("subset_dup",
+        greatest(col("cont_a_in_b"), col("cont_b_in_a"))
+          >= containmentThreshold)
+  }
+
+  private val containmentSql =
+    s"""WITH $jaccardCtes,
+       |cont AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |          / len(x.sh), 4) AS cont_a_in_b,
+       |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |          / len(y.sh), 4) AS cont_b_in_a
+       |  FROM pairs p
+       |  JOIN sh x ON x.doc_id = p.doc_a
+       |  JOIN sh y ON y.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a,
+       |  greatest(cont_a_in_b, cont_b_in_a) >= $containmentThreshold AS subset_dup
+       |FROM cont""".stripMargin
 
   // ---------------------------------------------------------------------
   // Edit-distance verification of the LSH candidates: exact Levenshtein
@@ -669,6 +721,8 @@ object DedupOps extends OpGroup {
       "SimHash 8-bit signatures from md5-hex projections"),
     Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql),
       "3-gram Jaccard verification of LSH candidates"),
+    Op("dedup_containment", containment, Some(containmentSql),
+      "asymmetric shingle containment on LSH candidates (quote/superset inclusion flag)"),
     Op("dedup_edit_distance", editDistance, Some(editDistanceSql),
       "exact Levenshtein verify over LSH candidates; relative-distance near-dup flag"))
 }

@@ -518,7 +518,127 @@ object SimilarityOps extends OpGroup {
        |        / COUNT(*), 4) AS accuracy
        |FROM pred GROUP BY label""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // MIPS via the asymmetric augmentation (Bachrach et al. 2014 /
+  // Shrivastava & Li 2014): maximum-INNER-PRODUCT search does not reduce
+  // to cosine when norms vary, but appending one dimension makes it an
+  // L2 problem every metric index can serve: x' = [x, √(M²−‖x‖²)] with
+  // M = max corpus norm, q' = [q, 0] ⇒ ‖x'‖ = M for every x (the
+  // augmented corpus sits on a sphere) and d²(q', x') = ‖q‖² + M² −
+  // 2·q·x — monotone DECREASING in the inner product, so L2-nearest in
+  // augmented space IS the MIPS answer. The op builds the augmented
+  // vectors for real and ranks by the augmented distance; the test
+  // proves the ranking equals direct dot-product order. Scale: the
+  // augmentation is a narrow map; the augmented table feeds the same
+  // IVF/PQ machinery as any L2 corpus — that is the point of the trick.
+  // ---------------------------------------------------------------------
+  def mipsTopk(s: SparkSession, dir: String): DataFrame = {
+    val dot = graft.functions.TextFns.dotProduct _
+    val toD = transform(col("embedding"), x => x.cast("double"))
+    val e = emb(s, dir).select(col("vec_id"), toD.as("x"))
+      .withColumn("sq", dot(col("x"), col("x")))
+    val m2 = e.agg(max("sq").as("m2"))
+    val aug = e.crossJoin(broadcast(m2))
+      .select(col("vec_id"),
+        concat(col("x"), array(sqrt(col("m2") - col("sq")))).as("xa"))
+    val q = aug.filter(col("vec_id") < lshQueryCount)
+      .select(col("vec_id").as("q_id"),
+        // q' = [q, 0]: the query keeps its RAW vector, zero-padded
+        concat(slice(col("xa"), 1, 64), array(lit(0d))).as("qa"))
+    val scored = aug.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qa"), col("qa")) + dot(col("xa"), col("xa"))
+          - lit(2) * dot(col("qa"), col("xa")), 6).as("aug_d2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("aug_d2").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+  }
+
+  private val mipsTopkSql = {
+    def d65(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 66), i -> " +
+        s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"
+    def d64(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> " +
+        s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+       |         ${d64("embedding", "embedding")} AS sq
+       |  FROM embeddings),
+       |m AS (SELECT MAX(sq) AS m2 FROM e),
+       |aug AS (
+       |  SELECT vec_id, list_append(x, sqrt(m.m2 - sq)) AS xa
+       |  FROM e, m),
+       |q AS (
+       |  SELECT vec_id AS q_id, list_append(xa[1:64], 0.0) AS qa
+       |  FROM aug WHERE vec_id < $lshQueryCount),
+       |scored AS (
+       |  SELECT q.q_id, a.vec_id,
+       |    round(${d65("q.qa", "q.qa")} + ${d65("a.xa", "a.xa")}
+       |          - 2 * ${d65("q.qa", "a.xa")}, 6) AS aug_d2
+       |  FROM aug a CROSS JOIN q WHERE a.vec_id <> q.q_id)
+       |SELECT q_id, vec_id, aug_d2, rank FROM (
+       |  SELECT q_id, vec_id, aug_d2,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY aug_d2 ASC, vec_id ASC) AS INT) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $topK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // kNN self-join: EVERY vector gets its k nearest neighbors — the
+  // corpus-wide kNN graph that semantic dedup, graph clustering, and
+  // label propagation consume. Differs from ivfTopk (a fixed query set
+  // probing the corpus) in that both sides are the whole corpus, so the
+  // naive form is the N² all-pairs join; the IVF discipline makes it
+  // sum(cell²) instead: candidates are cell-mates under the same top-2
+  // multi-probe assignment as every other IVF consumer, exact-cosined,
+  // and ranked per source vector. A pair sharing both probe cells emits
+  // once (distinct before ranking). At 100 TB with k≈√N cells the
+  // per-cell quadratic term stays bounded (cells hold ~√N rows), the
+  // join shuffles on cell id only, and the output is N·k edges — the
+  // linear-size artifact downstream passes actually want.
+  // ---------------------------------------------------------------------
+  val knnK = 5
+
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val cells = ivfCells(s, dir)
+    val a = cells.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = cells.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.functions.TextFns.dotProduct(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")), 6).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("sim").desc, col("vec_b").asc)
+    pairs.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= knnK)
+  }
+
+  private lazy val knnJoinSql =
+    s"""WITH $ivfCellsCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |SELECT vec_a, vec_b, sim, rank FROM (
+       |  SELECT vec_a, vec_b, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+       |      ORDER BY sim DESC, vec_b ASC) AS INT) AS rank
+       |  FROM pairs) t
+       |WHERE rank <= $knnK""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("sim_knn_join", knnJoin, Some(knnJoinSql),
+      "corpus-wide kNN graph: IVF cell-restricted self-join + per-vector top-k"),
+    Op("sim_mips_topk", mipsTopk, Some(mipsTopkSql),
+      "maximum-inner-product top-k via the asymmetric augmented-L2 reduction"),
     Op("sim_label_centroids", labelCentroids, Some(labelCentroidsSql),
       "class prototypes: per-label centroid + nearest-prototype agreement (separability diagnostic)"),
     Op("sim_cosine_topk", cosineTopK, Some(cosineTopKSql),

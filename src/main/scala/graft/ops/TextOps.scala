@@ -898,6 +898,52 @@ object TextOps extends OpGroup {
       |FROM tiered""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Weighted sampling WITHOUT replacement (Efraimidis–Spirtas 2006):
+  // draw `weightedSampleN` documents with inclusion odds proportional to
+  // length (n_chars — the token-budget proxy a pre-training mix weights
+  // by). Each doc gets key u^(1/w) for uniform u; the N LARGEST keys are
+  // exactly a weighted sample without replacement — the one-pass,
+  // merge-friendly form of weighted sampling (A-ES), vs. sequential
+  // draws that need N dependent passes. Ranked via the monotone
+  // transform ln(u)/w floored to integer PICO-units (engine-stable
+  // compare, same discipline as lmScore's micro-units); u derives from a
+  // salted md5 prefix, so the draw is deterministic and repartition-
+  // stable. Scale shape: one narrow map then orderBy+limit = TakeOrdered
+  // (k rows per partition, k-merge on the driver) — never a global
+  // window; the rank column is assigned AFTER the cut, over N rows.
+  // ---------------------------------------------------------------------
+  val weightedSampleN = 100
+
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = fastMd5(concat(lit("wsamp|"), col("doc_id").cast("string")))
+    // u ∈ (0,1]: 32-bit hash value + 1 over 2^32 + 1
+    val u = (conv(substring(h, 1, 8), 16, 10).cast("long") + 1)
+      .cast("double") / lit(4294967297.0)
+    val key = floor(log(u) / greatest(col("n_chars"), lit(1)) * lit(1e12))
+      .cast("long")
+    val keyed = docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        key.as("key_pico"))
+      .orderBy(col("key_pico").desc, col("doc_id").asc)
+      .limit(weightedSampleN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key_pico").desc, col("doc_id").asc)
+    keyed.withColumn("rank", row_number().over(w).cast("int"))
+  }
+
+  private val weightedSampleSql =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(FLOOR(ln(
+       |        (CAST('0x' || substring(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |          AS BIGINT) + 1) / 4294967297.0)
+       |      / greatest(n_chars, 1) * 1e12) AS BIGINT) AS key_pico
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars, key_pico,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY key_pico DESC, doc_id ASC) AS INT) AS rank
+       |FROM keyed ORDER BY key_pico DESC, doc_id ASC LIMIT $weightedSampleN""".stripMargin
+
+  // ---------------------------------------------------------------------
   // BM25 retrieval scoring (Robertson/Sparck Jones): the ranking function
   // behind Lucene/Elasticsearch, over the same (token, doc) tf table the
   // inverted index builds. Query = the corpus's top-`bm25QueryTerms`
@@ -1379,6 +1425,8 @@ object TextOps extends OpGroup {
       "robust per-language outlier filter: median/MAD z-score over doc length"),
     Op("text_global_shuffle", globalShuffle, Some(globalShuffleSql),
       "deterministic pre-training shuffle: salted-hash shard + within-shard ordinal"),
+    Op("text_weighted_sample", weightedSample, Some(weightedSampleSql),
+      "Efraimidis-Spirtas weighted sample without replacement (length-proportional, one TakeOrdered)"),
     Op("text_importance_sample", importanceSample, Some(importanceSampleSql),
       "DSIR-style importance sampling toward a target domain (integer-tiered acceptance)"),
     Op("text_bm25", bm25, Some(bm25Sql),

@@ -1450,6 +1450,121 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rewritten.exceptAll(hand).isEmpty && hand.exceptAll(rewritten).isEmpty)
   }
 
+  test("mips augmented-L2 ranking equals direct inner-product order") {
+    import spark.implicits._
+    val got = graft.ops.SimilarityOps.mipsTopk(spark, dir)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)]
+      .collect().map(r => (r._1, r._2)).toSet
+    // direct MIPS model: exact double dot products on the driver
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0d)((acc, i) => acc + a(i) * b(i))
+    val model = (for {
+      qid <- 0L until graft.ops.SimilarityOps.lshQueryCount.toLong
+      q = vecs(qid)
+      top = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, x) => (id, dot(q, x)) }
+        .sortBy { case (id, d) => (-d, id) }
+        .take(graft.ops.SimilarityOps.topK)
+      (id, _) <- top
+    } yield (qid, id)).toSet
+    assert(got == model,
+      s"augmented ranking diverged: only-got=${got -- model} only-model=${model -- got}")
+  }
+
+  test("knn join recall vs brute-force kNN graph") {
+    import spark.implicits._
+    val k = graft.ops.SimilarityOps.knnK
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0d; var na = 0d; var nb = 0d
+      a.indices.foreach { i =>
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (for {
+      (qid, q) <- vecs.toSeq
+      (id, _) <- vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, x) => (id, cos(q, x)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+    } yield (qid, id)).toSet
+    val got = graft.ops.SimilarityOps.knnJoin(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"knn-join recall@$k: $recall%.3f over ${vecs.size} vectors")
+    // measured 0.726 at sf0.001 (same 2-probe IVF trade as sim_ivf_topk's
+    // 0.64); the floor guards against a regression in cell assignment
+    assert(recall >= 0.5, f"knn graph recall collapsed: $recall%.3f")
+    // every vector with candidates ranks a dense 1..k prefix
+    val ranks = graft.ops.SimilarityOps.knnJoin(spark, dir)
+      .groupBy(col("vec_a"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+      .filter(col("n") =!= col("mx")).count()
+    assert(ranks == 0, "rank column is not a dense 1..n prefix")
+  }
+
+  test("containment matches set model and explains the jaccard gap") {
+    import spark.implicits._
+    // driver model: exact shingle-set containment per LSH candidate pair
+    val sets = graft.ops.DedupOps.shingleRows(spark, dir)
+      .select("doc_id", "x").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val got = graft.ops.DedupOps.containment(spark, dir)
+      .select("doc_a", "doc_b", "cont_a_in_b", "cont_b_in_a")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty, "no candidate pairs to verify")
+    got.foreach { case (a, b, cab, cba) =>
+      val inter = (sets(a) & sets(b)).size.toDouble
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r4(inter / sets(a).size) == cab && r4(inter / sets(b).size) == cba,
+        s"containment mismatch for ($a,$b)")
+    }
+    // containment dominates jaccard: |∩|/|A| >= |∩|/|∪| always — the
+    // asymmetric metric can only reveal MORE overlap than jaccard
+    val joined = graft.ops.DedupOps.containment(spark, dir)
+      .join(graft.ops.DedupOps.ngramJaccard(spark, dir), Seq("doc_a", "doc_b"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a"))
+        < col("jaccard") - lit(1e-9)).count()
+    assert(joined == 0, "containment fell below jaccard on some pair")
+  }
+
+  test("weighted sample equals the exponential-key model and skews long") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    // driver model: same md5-derived u, same ln(u)/w pico-key, top-N
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val n = graft.ops.TextOps.weightedSampleN
+    val model = corpus.map { case (id, chars) =>
+      val v = java.lang.Long.parseLong(md5hex(s"wsamp|$id").take(8), 16)
+      val u = (v + 1).toDouble / 4294967297.0
+      val key = math.floor(math.log(u) / math.max(chars, 1L) * 1e12).toLong
+      (id, key)
+    }.sortBy { case (id, key) => (-key, id) }.take(n).map(_._1).toSet
+    val got = graft.ops.TextOps.weightedSample(spark, dir)
+    val gotIds = got.select("doc_id").as[Long].collect().toSet
+    assert(gotIds == model,
+      s"sample diverged from model: extra=${gotIds -- model} missing=${model -- gotIds}")
+    // length-weighted draw skews long vs the corpus mean (statistical,
+    // but deterministic here: the draw is a fixed function of the data)
+    val corpusMean = corpus.map(_._2).sum.toDouble / corpus.length
+    val sampleMean = got.agg(avg(col("n_chars"))).head.getDouble(0)
+    info(f"corpus mean n_chars $corpusMean%.0f, sample mean $sampleMean%.0f")
+    assert(sampleMean > corpusMean, "length-weighted sample did not skew long")
+    // scale shape: the cut is a TakeOrdered, not a global-window sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "weighted sample must cut via TakeOrdered, not a global window")
+  }
+
   test("unpivot is the exact inverse of pivoting back") {
     val long = graft.ops.Relational.unpivotReport(spark, dir)
     val back = long.groupBy("n_name").pivot("metric", Seq("customers", "suppliers"))
