@@ -634,7 +634,239 @@ object SimilarityOps extends OpGroup {
        |  FROM pairs) t
        |WHERE rank <= $knnK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // PageRank over the kNN graph: graph centrality as a DATA-SELECTION
+  // signal — a vector many other vectors count among their nearest
+  // neighbors sits in a dense semantic region (prototypical content);
+  // low-rank nodes are outliers. Runs on [[knnJoin]]'s N·k edge list,
+  // never the corpus — the whole point of building the linear-size graph
+  // first. Fixed [[prIters]] power iterations; per round one join on the
+  // src id + one hash-agg on the dst id, the plan shape that holds at
+  // any scale (GraphX/Pregel does the same joins under the hood).
+  //
+  // Determinism: ALL-INTEGER arithmetic — ranks live in pico-units
+  // (1e12 total mass), every divide is integer division on positive
+  // BIGINTs (identical truncation in Spark's `div` and DuckDB's `//`),
+  // so five rounds replay bit-identically in any engine and any
+  // partitioning. Mass lost to truncation and to dangling nodes (a
+  // vector with no out-edges) simply vanishes — the standard
+  // simplification, same loss on both engines.
+  // ---------------------------------------------------------------------
+  val prIters = 5
+  private val prMassPico = 1000000000000L
+
+  /** Cached kNN edge list (src → dst): five downstream rounds reference
+    * it; without the cache each round would replay the cell self-join.
+    */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "knnEdges") {
+      knnJoin(s, dir)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst")).cache()
+    }
+
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val nodes = emb(s, dir).select(col("vec_id"))
+    // node count to the driver: one scalar, the k-means-centroid shape
+    val n = nodes.count()
+    val base = prMassPico / n
+    val teleport = base * 15L / 100L
+    val edges = knnEdges(s, dir)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var r = nodes.select(col("vec_id"), lit(base).as("r"))
+    (1 to prIters).foreach { _ =>
+      val contrib = edges
+        .join(r.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div deg")).as("m"))
+      r = nodes
+        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(teleport) +
+            expr(s"(85 * coalesce(m, 0L)) div 100")).as("r"))
+    }
+    r.select(col("vec_id"), col("r").as("pr_pico"))
+  }
+
+  /** One unrolled power-iteration round as a CTE pair. */
+  private def prRoundSql(k: Int): String =
+    s"""m$k AS (
+       |  SELECT e.dst AS vec_id, SUM(p.r // d.deg) AS m
+       |  FROM knn_e e
+       |  JOIN pr${k - 1} p ON p.vec_id = e.src
+       |  JOIN outdeg d ON d.src = e.src
+       |  GROUP BY e.dst),
+       |pr$k AS (
+       |  SELECT no.vec_id,
+       |    (SELECT ($prMassPico // c) * 15 // 100 FROM n)
+       |      + (85 * COALESCE(s.m, 0)) // 100 AS r
+       |  FROM nodes no LEFT JOIN m$k s ON s.vec_id = no.vec_id)""".stripMargin
+
+  private lazy val pagerankSql =
+    s"""WITH $ivfCellsCtes,
+       |kpairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |knn_e AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM (
+       |    SELECT vec_a, vec_b,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_a
+       |        ORDER BY sim DESC, vec_b ASC) AS rnk
+       |    FROM kpairs) t
+       |  WHERE rnk <= $knnK),
+       |nodes AS (SELECT vec_id FROM embeddings),
+       |n AS (SELECT COUNT(*) AS c FROM nodes),
+       |outdeg AS (SELECT src, COUNT(*) AS deg FROM knn_e GROUP BY src),
+       |pr0 AS (SELECT vec_id, $prMassPico // n.c AS r FROM nodes, n),
+       |${(1 to prIters).map(prRoundSql).mkString(",\n")}
+       |SELECT vec_id, CAST(r AS BIGINT) AS pr_pico FROM pr$prIters""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Random projection (Johnson–Lindenstrauss / Achlioptas 2003): project
+  // 64-dim embeddings to [[jlDims]] dims with a ±1 sign matrix scaled by
+  // 1/√d' — pairwise distances are preserved within (1±ε) with high
+  // probability, so the projected table feeds ANY downstream index
+  // (LSH, IVF, PQ) at a quarter of the width — the standard first lever
+  // when the vector table itself dominates storage at 100 TB. The sign
+  // matrix derives from md5 parity DRIVER-SIDE and enters both the Spark
+  // plan and the oracle SQL as the same literals (no in-engine RNG to
+  // keep in sync); the projection is d' codegen'd dot products per row —
+  // a narrow map, no shuffle. Distance preservation is measured in the
+  // spec, not assumed.
+  // ---------------------------------------------------------------------
+  val jlDims = 16
+
+  /** ±1.0 signs, row i = output dim, from md5("jl|i|j") low-bit parity. */
+  private lazy val jlSigns: Seq[Seq[Double]] = (0 until jlDims).map { i =>
+    (0 until 64).map { j =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl|$i|$j".getBytes("UTF-8"))
+      if ((d(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  def randProjection(s: SparkSession, dir: String): DataFrame = {
+    val scale = math.sqrt(jlDims.toDouble)
+    val comps = jlSigns.zipWithIndex.map { case (sg, i) =>
+      round(graft.functions.TextFns.dotProduct(col("embedding"),
+        typedLit(sg)) / lit(scale), 6).as(f"y$i%02d")
+    }
+    emb(s, dir).select(col("vec_id") +: comps: _*)
+  }
+
+  private lazy val randProjectionSql = {
+    val scale = math.sqrt(jlDims.toDouble)
+    val comps = jlSigns.zipWithIndex.map { case (sg, i) =>
+      val lits = sg.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+      f"""round(list_reduce(list_transform(range(1, 65),
+         |    j -> CAST(embedding[j] AS DOUBLE) * ([$lits])[j]),
+         |    (acc, v) -> acc + v) / $scale, 6) AS y$i%02d""".stripMargin
+    }
+    s"""SELECT vec_id,
+       |${comps.mkString(",\n")}
+       |FROM embeddings""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Semi-supervised label propagation over the kNN graph (Zhu/Ghahramani
+  // 2002, the hard-label variant): a deterministic 25% of nodes keep
+  // their true label as SEEDS (salted-hash choice — repartition/engine-
+  // stable); each round every non-seed adopts the majority label among
+  // its k nearest neighbors that are currently labeled (ties to the
+  // smallest label id), for [[lpIters]] rounds. This is the
+  // weak-supervision primitive for training data: a small curated gold
+  // set spreads labels through embedding space, and agreement with the
+  // held-back truth measures how much supervision the corpus geometry
+  // itself carries. Per round: one join of the N·k edge list against
+  // current labels + one (node, label) hash-agg + one per-node
+  // row_number — every step keyed, nothing corpus-quadratic; rounds are
+  // fixed, so the oracle unrolls the same three CTEs.
+  // ---------------------------------------------------------------------
+  val lpIters = 3
+
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val seed = substring(graft.functions.TextFns.fastMd5(
+      concat(lit("lp|"), col("vec_id").cast("string"))), 1, 1) < "4"
+    val nodes = emb(s, dir)
+      .select(col("vec_id"), col("label"), seed.as("is_seed"))
+    val edges = knnEdges(s, dir)
+    var lab = nodes.select(col("vec_id"),
+      when(col("is_seed"), col("label")).as("lab"))
+    (1 to lpIters).foreach { _ =>
+      val votes = edges
+        .join(lab.withColumnRenamed("vec_id", "dst"), Seq("dst"))
+        .filter(col("lab").isNotNull)
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("c").desc, col("lab").asc)
+      val winner = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("vec_id"), col("lab").as("new_lab"))
+      lab = nodes.join(winner, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("is_seed"), col("label"))
+            .otherwise(col("new_lab")).as("lab"))
+    }
+    nodes.join(lab, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("is_seed"),
+        coalesce(col("lab"), lit(-1)).as("prop_label"),
+        (coalesce(col("lab"), lit(-1)) === col("label")).as("correct"))
+  }
+
+  /** One unrolled propagation round: votes → per-node majority → labels. */
+  private def lpRoundSql(k: Int): String =
+    s"""vote$k AS (
+       |  SELECT e.src, l.lab, COUNT(*) AS c
+       |  FROM knn_e e JOIN lab${k - 1} l ON l.vec_id = e.dst
+       |  WHERE l.lab IS NOT NULL
+       |  GROUP BY e.src, l.lab),
+       |win$k AS (
+       |  SELECT src AS vec_id, lab AS new_lab FROM (
+       |    SELECT src, lab,
+       |      ROW_NUMBER() OVER (PARTITION BY src
+       |        ORDER BY c DESC, lab ASC) AS rn
+       |    FROM vote$k) t
+       |  WHERE rn = 1),
+       |lab$k AS (
+       |  SELECT n.vec_id,
+       |    CASE WHEN n.is_seed THEN n.label ELSE w.new_lab END AS lab
+       |  FROM nodes n LEFT JOIN win$k w ON w.vec_id = n.vec_id)""".stripMargin
+
+  private lazy val labelPropagationSql =
+    s"""WITH $ivfCellsCtes,
+       |kpairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |knn_e AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM (
+       |    SELECT vec_a, vec_b,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_a
+       |        ORDER BY sim DESC, vec_b ASC) AS rnk
+       |    FROM kpairs) t
+       |  WHERE rnk <= $knnK),
+       |nodes AS (
+       |  SELECT vec_id, label,
+       |    substring(md5('lp|' || CAST(vec_id AS VARCHAR)), 1, 1) < '4' AS is_seed
+       |  FROM embeddings),
+       |lab0 AS (
+       |  SELECT vec_id, CASE WHEN is_seed THEN label END AS lab FROM nodes),
+       |${(1 to lpIters).map(lpRoundSql).mkString(",\n")}
+       |SELECT n.vec_id, n.label, n.is_seed,
+       |  COALESCE(l.lab, -1) AS prop_label,
+       |  COALESCE(l.lab, -1) = n.label AS correct
+       |FROM nodes n JOIN lab$lpIters l ON l.vec_id = n.vec_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("sim_label_propagation", labelPropagation, Some(labelPropagationSql),
+      "semi-supervised label spreading over the kNN graph (hash-chosen seeds, majority votes)"),
+    Op("sim_rand_projection", randProjection, Some(randProjectionSql),
+      "Johnson-Lindenstrauss +-1 random projection to 16 dims (literal sign matrix, narrow map)"),
+    Op("sim_pagerank", pagerank, Some(pagerankSql),
+      "kNN-graph PageRank centrality (all-integer pico-unit power iteration)"),
     Op("sim_knn_join", knnJoin, Some(knnJoinSql),
       "corpus-wide kNN graph: IVF cell-restricted self-join + per-vector top-k"),
     Op("sim_mips_topk", mipsTopk, Some(mipsTopkSql),
