@@ -73,6 +73,12 @@ object Bench {
         // PQ codebook + codes: the other one-time ANN index build
         Future(timed("pq_codes")(
           graft.ops.PqOps.pqCodes(spark, sfDir).count())),
+        // kNN graph: N·k edge index probed by pagerank / label
+        // propagation / the kNN-join query (built over the IVF cells,
+        // which the dwh_layer step above has NOT built — ivfCells memo
+        // handles the dependency internally)
+        Future(timed("knn_graph")(
+          graft.ops.SimilarityOps.knnJoin(spark, sfDir).count())),
         Future(timed("sorted_layout")(
           run(graft.sources.Warehouse.sortedLayoutScan(spark, sfDir)))))),
         Duration.Inf)

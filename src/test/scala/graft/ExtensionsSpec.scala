@@ -1618,7 +1618,9 @@ class ExtensionsSpec extends AnyFunSuite {
     val knn = c("sim_knn_join")
     info(s"sim_knn_join: $knn")
     // measured: cell-join broadcast + distinct & rank-window exchanges
-    assert(knn("nestedLoopJoins") == 0 && knn("shuffles") <= 2,
+    // (2 when the IVF cell memo is warm, 4 when the cell build is inlined
+    // cold — the extra pair is the one-time k-means assignment)
+    assert(knn("nestedLoopJoins") == 0 && knn("shuffles") <= 4,
       s"sim_knn_join: $knn")
     // MIPS broadcasts the max-norm scalar and the tiny query set; the
     // broadcast nested loop over the non-equi (id <> id) predicate is the
