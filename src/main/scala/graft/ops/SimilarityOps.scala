@@ -865,7 +865,137 @@ object SimilarityOps extends OpGroup {
        |  COALESCE(l.lab, -1) = n.label AS correct
        |FROM nodes n JOIN lab$lpIters l ON l.vec_id = n.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Graph ANN retrieval: greedy beam search over the kNN graph — the
+  // navigable-small-world search discipline (Malkov & Yashunin 2016,
+  // HNSW's layer-0) re-expressed as a fixed number of keyed joins. Start
+  // every query at a fixed entry set, then for [[graphRounds]] rounds
+  // expand the current beam one hop along the memoized N·k edge index,
+  // exact-cosine the candidates, and keep the best [[graphBeam]] per
+  // query. Complements ivfTopk: IVF probe cost is O(N/k · probes) per
+  // query, graph search is O(beam · deg · rounds) — INDEPENDENT of corpus
+  // size once the graph exists, which is why graph indexes win at the
+  // extreme scale end. Hops follow the UNDIRECTED edge set (out-edges ∪
+  // reversed in-edges) — NSW's bidirectional links; a directed kNN graph
+  // on a structureless corpus is barely navigable (measured recall 0.20
+  // directed vs the undirected figure in the spec). Per round the corpus
+  // is never shuffled: the beam (beam·(deg+1) rows per query) broadcasts
+  // against the edge index and the embedding table, so each round is two
+  // broadcast-hash probes and one tiny per-query rank window; each
+  // round's beam is localCheckpoint'd (it is beam·queries rows) so the
+  // plan stays flat instead of doubling per round. Deterministic: every
+  // cosine rounds to 6 dp before ranking, ties break on vec_id, entry
+  // set and round count are fixed — both engines replay the identical
+  // search path.
+  // ---------------------------------------------------------------------
+  val graphBeam = 12
+  val graphRounds = 4
+  val graphEntryCount = 8
+
+  def graphTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+      graft.functions.TextFns.l2norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < lshQueryCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val fwd = knnEdges(s, dir)
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // score a (q_id, vec_id) candidate set and keep the per-query best:
+    // candidates stay beam-bounded, so they broadcast and the corpus
+    // streams through one codegen'd probe — no corpus shuffle, any scale
+    def top(cand: DataFrame, keep: Int): DataFrame = {
+      val scored = e.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(graft.functions.TextFns.dotProduct(col("embedding"), col("q_emb"))
+            / (col("nrm") * col("q_nrm")), 6).as("sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= keep)
+    }
+    val entry = e.filter(col("vec_id") >= lshQueryCount &&
+        col("vec_id") < lshQueryCount + graphEntryCount)
+      .select(col("vec_id"))
+    var beam = top(q.select(col("q_id")).crossJoin(broadcast(entry)), graphBeam)
+      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    (1 to graphRounds).foreach { _ =>
+      val expand = edges.join(
+          broadcast(beam.withColumnRenamed("vec_id", "src")), Seq("src"))
+        .select(col("q_id"), col("dst").as("vec_id"))
+      val cand = beam.union(expand)
+        .filter(col("vec_id") =!= col("q_id")).distinct()
+      beam = top(cand, graphBeam).select(col("q_id"), col("vec_id"))
+        .localCheckpoint()
+    }
+    top(beam, lshTopK)
+  }
+
+  /** One unrolled beam round: hop expansion ∪ current beam → re-rank. */
+  private def graphRoundSql(k: Int): String =
+    s"""cand$k AS (
+       |  SELECT DISTINCT q_id, vec_id FROM (
+       |    SELECT b.q_id, g.dst AS vec_id
+       |    FROM beam${k - 1} b JOIN knn_und g ON g.src = b.vec_id
+       |    UNION ALL
+       |    SELECT q_id, vec_id FROM beam${k - 1}) u
+       |  WHERE vec_id <> q_id),
+       |beam$k AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT c.q_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+       |        ORDER BY round(${cosSql("x.embedding", "qq.q_emb")}, 6) DESC,
+       |                 c.vec_id ASC) AS rnk
+       |    FROM cand$k c JOIN embeddings x ON x.vec_id = c.vec_id
+       |    JOIN gq qq ON qq.q_id = c.q_id) t
+       |  WHERE rnk <= $graphBeam)""".stripMargin
+
+  private lazy val graphTopkSql =
+    s"""WITH $ivfCellsCtes,
+       |kpairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |knn_e AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM (
+       |    SELECT vec_a, vec_b,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_a
+       |        ORDER BY sim DESC, vec_b ASC) AS rnk
+       |    FROM kpairs) t
+       |  WHERE rnk <= $knnK),
+       |knn_und AS (
+       |  SELECT src, dst FROM knn_e
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM knn_e),
+       |gq AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < $lshQueryCount),
+       |beam0 AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT qq.q_id, x.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qq.q_id
+       |        ORDER BY round(${cosSql("x.embedding", "qq.q_emb")}, 6) DESC,
+       |                 x.vec_id ASC) AS rnk
+       |    FROM gq qq CROSS JOIN (
+       |      SELECT vec_id, embedding FROM embeddings
+       |      WHERE vec_id >= $lshQueryCount
+       |        AND vec_id < ${lshQueryCount + graphEntryCount}) x) t
+       |  WHERE rnk <= $graphBeam),
+       |${(1 to graphRounds).map(graphRoundSql).mkString(",\n")}
+       |SELECT q_id, vec_id, sim, rank FROM (
+       |  SELECT c.q_id, c.vec_id,
+       |    round(${cosSql("x.embedding", "qq.q_emb")}, 6) AS sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY c.q_id
+       |      ORDER BY round(${cosSql("x.embedding", "qq.q_emb")}, 6) DESC,
+       |               c.vec_id ASC) AS INT) AS rank
+       |  FROM beam$graphRounds c JOIN embeddings x ON x.vec_id = c.vec_id
+       |  JOIN gq qq ON qq.q_id = c.q_id) t
+       |WHERE rank <= $lshTopK""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("sim_graph_topk", graphTopk, Some(graphTopkSql),
+      "graph ANN retrieval: NSW-style beam search over the memoized kNN edge index"),
     Op("sim_label_propagation", labelPropagation, Some(labelPropagationSql),
       "semi-supervised label spreading over the kNN graph (hash-chosen seeds, majority votes)"),
     Op("sim_rand_projection", randProjection, Some(randProjectionSql),

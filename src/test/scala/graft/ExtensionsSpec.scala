@@ -434,6 +434,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hit / nTruth >= 0.55, s"ivf topk recall ${hit / nTruth} < 0.55")
   }
 
+  test("graph beam-search recall beats the measured floor") {
+    // measured 0.52 at sf0.001 (undirected hops; directed-only measured
+    // 0.20) vs IVF's 0.64 on the same queries — this corpus is uniform
+    // random, the worst case for graph navigability, so IVF stays the
+    // recommendation here; the graph path is the one whose per-query
+    // cost is corpus-size-independent at the extreme scale end.
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.TextFns.l2norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < graft.ops.SimilarityOps.lshQueryCount)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val truthK = e.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.TextFns.dotProduct(col("embedding"), col("qe"))
+          / (col("nrm") * col("qn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= graft.ops.SimilarityOps.lshTopK)
+      .select(col("q_id"), col("vec_id"))
+    val got = graft.ops.SimilarityOps.graphTopk(spark, dir)
+      .select(col("q_id"), col("vec_id"))
+    val nTruth = truthK.count().toDouble
+    val hit = truthK.join(got, Seq("q_id", "vec_id")).count().toDouble
+    info(f"graph beam-search recall@5: ${hit / nTruth}%.3f")
+    assert(hit / nTruth >= 0.5, s"graph topk recall ${hit / nTruth} < 0.5")
+  }
+
   test("lsh signatures bucket near-identical vectors together") {
     // identical vectors must land in the same bucket by construction
     val sigs = graft.ops.SimilarityOps.lshSignatures(spark, dir)
@@ -1659,6 +1689,15 @@ class ExtensionsSpec extends AnyFunSuite {
     info(s"text_weighted_sample: $wsamp")
     assert(wsamp("shuffles") == 0 && wsamp("sortMergeJoins") == 0,
       s"text_weighted_sample: $wsamp")
+    // graph beam search: each round's beam is localCheckpoint'd, so the
+    // visible plan is the final re-rank — two broadcast-hash probes of
+    // the checkpointed beam + one per-query rank window. A nested loop
+    // or sort-merge join here means a beam stopped broadcasting (grew
+    // corpus-sized) or the lineage flattening was lost
+    val gt = c("sim_graph_topk")
+    info(s"sim_graph_topk: $gt")
+    assert(gt("nestedLoopJoins") == 0 && gt("sortMergeJoins") == 0 &&
+      gt("shuffles") <= 2, s"sim_graph_topk: $gt")
   }
 
   test("containment matches set model and explains the jaccard gap") {
