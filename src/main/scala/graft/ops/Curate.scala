@@ -139,7 +139,67 @@ object Curate extends OpGroup {
       |       ELSE 4 END AS stage
       |FROM documents, cuts""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Diversity-aware selection under a budget: cluster-round-robin — the
+  // deterministic stand-in for greedy MMR (maximal marginal relevance),
+  // which is inherently sequential and therefore the wrong shape for a
+  // cluster. Every document's embedding already has a home IVF cell (the
+  // shared k-means index; MIN over the top-2 probe cells is the
+  // deterministic choice); within each cell documents rank by quality
+  // (length proxy, doc_id tie-break), and the budget is spent in
+  // (cell_rank, cell) order — each cell's best first, then each cell's
+  // second best, and so on. No cell can dominate the selection, which is
+  // exactly the failure mode of pure top-N-by-quality on a corpus with a
+  // dense mode (SemDeDup's cluster-balance argument).
+  //
+  // Scale shape: one keyed join against the memoized cell index, one
+  // rank window per cell, then a global rank over the PRE-FILTERED
+  // boundary stratum only (cell_rank <= budget) — at most budget · k
+  // rows regardless of corpus size, so the single-partition gather is
+  // budget-bounded, never corpus-bounded.
+  // ---------------------------------------------------------------------
+  final val diverseBudget = 100
+
+  def diverseSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val home = SimilarityOps.ivfCells(s, dir)
+      .groupBy(col("vec_id"))
+      .agg(min(col("cell")).cast("int").as("cell"))
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .join(home, col("doc_id") === col("vec_id")).drop("vec_id")
+    val wCell = Window.partitionBy(col("cell"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val wPick = Window.orderBy(col("cell_rank").asc, col("cell").asc,
+      col("doc_id").asc)
+    d.withColumn("cell_rank", row_number().over(wCell).cast("int"))
+      .filter(col("cell_rank") <= diverseBudget)
+      .withColumn("pick_rank", row_number().over(wPick).cast("int"))
+      .filter(col("pick_rank") <= diverseBudget)
+      .select(col("doc_id"), col("cell"), col("n_chars"),
+        col("cell_rank"), col("pick_rank"))
+  }
+
+  private lazy val diverseSampleSql =
+    s"""WITH ${SimilarityOps.ivfCellsCtesForCompose},
+       |home AS (
+       |  SELECT vec_id, CAST(MIN(cell) AS INT) AS cell
+       |  FROM assign2 GROUP BY vec_id),
+       |ranked_div AS (
+       |  SELECT d.doc_id, h.cell, d.n_chars,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY h.cell
+       |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS INT) AS cell_rank
+       |  FROM documents d JOIN home h ON h.vec_id = d.doc_id)
+       |SELECT doc_id, cell, n_chars, cell_rank, pick_rank FROM (
+       |  SELECT doc_id, cell, n_chars, cell_rank,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cell_rank ASC, cell ASC,
+       |      doc_id ASC) AS INT) AS pick_rank
+       |  FROM ranked_div WHERE cell_rank <= $diverseBudget) t
+       |WHERE pick_rank <= $diverseBudget""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("curate_diverse_sample", diverseSample, Some(diverseSampleSql),
+      "diversity-aware budget selection: cluster-round-robin over IVF cells (MMR stand-in)"),
     Op("curate_corpus", curatedCorpus, Some(curatedCorpusSql),
       "composed curation: lang + quality + exact/near dedup + decontamination"),
     Op("curate_domain_cap", domainCapped, Some(domainCappedSql),

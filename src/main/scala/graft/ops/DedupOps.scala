@@ -157,6 +157,11 @@ object DedupOps extends OpGroup {
     */
   private[ops] def minhashLshSqlForCompose: String = minhashLshSql
 
+  /** The per-doc distinct-shingle list SQL, for cross-module oracle
+    * composition (TextOps' novelty curve rides the same shingles).
+    */
+  private[ops] def shinglesSqlForCompose: String = shinglesSql
+
   private val minhashLshSql =
     s"""WITH $bandsCte
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -547,12 +547,16 @@ object Joins extends OpGroup {
       explode(neighborhood("l_name")).as("variant"))
     val rv = right.select(col("r_id"), col("r_name"),
       explode(neighborhood("r_name")).as("variant"))
+    // verify BEFORE distinct: a candidate pair occurs once per shared
+    // variant (≤3 for distance ≤ 1), so the extra levenshtein evals are
+    // bounded, while the dedup shuffle shrinks from every candidate ×
+    // (two ids + two full name strings) to true matches × three small
+    // columns — the shuffle, not the scalar function, is the scale cost
     lv.join(rv, Seq("variant"))
-      .select(col("l_id"), col("r_id"), col("l_name"), col("r_name"))
-      .distinct()
-      .filter(levenshtein(col("l_name"), col("r_name")) <= 1)
       .select(col("l_id"), col("r_id"),
         levenshtein(col("l_name"), col("r_name")).cast("int").as("distance"))
+      .filter(col("distance") <= 1)
+      .distinct()
   }
 
   /** The NAIVE range θ-join, written the way a user who doesn't know the

@@ -1381,7 +1381,48 @@ object TextOps extends OpGroup {
        |  substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 2) < t.ceil AS sampled
        |FROM documents d JOIN th2 t USING (source)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Novelty curve: for each document in doc_id (arrival) order, the
+  // fraction of its distinct 3-gram shingles never seen in any earlier
+  // document — the diminishing-returns signal data-selection uses to
+  // decide when more of a source stops adding information (and the
+  // per-doc form of the "new n-grams per crawl snapshot" curve in the
+  // C4/RefinedWeb analyses). Rides [[DedupOps.shingleRows]]'s memoized
+  // exploded shingles: first-owner is one min-agg keyed on the shingle,
+  // attribution is one keyed join back, the curve is one hash-agg on
+  // doc_id — three keyed, map-side-combinable stages, nothing quadratic,
+  // no window over the corpus.
+  // ---------------------------------------------------------------------
+  def noveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingleRows(s, dir).distinct()
+    val first = sh.groupBy(col("x")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("x"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
+
+  private lazy val noveltyCurveSql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, t.x
+       |  FROM (${DedupOps.shinglesSqlForCompose}) s, unnest(s.sh) AS t(x)),
+       |first AS (SELECT x, MIN(doc_id) AS first_doc FROM sh GROUP BY x)
+       |SELECT s.doc_id,
+       |  COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  round(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS novelty
+       |FROM sh s JOIN first f ON f.x = s.x
+       |GROUP BY s.doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("text_novelty", noveltyCurve, Some(noveltyCurveSql),
+      "novelty curve: per-doc fraction of first-seen shingles in arrival order (diminishing-returns signal)"),
     Op("text_inverted_index", invertedIndex, Some(invertedIndexSql),
       "inverted index: token -> df/cf + sorted doc:tf posting list, two map-side-combined aggs"),
     Op("text_token_stats", tokenStats, Some(tokenStatsSql),

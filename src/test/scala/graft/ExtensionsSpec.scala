@@ -464,6 +464,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hit / nTruth >= 0.5, s"graph topk recall ${hit / nTruth} < 0.5")
   }
 
+  test("diverse sample round-robins cells and novelty telescopes") {
+    // round-robin guarantee: the first c picks (c = distinct home cells)
+    // cover every cell — no cell dominates the head of the budget
+    val div = graft.ops.Curate.diverseSample(spark, dir).cache()
+    val cells = div.select("cell").distinct().count()
+    val headCells = div.filter(col("pick_rank") <= cells)
+      .select("cell").distinct().count()
+    assert(headCells == cells, s"first $cells picks hit $headCells cells")
+    // within a cell, quality (length) must be non-increasing with rank
+    val inversions = div.as("a").join(div.as("b"),
+      col("a.cell") === col("b.cell") &&
+        col("a.cell_rank") < col("b.cell_rank") &&
+        col("a.n_chars") < col("b.n_chars")).count()
+    assert(inversions == 0, s"$inversions quality inversions within cells")
+    // novelty telescopes: the first doc is 100% novel, and per-doc novel
+    // counts sum to the corpus's distinct shingle count exactly
+    val nov = graft.ops.TextOps.noveltyCurve(spark, dir).cache()
+    val first = nov.orderBy("doc_id").limit(1).collect().head
+    assert(first.getDouble(3) == 1.0, s"doc0 novelty ${first.getDouble(3)}")
+    val totalNovel = nov.agg(sum("n_novel")).collect().head.getLong(0)
+    val distinctShingles = graft.ops.DedupOps.shingleRows(spark, dir)
+      .select("x").distinct().count()
+    assert(totalNovel == distinctShingles,
+      s"sum(n_novel) $totalNovel != distinct shingles $distinctShingles")
+  }
+
   test("lsh signatures bucket near-identical vectors together") {
     // identical vectors must land in the same bucket by construction
     val sigs = graft.ops.SimilarityOps.lshSignatures(spark, dir)
@@ -1698,6 +1724,19 @@ class ExtensionsSpec extends AnyFunSuite {
     info(s"sim_graph_topk: $gt")
     assert(gt("nestedLoopJoins") == 0 && gt("sortMergeJoins") == 0 &&
       gt("shuffles") <= 2, s"sim_graph_topk: $gt")
+    // diverse sample: keyed join against the memoized cell index + two
+    // rank windows; the global window reads only the cell_rank<=budget
+    // stratum, so no operator is corpus-cartesian
+    val dv = c("curate_diverse_sample")
+    info(s"curate_diverse_sample: $dv")
+    assert(dv("nestedLoopJoins") == 0, s"curate_diverse_sample: $dv")
+    // novelty: three keyed map-side-combinable stages over the memoized
+    // shingle rows — distinct, min-agg, join-back (broadcast at this SF
+    // by AQE's choice, sort-merge at scale — both keyed), doc agg
+    val nv = c("text_novelty")
+    info(s"text_novelty: $nv")
+    assert(nv("nestedLoopJoins") == 0 && nv("shuffles") <= 6,
+      s"text_novelty: $nv")
   }
 
   test("containment matches set model and explains the jaccard gap") {
