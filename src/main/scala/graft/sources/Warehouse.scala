@@ -546,7 +546,72 @@ object Warehouse extends OpGroup {
       |    (acc, v) -> acc + v), 6) AS norm2
       |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Time travel: snapshot-versioned reads through a manifest — the
+  // lakehouse (Iceberg/Delta) mechanism on plain parquet. Three commits
+  // build immutable version directories (v0 = base load, v1 = an update
+  // batch applied copy-on-write, v2 = a delete batch), and a manifest
+  // records the version → directory binding; a reader pins a version by
+  // resolving the manifest FIRST and scanning only that version's files,
+  // so concurrent writers publishing v3 never disturb a running v1 scan
+  // — snapshot isolation from immutability + metadata indirection, no
+  // locks. The driver-side manifest read is the metadata-plane lookup
+  // every table format performs (rows = versions, never data-sized).
+  // At 100 TB the only change is sharing: a version references the
+  // predecessor's unchanged files plus its own delta files instead of a
+  // full copy (copy-on-write per file, or merge-on-read with delete
+  // files); the reader contract — manifest first, then a pinned file
+  // set — is identical. Balances are integer cents end-to-end so the
+  // three version aggregates are order-independent in any engine.
+  // ---------------------------------------------------------------------
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = layerPath(dir, "time_travel")
+    if (!new java.io.File(s"$root/_manifest").exists()) {
+      val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents")
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), cents)
+        .write.mode("overwrite").parquet(s"$root/v0")
+      s.read.parquet(s"$root/v0")
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 10 === 0, col("cents") + 1000L)
+            .otherwise(col("cents")).as("cents"))
+        .write.mode("overwrite").parquet(s"$root/v1")
+      s.read.parquet(s"$root/v1")
+        .filter(col("c_custkey") % 97 =!= 0)
+        .write.mode("overwrite").parquet(s"$root/v2")
+      s.createDataFrame(Seq((0, "v0"), (1, "v1"), (2, "v2")))
+        .toDF("version", "rel")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/_manifest")
+    }
+    val versions = s.read.parquet(s"$root/_manifest")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    versions.map { case (v, rel) =>
+      s.read.parquet(s"$root/$rel")
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_total"))
+        .select(lit(v).as("version"), col("n_rows"), col("cents_total"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private val timeTravelSql =
+    """WITH v0 AS (
+      |  SELECT c_custkey,
+      |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM customer),
+      |v1 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN cents + 1000 ELSE cents END AS cents
+      |  FROM v0),
+      |v2 AS (SELECT c_custkey, cents FROM v1 WHERE c_custkey % 97 <> 0)
+      |SELECT CAST(0 AS INT) AS version, COUNT(*) AS n_rows,
+      |       CAST(SUM(cents) AS BIGINT) AS cents_total FROM v0
+      |UNION ALL
+      |SELECT CAST(1 AS INT), COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v1
+      |UNION ALL
+      |SELECT CAST(2 AS INT), COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v2""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("s_time_travel", timeTravel, Some(timeTravelSql),
+      "snapshot time travel: manifest-pinned versioned reads over immutable parquet commits"),
     Op("s_sql_functions", sqlFunctions, Some(sqlFunctionsSql),
       "custom codegen expressions on the pure-SQL surface (registry injection)"),
     Op("s_compaction", compaction, Some(compactionSql),
