@@ -187,11 +187,11 @@ object TimeSeriesOps extends OpGroup {
   // at extreme horizons, the two-phase escape is per-year partial sums
   // broadcast as offsets (the curate_curriculum discipline).
   // ---------------------------------------------------------------------
-  def censusSweep(s: SparkSession, dir: String): DataFrame = {
-    val adm = Relational.sentinelConform(s, dir)
-      .filter(col("admittime") =!= to_timestamp(lit("1900-01-01 00:00:00")))
-      .select(to_date(col("admittime")).as("admit_d"),
-        to_date(col("dischtime")).as("disch_d"))
+  /** The sweep core over any (admit_d, disch_d) interval table —
+    * exposed for the ScalaCheck equivalence proof against per-day
+    * brute-force occupancy.
+    */
+  private[graft] def censusOver(adm: DataFrame): DataFrame = {
     val deltas = adm.select(col("admit_d").as("day"), lit(1L).as("delta"),
         lit(1L).as("a"), lit(0L).as("d"))
       .union(adm.select(col("disch_d"), lit(-1L), lit(0L), lit(1L)))
@@ -203,6 +203,12 @@ object TimeSeriesOps extends OpGroup {
       .withColumn("census", sum(col("_delta")).over(w))
       .select(col("day"), col("n_admits"), col("n_discharges"), col("census"))
   }
+
+  def censusSweep(s: SparkSession, dir: String): DataFrame =
+    censusOver(Relational.sentinelConform(s, dir)
+      .filter(col("admittime") =!= to_timestamp(lit("1900-01-01 00:00:00")))
+      .select(to_date(col("admittime")).as("admit_d"),
+        to_date(col("dischtime")).as("disch_d")))
 
   private lazy val censusSweepSql =
     s"""WITH adm_cs AS (

@@ -284,6 +284,28 @@ object PropertySpec extends Properties("graft") {
         got == model
     }
 
+  property("census sweep equals per-day occupancy on random intervals") =
+    Prop.forAll(Gen.listOfN(25, for {
+      s <- Gen.choose(0, 60)
+      l <- Gen.choose(1, 15)
+    } yield (s, s + l))) { ivs =>
+      val base = java.time.LocalDate.of(2020, 1, 1)
+      val adm = ivs.map { case (a, b) =>
+        (java.sql.Date.valueOf(base.plusDays(a)),
+          java.sql.Date.valueOf(base.plusDays(b)))
+      }.toDF("admit_d", "disch_d")
+      val got = ops.TimeSeriesOps.censusOver(adm)
+        .select("day", "census").as[(java.sql.Date, Long)].collect().toMap
+      // model: on every delta day, occupancy = #{a <= d < b}; the sweep
+      // convention vacates the discharge day (strict <)
+      got.nonEmpty && got.forall { case (d, c) =>
+        val ld = d.toLocalDate
+        ivs.count { case (a, b) =>
+          !base.plusDays(a).isAfter(ld) && base.plusDays(b).isAfter(ld)
+        }.toLong == c
+      }
+    }
+
   property("connected components equal union-find on random graphs") =
     Prop.forAll(Gen.listOfN(20, edgeGen)) { es =>
       val got = ops.DedupOps
