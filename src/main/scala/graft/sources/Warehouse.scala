@@ -566,7 +566,9 @@ object Warehouse extends OpGroup {
   // ---------------------------------------------------------------------
   def timeTravel(s: SparkSession, dir: String): DataFrame = {
     val root = layerPath(dir, "time_travel")
-    if (!new java.io.File(s"$root/_manifest").exists()) {
+    val manifestOk = new java.io.File(s"$root/_manifest").exists() &&
+      s.read.parquet(s"$root/_manifest").columns.contains("del")
+    if (!manifestOk) {
       val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents")
       Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), cents)
@@ -579,14 +581,28 @@ object Warehouse extends OpGroup {
       s.read.parquet(s"$root/v1")
         .filter(col("c_custkey") % 97 =!= 0)
         .write.mode("overwrite").parquet(s"$root/v2")
-      s.createDataFrame(Seq((0, "v0"), (1, "v1"), (2, "v2")))
-        .toDF("version", "rel")
+      // v3 commits MERGE-ON-READ: no data files rewritten — the commit
+      // is v2's file set plus a delete file (keys only); the reader
+      // subtracts it. This is how a delete against a 100 TB version
+      // costs O(deleted keys), not a table rewrite.
+      s.read.parquet(s"$root/v2")
+        .filter(col("c_custkey") % 31 === 0).select(col("c_custkey"))
+        .write.mode("overwrite").parquet(s"$root/d3")
+      s.createDataFrame(Seq(
+          (0, "v0", ""), (1, "v1", ""), (2, "v2", ""), (3, "v2", "d3")))
+        .toDF("version", "rel", "del")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/_manifest")
     }
     val versions = s.read.parquet(s"$root/_manifest")
-      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
-    versions.map { case (v, rel) =>
-      s.read.parquet(s"$root/$rel")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    versions.map { case (v, rel, del) =>
+      val base = s.read.parquet(s"$root/$rel")
+      val resolved =
+        if (del.isEmpty) base
+        else base.join(s.read.parquet(s"$root/$del"),
+          Seq("c_custkey"), "left_anti")
+      resolved
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_total"))
         .select(lit(v).as("version"), col("n_rows"), col("cents_total"))
     }.reduce(_.unionByName(_))
@@ -601,13 +617,16 @@ object Warehouse extends OpGroup {
       |  SELECT c_custkey,
       |    CASE WHEN c_custkey % 10 = 0 THEN cents + 1000 ELSE cents END AS cents
       |  FROM v0),
-      |v2 AS (SELECT c_custkey, cents FROM v1 WHERE c_custkey % 97 <> 0)
+      |v2 AS (SELECT c_custkey, cents FROM v1 WHERE c_custkey % 97 <> 0),
+      |v3 AS (SELECT c_custkey, cents FROM v2 WHERE c_custkey % 31 <> 0)
       |SELECT CAST(0 AS INT) AS version, COUNT(*) AS n_rows,
       |       CAST(SUM(cents) AS BIGINT) AS cents_total FROM v0
       |UNION ALL
       |SELECT CAST(1 AS INT), COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v1
       |UNION ALL
-      |SELECT CAST(2 AS INT), COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v2""".stripMargin
+      |SELECT CAST(2 AS INT), COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v2
+      |UNION ALL
+      |SELECT CAST(3 AS INT), COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v3""".stripMargin
 
   override val ops: Seq[Op] = Seq(
     Op("s_time_travel", timeTravel, Some(timeTravelSql),
