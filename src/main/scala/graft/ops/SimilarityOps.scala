@@ -893,8 +893,12 @@ object SimilarityOps extends OpGroup {
   val graphEntryCount = 8
 
   def graphTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-      graft.functions.TextFns.l2norm(col("embedding")).as("nrm"))
+    // cached once per (session, dir): every beam round probes this table
+    // twice, so 5 rounds would otherwise re-scan the parquet ~10×
+    val e = Memo.of(s, dir, "embNorms") {
+      emb(s, dir).select(col("vec_id"), col("embedding"),
+        graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()
+    }
     val q = e.filter(col("vec_id") < lshQueryCount)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
