@@ -603,7 +603,65 @@ object Joins extends OpGroup {
       |FROM customer c JOIN typos t
       |  ON levenshtein(c.c_name, t.t_name) <= 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Entity resolution (patient record linkage — the reference domain's
+  // master-data problem): two registries (the customer master and a
+  // typo'd intake feed) are linked by composing three verified
+  // primitives end to end — SymSpell deletion-neighborhood candidates
+  // (never O(N·M)), exact levenshtein verify on candidates only, then
+  // TRANSITIVE closure over the verified matches (a record within one
+  // edit of two different spellings bridges them into one entity), with
+  // the canonical entity id = the component's minimum record id. Every
+  // record in either registry gets an entity_id; unlinked records are
+  // their own entity.
+  //
+  // Scale shape: candidates and closure both run on edges, not the
+  // registry product — the same banding + pointer-jumping discipline as
+  // the near-dup cluster pass; per-round cost is O(verified matches).
+  // ---------------------------------------------------------------------
+  def entityResolve(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val typos = cust.select(
+      (col("c_custkey") + 10000000L).as("r_id"),
+      expr("concat(substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT)), " +
+        "substring(c_name, CAST(9 + c_custkey % 9 AS INT) + 2))").as("r_name"))
+    val pairs = fuzzyPairs(
+      cust.select(col("c_custkey").as("l_id"), col("c_name").as("l_name")),
+      typos.select(col("r_id"), col("r_name")))
+      .select(col("l_id").as("doc_a"), col("r_id").as("doc_b"))
+    val nodes = cust.select(col("c_custkey").as("id"))
+      .union(typos.select(col("r_id")))
+    val cc = DedupOps.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "id")
+    nodes.join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("entity_id"),
+        (col("id") < 10000000L).as("is_master"))
+  }
+
+  private val entityResolveSql =
+    """WITH RECURSIVE typos AS (
+      |  SELECT c_custkey + 10000000 AS t_id,
+      |         substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
+      |           || substring(c_name, CAST(9 + c_custkey % 9 AS INT) + 2) AS t_name
+      |  FROM customer),
+      |fp AS (
+      |  SELECT c.c_custkey AS a, t.t_id AS b
+      |  FROM customer c JOIN typos t ON levenshtein(c.c_name, t.t_name) <= 1),
+      |er_nodes AS (SELECT c_custkey AS id FROM customer
+      |             UNION ALL SELECT t_id FROM typos),
+      |er_sym AS (SELECT a, b FROM fp UNION ALL SELECT b AS a, a AS b FROM fp),
+      |er_reach(d, r) AS (
+      |  SELECT id, id FROM er_nodes
+      |  UNION
+      |  SELECT s.a, er_reach.r FROM er_sym s JOIN er_reach ON er_reach.d = s.b),
+      |ent AS (SELECT d AS id, MIN(r) AS entity_id FROM er_reach GROUP BY d)
+      |SELECT id, entity_id, id < 10000000 AS is_master FROM ent""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("er_resolve", entityResolve, Some(entityResolveSql),
+      "entity resolution: fuzzy candidates -> exact verify -> transitive closure -> canonical id"),
     Op("j14_fuzzy_join", fuzzyJoin, Some(fuzzyJoinSql),
       "typo-tolerant join via SymSpell deletion neighborhoods + exact verify, never O(N*M)"),
     Op("j13_binned_range_join", binnedRangeJoin, Some(binnedRangeJoinSql),

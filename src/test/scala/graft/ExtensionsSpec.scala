@@ -517,6 +517,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ov.count() > 0, "overlap op is vacuous at sf0.001")
   }
 
+  test("entity resolution links every typo record to its master") {
+    val er = graft.ops.Joins.entityResolve(spark, dir).cache()
+    // the typo'd feed is a single deletion of each master name, so the
+    // deletion neighborhood GUARANTEES the candidate pair and the verify
+    // keeps it: typo (master+1e7) must share its master's entity
+    val typo = er.filter(!col("is_master"))
+      .select((col("id") - 10000000L).as("mid"), col("entity_id").as("te"))
+    val master = er.filter(col("is_master"))
+      .select(col("id").as("mid"), col("entity_id").as("me"))
+    val broken = typo.join(master, Seq("mid"))
+      .filter(col("te") =!= col("me")).count()
+    assert(broken == 0, s"$broken typo records not in their master's entity")
+    // canonical ids are component minima, and every component containing
+    // a typo contains its master — so no entity is ever typo-canonical
+    assert(er.filter(col("entity_id") >= 10000000L).count() == 0,
+      "typo-canonical entity found")
+  }
+
   test("lsh signatures bucket near-identical vectors together") {
     // identical vectors must land in the same bucket by construction
     val sigs = graft.ops.SimilarityOps.lshSignatures(spark, dir)
