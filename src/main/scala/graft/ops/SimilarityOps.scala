@@ -892,18 +892,17 @@ object SimilarityOps extends OpGroup {
   val graphRounds = 4
   val graphEntryCount = 8
 
-  def graphTopk(s: SparkSession, dir: String): DataFrame = {
-    // cached once per (session, dir): every beam round probes this table
-    // twice, so 5 rounds would otherwise re-scan the parquet ~10×
-    val e = Memo.of(s, dir, "embNorms") {
-      emb(s, dir).select(col("vec_id"), col("embedding"),
-        graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()
-    }
-    val q = e.filter(col("vec_id") < lshQueryCount)
+  /** The beam-search core over any normed vector table `e` (vec_id,
+    * embedding, nrm) and UNDIRECTED edge list — exposed for the
+    * clustered-corpus recall proof (graph navigability depends on corpus
+    * structure, so the spec measures it on both a structureless and a
+    * clustered corpus).
+    */
+  private[graft] def beamSearch(e: DataFrame, edges: DataFrame,
+      qCount: Int, entryCount: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < qCount)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val fwd = knnEdges(s, dir)
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     // score a (q_id, vec_id) candidate set and keep the per-query best:
     // candidates stay beam-bounded, so they broadcast and the corpus
     // streams through one codegen'd probe — no corpus shuffle, any scale
@@ -918,8 +917,8 @@ object SimilarityOps extends OpGroup {
       scored.withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= keep)
     }
-    val entry = e.filter(col("vec_id") >= lshQueryCount &&
-        col("vec_id") < lshQueryCount + graphEntryCount)
+    val entry = e.filter(col("vec_id") >= qCount &&
+        col("vec_id") < qCount + entryCount)
       .select(col("vec_id"))
     var beam = top(q.select(col("q_id")).crossJoin(broadcast(entry)), graphBeam)
       .select(col("q_id"), col("vec_id")).localCheckpoint()
@@ -933,6 +932,18 @@ object SimilarityOps extends OpGroup {
         .localCheckpoint()
     }
     top(beam, lshTopK)
+  }
+
+  def graphTopk(s: SparkSession, dir: String): DataFrame = {
+    // cached once per (session, dir): every beam round probes this table
+    // twice, so 5 rounds would otherwise re-scan the parquet ~10×
+    val e = Memo.of(s, dir, "embNorms") {
+      emb(s, dir).select(col("vec_id"), col("embedding"),
+        graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()
+    }
+    val fwd = knnEdges(s, dir)
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    beamSearch(e, edges, lshQueryCount, graphEntryCount)
   }
 
   /** One unrolled beam round: hop expansion ∪ current beam → re-rank. */

@@ -517,6 +517,65 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ov.count() > 0, "overlap op is vacuous at sf0.001")
   }
 
+  test("graph beam-search recall is near-perfect on a clustered corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 4 well-separated clusters of 50 vectors each (deterministic md5
+    // jitter around one-hot-ish centers), queries 0..3 land one per
+    // cluster by construction — the corpus shape where the kNN graph is
+    // navigable, unlike the uniform-random harness corpus (0.52 there)
+    def jit(i: Int, j: Int): Float = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"gs|$i|$j".getBytes("UTF-8"))
+      (((d(0) & 0xff) / 255.0f) - 0.5f) * 0.2f
+    }
+    val vecs = (0 until 200).map { i =>
+      val c = i % 4 // queries 0..3 get distinct clusters
+      val v = Array.tabulate(64)(j =>
+        (if (j == c * 16) 1.0f else 0.0f) + jit(i, j))
+      (i.toLong, v)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+      .withColumn("nrm", graft.functions.TextFns.l2norm(col("embedding")))
+      .cache()
+    // brute-force kNN edges (k=5), undirected
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    val fwd = a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(graft.functions.TextFns.dotProduct(col("ea"), col("eb"))
+          / (col("na") * col("nb")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= graft.ops.SimilarityOps.knnK)
+      .select(col("src"), col("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"),
+      col("src").as("dst"))).localCheckpoint()
+    val got = graft.ops.SimilarityOps.beamSearch(e, edges, 4, 8)
+      .select(col("q_id"), col("vec_id"))
+    // truth: brute-force top-5 per query
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val truth = e.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.TextFns.dotProduct(col("embedding"), col("qe"))
+          / (col("nrm") * col("qn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= graft.ops.SimilarityOps.lshTopK)
+      .select(col("q_id"), col("vec_id"))
+    val nTruth = truth.count().toDouble
+    val hit = truth.join(got, Seq("q_id", "vec_id")).count().toDouble
+    info(f"clustered-corpus beam recall@5: ${hit / nTruth}%.3f")
+    assert(hit / nTruth >= 0.9,
+      s"clustered recall ${hit / nTruth} < 0.9 — graph lost navigability")
+  }
+
   test("entity resolution links every typo record to its master") {
     val er = graft.ops.Joins.entityResolve(spark, dir).cache()
     // the typo'd feed is a single deletion of each master name, so the
