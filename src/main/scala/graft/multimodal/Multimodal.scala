@@ -322,7 +322,62 @@ object Multimodal extends OpGroup {
        |WHERE hamming <= $phashMaxHamming""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Scene-cut detection (video shot segmentation): per media, sample
+  // [[sceneFrames]] frames, compute each frame's integer byte-energy,
+  // and flag a cut wherever the inter-frame energy delta exceeds the
+  // threshold — the classic histogram/energy-difference shot detector,
+  // with the stub codec standing in for a real frame decoder. The
+  // sequential frame-to-frame diff runs INSIDE the flatMap (all frames
+  // of one media are in hand in the codec pass), so the operator is a
+  // pure fan-out map: zero shuffles at any scale, unlike a per-media lag
+  // window which would shuffle every frame row. Threshold 120 ≈ the top
+  // ~12% of transitions on this corpus (p90 measured 127), so both
+  // branches fire non-vacuously.
+  // ---------------------------------------------------------------------
+  case class SceneFrame(media_id: Long, frame_idx: Int, energy: Long,
+      delta: Long, is_cut: Boolean)
+
+  val sceneFrames = 8
+  val sceneCutThreshold = 120L
+
+  def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).flatMap { m =>
+      val energies = (0 until sceneFrames).map { i =>
+        val off = (i * m.payload.length) / sceneFrames
+        val end = math.min(off + frameLen, m.payload.length)
+        m.payload.slice(off, end).foldLeft(0L)((a, b) => a + (b & 0xff))
+      }
+      energies.zipWithIndex.map { case (e, i) =>
+        val d = if (i == 0) 0L else e - energies(i - 1)
+        SceneFrame(m.media_id, i, e, d,
+          i > 0 && math.abs(d) > sceneCutThreshold)
+      }
+    }.toDF()
+  }
+
+  private val sceneCutsSql =
+    s"""WITH fr AS (
+       |  SELECT doc_id AS media_id, CAST(t.i AS INT) AS frame_idx,
+       |    CAST(list_reduce(list_transform(
+       |      range((t.i*len(text))//$sceneFrames + 1,
+       |            (t.i*len(text))//$sceneFrames + 1
+       |              + least($frameLen, len(text) - (t.i*len(text))//$sceneFrames)),
+       |      j -> ascii(substring(text, j, 1))), (a, c) -> a + c) AS BIGINT)
+       |      AS energy
+       |  FROM documents, range(0, $sceneFrames) t(i))
+       |SELECT media_id, frame_idx, energy,
+       |  CAST(COALESCE(energy - lag(energy) OVER w, 0) AS BIGINT) AS delta,
+       |  frame_idx > 0 AND
+       |    abs(COALESCE(energy - lag(energy) OVER w, 0)) > $sceneCutThreshold
+       |    AS is_cut
+       |FROM fr
+       |WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("mm_scene_cuts", sceneCuts, Some(sceneCutsSql),
+      "scene-cut detection: inter-frame energy deltas inside the codec flatMap, zero shuffle"),
     Op("mm_phash_neardup", phashNearDup, Some(phashNearDupSql),
       "perceptual-hash media near-dup: aHash bands + multi-index hamming self-join"),
     Op("mm_decode_features", decodeFeatures, Some(decodeFeaturesSql),
