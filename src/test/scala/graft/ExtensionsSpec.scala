@@ -1853,6 +1853,12 @@ class ExtensionsSpec extends AnyFunSuite {
     info(s"ts_census: $cs")
     assert(cs("nestedLoopJoins") == 0 && cs("sortMergeJoins") == 0 &&
       cs("broadcasts") == 0, s"ts_census: $cs")
+    // scene cuts: the frame diff runs inside the codec flatMap — a
+    // shuffle here means someone rewrote it as a per-media lag window
+    val sc = c("mm_scene_cuts")
+    info(s"mm_scene_cuts: $sc")
+    assert(sc("shuffles") == 0 && sc("sortMergeJoins") == 0 &&
+      sc("broadcasts") == 0, s"mm_scene_cuts: $sc")
   }
 
   test("containment matches set model and explains the jaccard gap") {
