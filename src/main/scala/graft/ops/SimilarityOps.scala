@@ -1008,7 +1008,86 @@ object SimilarityOps extends OpGroup {
        |  JOIN gq qq ON qq.q_id = c.q_id) t
        |WHERE rank <= $lshTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Index-quality report: recall@k of the IVF retrieval path against the
+  // brute-force truth, per query — "measure, don't guess" as a scheduled
+  // warehouse artifact rather than a one-off test. A deployment runs
+  // this after every index rebuild on a sampled query set and alerts on
+  // regression; the spec's recall tests pin the same quantity at build
+  // time. Truth costs |queries| × corpus exact cosines — affordable
+  // precisely BECAUSE the query set is a bounded sample (the corpus is
+  // broadcast-probed once per query batch, never shuffled); the IVF side
+  // reuses the shared cell index.
+  // ---------------------------------------------------------------------
+  def recallReport(s: SparkSession, dir: String): DataFrame = {
+    val e = Memo.of(s, dir, "embNorms") {
+      emb(s, dir).select(col("vec_id"), col("embedding"),
+        graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()
+    }
+    val q = e.filter(col("vec_id") < lshQueryCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.TextFns.dotProduct(col("embedding"), col("q_emb"))
+          / (col("nrm") * col("q_nrm")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lshTopK)
+      .select(col("q_id"), col("vec_id"))
+    val ivf = ivfTopk(s, dir).select(col("q_id"), col("vec_id"), lit(1).as("_hit"))
+    truth.join(ivf, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("q_id"), col("n_truth"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+  }
+
+  private lazy val recallReportSql =
+    s"""WITH $ivfCellsCtes,
+       |qp AS (
+       |  SELECT vec_id AS q_id, cell, embedding AS q_emb
+       |  FROM cells WHERE vec_id < $lshQueryCount),
+       |isims AS (
+       |  SELECT DISTINCT qp.q_id, c.vec_id,
+       |         round(${cosSql("c.embedding", "qp.q_emb")}, 6) AS sim
+       |  FROM qp JOIN cells c ON qp.cell = c.cell AND c.vec_id <> qp.q_id),
+       |ivfk AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, vec_id ASC) AS rank
+       |    FROM isims) r
+       |  WHERE rank <= $lshTopK),
+       |bq AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < $lshQueryCount),
+       |bsims AS (
+       |  SELECT bq.q_id, e.vec_id,
+       |         round(${cosSql("e.embedding", "bq.q_emb")}, 6) AS sim
+       |  FROM embeddings e, bq WHERE e.vec_id <> bq.q_id),
+       |btopk AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, vec_id ASC) AS rank
+       |    FROM bsims) r
+       |  WHERE rank <= $lshTopK)
+       |SELECT b.q_id, COUNT(*) AS n_truth,
+       |  CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  round(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM btopk b LEFT JOIN ivfk i
+       |  ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+       |GROUP BY b.q_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("sim_recall_report", recallReport, Some(recallReportSql),
+      "index-quality report: per-query recall@k of IVF retrieval vs brute-force truth"),
     Op("sim_graph_topk", graphTopk, Some(graphTopkSql),
       "graph ANN retrieval: NSW-style beam search over the memoized kNN edge index"),
     Op("sim_label_propagation", labelPropagation, Some(labelPropagationSql),
