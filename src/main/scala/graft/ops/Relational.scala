@@ -741,14 +741,18 @@ object Relational extends OpGroup {
   // ---------------------------------------------------------------------
   val sampleK = 5
 
+  // Output canonicalized to a comma-joined string: the driver's pandas
+  // harness cannot sort/hash array cells, and a scalar column carries the
+  // same information for the compare.
   def groupSample(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .groupBy(col("source"))
-      .agg(graft.expressions.BottomKByHash
-        .sample(col("doc_id").cast("string"), sampleK).as("sample_ids"))
+      .agg(array_join(graft.expressions.BottomKByHash
+        .sample(col("doc_id").cast("string"), sampleK), ",")
+        .as("sample_ids"))
 
   private val groupSampleSql =
-    s"""SELECT source, list(id ORDER BY h, id) AS sample_ids
+    s"""SELECT source, string_agg(id, ',' ORDER BY h, id) AS sample_ids
        |FROM (
        |  SELECT source, CAST(doc_id AS VARCHAR) AS id,
        |         md5(CAST(doc_id AS VARCHAR)) AS h,

@@ -651,12 +651,15 @@ object TextOps extends OpGroup {
       .select(col("term"), row_number()
         .over(Window.orderBy(col("n").desc, col("term").asc))
         .cast("int").as("id"))
+    // token_ids is emitted comma-joined: the driver's pandas harness
+    // cannot sort/hash array cells, and the scalar form compares 1:1.
     toks.join(broadcast(vocab), Seq("term"), "left")
       .withColumn("tid", coalesce(col("id"), lit(0)))
       .groupBy(col("doc_id"))
       .agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
-          x => x.getField("tid")).as("token_ids"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+            x => x.getField("tid").cast("string")), ",").as("token_ids"),
         sum(when(col("id").isNull, 1).otherwise(0)).cast("int").as("n_oov"))
   }
 
@@ -671,7 +674,9 @@ object TextOps extends OpGroup {
        |  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS INT) AS id
        |  FROM (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1) f
        |  ORDER BY n DESC, term ASC LIMIT $vocabV)
-       |SELECT doc_id, list(COALESCE(v.id, 0) ORDER BY pos) AS token_ids,
+       |SELECT doc_id,
+       |       string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ',' ORDER BY pos)
+       |         AS token_ids,
        |       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS INT) AS n_oov
        |FROM toks LEFT JOIN vocab v USING (term)
        |GROUP BY doc_id""".stripMargin
@@ -749,13 +754,14 @@ object TextOps extends OpGroup {
       .agg(count(lit(1)).as("tf"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
-        sort_array(collect_list(
-          format_string("%06d:%d", col("doc_id"), col("tf"))))
+        array_join(sort_array(collect_list(
+          format_string("%06d:%d", col("doc_id"), col("tf")))), ",")
           .as("postings"))
 
   private val invertedIndexSql =
     """SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
-      |  list(format('{:06d}:{}', doc_id, tf) ORDER BY doc_id) AS postings
+      |  string_agg(format('{:06d}:{}', doc_id, tf), ',' ORDER BY doc_id)
+      |    AS postings
       |FROM (
       |  SELECT token, doc_id, COUNT(*) AS tf
       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -243,11 +243,16 @@ object Warehouse extends OpGroup {
     val parsed = s.read.schema(schema)
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(base).cache()
+    // PERMISSIVE keeps PARTIALLY parsed fields on corrupt rows (Spark 3+
+    // semantics: a truncated line still yields its leading fields), so
+    // "good" aggregates must be gated on `_corrupt_record IS NULL` — a
+    // bare count(n_nationkey) would silently include quarantined rows.
     parsed.agg(
       count(lit(1)).as("n_lines"),
-      count(col("n_nationkey")).as("n_good"),
+      count(when(col("_corrupt_record").isNull, lit(1))).as("n_good"),
       count(col("_corrupt_record")).as("n_corrupt"),
-      sum(col("n_nationkey")).as("key_sum"))
+      sum(when(col("_corrupt_record").isNull, col("n_nationkey")))
+        .as("key_sum"))
   }
 
   private val corruptRecordsSql =

@@ -1152,7 +1152,9 @@ class ExtensionsSpec extends AnyFunSuite {
   test("vocab encoding decodes back to the original in-vocab token stream") {
     import spark.implicits._
     val enc = graft.ops.TextOps.vocabEncode(spark, dir)
-      .as[(Long, Seq[Int], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      .as[(Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2.split(",").filter(_.nonEmpty).map(_.toInt).toSeq, r._3)))
+      .toMap
     // rebuild the inverse vocab exactly as the op defines it
     val texts = Tables.load(spark, dir, "documents")
       .select("doc_id", "text").as[(Long, String)].collect()
