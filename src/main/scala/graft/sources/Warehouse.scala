@@ -217,17 +217,19 @@ object Warehouse extends OpGroup {
     */
   def corruptRecords(s: SparkSession, dir: String): DataFrame = {
     val base = layerPath(dir, "corrupt_feed")
-    val n = Tables.load(s, dir, "nation")
-    val line = to_json(struct(col("n_nationkey"), col("n_name"),
-      col("n_regionkey")))
-    n.select(
-      when(col("n_nationkey") % 5 === 0,
-        // drop the closing brace (and a char) => malformed JSON
-        expr("substring(" +
-          "to_json(struct(n_nationkey, n_name, n_regionkey)), 1, " +
-          "length(to_json(struct(n_nationkey, n_name, n_regionkey))) - 2)"))
-        .otherwise(line).as("value"))
-      .write.mode("overwrite").text(base)
+    if (!new java.io.File(base).exists()) {
+      val n = Tables.load(s, dir, "nation")
+      val line = to_json(struct(col("n_nationkey"), col("n_name"),
+        col("n_regionkey")))
+      n.select(
+        when(col("n_nationkey") % 5 === 0,
+          // drop the closing brace (and a char) => malformed JSON
+          expr("substring(" +
+            "to_json(struct(n_nationkey, n_name, n_regionkey)), 1, " +
+            "length(to_json(struct(n_nationkey, n_name, n_regionkey))) - 2)"))
+          .otherwise(line).as("value"))
+        .write.mode("overwrite").text(base)
+    }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n_nationkey",
         org.apache.spark.sql.types.LongType),
