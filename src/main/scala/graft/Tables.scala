@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness parquet tables (TESTDATA.md / FIXTURES.md §B).
   *
@@ -16,14 +16,27 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 only reads as
-    // LongType behind this legacy flag; DuckDB truncates the same value to
-    // micros, so we mirror that with integer division (no double rounding).
+    // The harness regenerates events.parquet between rounds and its `ts`
+    // physical type has drifted across generations; accept ALL of them and
+    // conform to session-zoned TIMESTAMP so every downstream consumer
+    // (unix_micros, watermarks, the AsOfJoin type check) sees one type:
+    //  - TIMESTAMP(NANOS): Spark 4 only reads it as LongType behind the
+    //    legacy flag; DuckDB truncates the same value to micros, so mirror
+    //    that with integer division (no double rounding).
+    //  - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: the session
+    //    zone is pinned UTC, so a plain cast maps to the same instant
+    //    DuckDB reads.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case LongType if name == "events" && f.name == "ts" =>
+          acc.withColumn(f.name, timestamp_micros(expr(s"${f.name} DIV 1000")))
+        case TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => acc
+      }
+    }
   }
 
   /** Register every table as a temp view (SURVEY.md §2.1 S1/S2: the

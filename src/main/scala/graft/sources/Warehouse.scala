@@ -259,9 +259,12 @@ object Warehouse extends OpGroup {
 
   private val corruptRecordsSql =
     """SELECT COUNT(*) AS n_lines,
-      |  SUM(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END) AS n_good,
-      |  SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
-      |  SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END) AS key_sum
+      |  CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_good,
+      |  CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_corrupt,
+      |  CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END)
+      |       AS BIGINT) AS key_sum
       |FROM nation""".stripMargin
 
   /** S2/S8: register the harness tables as namespaced temp views and list

@@ -153,9 +153,17 @@ object Sessionize extends OpGroup {
     // rejected; a wildcard makes it resolve as a glob over the SF dir.
     val raw = s.readStream.schema(schema).format("parquet")
       .option("basePath", dir).load(s"$dir/events.parque*")
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    schema("ts").dataType match {
+      // legacy TIMESTAMP(NANOS)-as-long generation of the testdata
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // timestamp[us] NTZ generation: cast to session-zoned TIMESTAMP
+      // (session zone pinned UTC ⇒ same instant) so withWatermark accepts it
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   private def hourlyAgg(s: SparkSession, dir: String): DataFrame =

@@ -113,6 +113,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == one)
   }
 
+  test("corrupt-feed write-once cache returns identical aggregates on reuse") {
+    // corruptRecords materializes its JSON feed only if absent; a second
+    // in-session call must hit the cached feed and agree exactly — a
+    // stale/partial feed left by a failed write would diverge here
+    val first = sources.Warehouse.corruptRecords(spark, dir).collect().toSeq
+    val second = sources.Warehouse.corruptRecords(spark, dir).collect().toSeq
+    assert(first == second)
+    assert(first.head.getLong(0) > 0, "feed must contain lines")
+  }
+
   test("corrupt-record ingest: PERMISSIVE quarantines, FAILFAST dies") {
     // the op itself wrote the feed (every 5th record truncated) and
     // proved the PERMISSIVE counts against the oracle; here: the same

@@ -24,6 +24,28 @@ class GraftSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("loaded tables carry session-zoned TIMESTAMP, never NTZ/raw longs") {
+    // Schema-drift guard: the harness regenerates the parquet between
+    // rounds and events.ts has already shipped as TIMESTAMP(NANOS)-as-long
+    // (r1-r4) and as timestamp[us] NTZ (r5). Tables.load must conform every
+    // generation to TimestampType so unix_micros / watermarks / AsOfJoin
+    // analyze; this fails BEFORE the driver does on any future drift.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    Tables.all.foreach { name =>
+      val df = Tables.load(spark, dir, name)
+      df.schema.fields.foreach { f =>
+        assert(f.dataType != TimestampNTZType,
+          s"$name.${f.name} leaked TIMESTAMP_NTZ through Tables.load")
+      }
+      if (name == "events") {
+        assert(df.schema("ts").dataType == TimestampType,
+          s"events.ts must load as TIMESTAMP, got ${df.schema("ts").dataType}")
+        // the exact call that crashed 15 queries in round 5 must analyze
+        df.select(unix_micros(col("ts"))).limit(1).collect()
+      }
+    }
+  }
+
   test("every registered query executes at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, dir).count()

@@ -306,6 +306,33 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("bottom-k-by-hash equals the window-rank formulation") =
+    Prop.forAll(
+      Gen.listOfN(40, for {
+        g <- Gen.choose(0, 3)
+        v <- Gen.oneOf(Gen.const(null: String), Gen.const(""),
+          Gen.alphaNumStr.map(_.take(8)),
+          Gen.oneOf("dup", "dup", "x")) // force duplicates + nulls
+      } yield (g, v)),
+      Gen.choose(1, 6)) { (rows, k) =>
+      val df = rows.toDF("g", "v")
+      val agg = df.groupBy(col("g"))
+        .agg(expressions.BottomKByHash.sample(col("v"), k).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1).sorted).toMap
+      // the O(group-size) window shape the aggregate replaces at scale:
+      // rank rows by (md5(v), v), keep k, nulls excluded like the agg
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("h"), col("v"))
+      val win = df.filter(col("v").isNotNull)
+        .withColumn("h", md5(col("v")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy(col("g")).agg(collect_list(col("v")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1).sorted).toMap
+      // groups whose values are all null aggregate to an empty sample but
+      // are absent from the filtered window frame
+      agg.filter(_._2.nonEmpty) == win
+    }
+
   property("connected components equal union-find on random graphs") =
     Prop.forAll(Gen.listOfN(20, edgeGen)) { es =>
       val got = ops.DedupOps
