@@ -821,6 +821,25 @@ class ExtensionsSpec extends AnyFunSuite {
     // fuzzy join: variants meet in an equi join, never an O(N*M) loop
     val fz = c("j14_fuzzy_join")
     assert(fz("nestedLoopJoins") == 0, s"j14_fuzzy_join: $fz")
+    // entity resolution: the closure rounds are localCheckpoint-bounded,
+    // so the visible plan is the node↔component link join — edges only,
+    // never the registry product (an added BNLJ means the SymSpell
+    // candidate path degraded to the naive theta-join)
+    val er = c("er_resolve")
+    assert(er("nestedLoopJoins") == 0 && er("shuffles") <= 2,
+      s"er_resolve: $er")
+    // graph beam search: corpus NEVER shuffles — candidates and queries
+    // broadcast into the scoring probe; the only exchange is the tiny
+    // per-query rank window
+    val gt = c("sim_graph_topk")
+    assert(gt("shuffles") <= 1 && gt("nestedLoopJoins") == 0 &&
+      gt("broadcasts") >= 2, s"sim_graph_topk: $gt")
+    // recall report: exactly ONE bounded nested loop — the broadcast
+    // cross of the sampled query set against the corpus that DEFINES the
+    // brute-force truth; a second one means the IVF side regressed
+    val rr = c("sim_recall_report")
+    assert(rr("nestedLoopJoins") <= 1 && rr("sortMergeJoins") <= 1 &&
+      rr("shuffles") <= 6, s"sim_recall_report: $rr")
   }
 
   test("approx-distinct raw path keeps the single-shuffle sketch shape") {
