@@ -24,6 +24,31 @@ class GraftSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Tables.load conforms a synthetic NTZ events table to TIMESTAMP") {
+    // Independent of whichever timestamp flavor the harness currently
+    // ships: write an events.parquet whose ts is TIMESTAMP_NTZ (the r5
+    // drift) and prove the loader conforms it to the same instant in a
+    // session-zoned TIMESTAMP.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ntz").toFile
+    try {
+      spark.range(3)
+        .select(col("id").as("event_id"),
+          lit("2024-03-01 12:34:56").cast(TimestampNTZType).as("ts"))
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val df = Tables.load(spark, tmp.toString, "events")
+      assert(df.schema("ts").dataType == TimestampType)
+      // UTC session: the NTZ wall-clock value IS the instant
+      val micros = df.select(unix_micros(col("ts"))).head.getLong(0)
+      assert(micros == 1709296496000000L, s"unexpected instant: $micros")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("loaded tables carry session-zoned TIMESTAMP, never NTZ/raw longs") {
     // Schema-drift guard: the harness regenerates the parquet between
     // rounds and events.ts has already shipped as TIMESTAMP(NANOS)-as-long
