@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.functions.TextFns._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline over
@@ -320,6 +321,122 @@ object DedupOps extends OpGroup {
         ratio.as("edit_ratio"),
         (ratio <= editNearDupRatio).as("near_dup"))
   }
+
+  // ---------------------------------------------------------------------
+  // Exact-substring span dedup (ExactSubstr — Lee et al. 2022, arXiv
+  // 2107.06499 §4.1): find every maximal token span of length >= k that
+  // occurs more than once ANYWHERE in the corpus, reported per doc as
+  // merged non-overlapping spans. This is the character/token-level
+  // complement of whole-doc MinHash: it catches the quoted paragraph,
+  // the boilerplate header, and the copied passage inside otherwise
+  // unique documents — the duplication mode shown to matter most for LM
+  // training data. k = 8 tokens, the same published window the
+  // decontamination pass uses.
+  //
+  // Scale shape: tokenization is one narrow explode (O(corpus tokens)
+  // rows, linear); the k-gram is assembled by k-1 LEADs over ONE
+  // doc-partitioned window (no array lambdas, no self-join); the global
+  // duplicate test is ONE hash group-by — the only corpus-wide shuffle —
+  // and span merging is a gaps-and-islands window bounded by document
+  // length, never the corpus. The suffix-array formulation of the paper
+  // is the single-machine constant-factor alternative; the k-gram
+  // hash group-by is the form that distributes (it is the same shuffle
+  // discipline as the MinHash band table). Cutting the spans out is a
+  // downstream narrow map over (doc_id, span) — this operator emits the
+  // evidence table.
+  // ---------------------------------------------------------------------
+  val substringK = 8
+
+  /** The span report over ANY (doc_id, text) frame — exposed for the
+    * constructed-corpus spec (planted copied passages must surface with
+    * exact span bounds).
+    */
+  private[graft] def substringSpansOver(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leadCols = (1 until substringK)
+      .map(i => lead(col("tok"), i).over(wLead).as(s"_t$i"))
+    val withLeads = toks
+      .select(col("doc_id") +: col("pos") +: col("tok") +: leadCols: _*)
+      .filter(col(s"_t${substringK - 1}").isNotNull)
+    val kg = withLeads.select(col("doc_id"), col("pos"),
+      fastMd5(concat_ws(" ",
+        col("tok") +: (1 until substringK).map(i => col(s"_t$i")): _*))
+        .as("h"))
+    val duph = kg.groupBy(col("h")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).drop("_n")
+    val dp = kg.join(duph, Seq("h")).select(col("doc_id"), col("pos"))
+    // gaps-and-islands: a k-gram start extends the current span iff it
+    // begins before the running max span end; islands number by the
+    // running count of fresh starts
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dp
+      .withColumn("ni",
+        when(col("pos") <= max(col("pos") + substringK).over(wPrev), 0)
+          .otherwise(1))
+      .withColumn("island", sum(col("ni")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + substringK).as("e"))
+    val summ = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s")).cast("long").as("dup_tokens"))
+    d.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("total_tokens"))
+      .join(summ, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("total_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("total_tokens"), 4).as("dup_frac"))
+  }
+
+  def substringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpansOver(docs(s, dir).select(col("doc_id"), col("text")))
+
+  private val substringSpansSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+       |  FROM documents),
+       |kg AS (
+       |  SELECT doc_id, CAST(u.kp.pos AS BIGINT) AS pos, u.kp.h AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_transform(range(0, greatest(len(words) - ${substringK - 1}, 0)),
+       |        i -> struct_pack(pos := i,
+       |          h := md5(array_to_string(words[i+1:i+$substringK], ' ')))) AS kps
+       |    FROM w) l, unnest(l.kps) AS u(kp)),
+       |duph AS (SELECT h FROM kg GROUP BY h HAVING COUNT(*) > 1),
+       |dp AS (SELECT kg.doc_id, kg.pos FROM kg JOIN duph ON kg.h = duph.h),
+       |marks AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos <= MAX(pos + $substringK) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 0 ELSE 1 END AS ni
+       |  FROM dp),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM marks),
+       |spans AS (
+       |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + $substringK AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |summ AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       |         CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+       |  FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(s.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+       |  COALESCE(s.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+       |  CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+       |    AS total_tokens,
+       |  round(CAST(COALESCE(s.dup_tokens, 0) AS DOUBLE)
+       |        / len(string_split_regex(trim(d.text), '\\s+')), 4) AS dup_frac
+       |FROM documents d LEFT JOIN summ s ON s.doc_id = d.doc_id""".stripMargin
 
   private val editDistanceSql =
     s"""WITH $bandsCte,
@@ -738,5 +855,7 @@ object DedupOps extends OpGroup {
     Op("dedup_containment", containment, Some(containmentSql),
       "asymmetric shingle containment on LSH candidates (quote/superset inclusion flag)"),
     Op("dedup_edit_distance", editDistance, Some(editDistanceSql),
-      "exact Levenshtein verify over LSH candidates; relative-distance near-dup flag"))
+      "exact Levenshtein verify over LSH candidates; relative-distance near-dup flag"),
+    Op("dedup_substring_spans", substringSpans, Some(substringSpansSql),
+      "ExactSubstr span dedup: maximal >=k-token spans duplicated anywhere in the corpus, per doc"))
 }

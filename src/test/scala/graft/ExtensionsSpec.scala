@@ -113,6 +113,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == one)
   }
 
+  test("exact-substring spans find planted copied passages with exact bounds") {
+    import spark.implicits._
+    // doc 1 and 2 share a 10-token passage at different offsets; doc 3 is
+    // unique; doc 4 repeats its own 8-token run (within-doc duplication
+    // counts — the corpus-global criterion, Lee et al. §4.1)
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    def uniq(d: Int, n: Int, from: Int = 0) =
+      (from until from + n).map(i => s"u${d}_$i").mkString(" ")
+    val run8 = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq(1, 5)} $passage ${uniq(1, 4, 5)}"),
+      (2L, s"$passage ${uniq(2, 12)}"),
+      (3L, uniq(3, 30)),
+      (4L, s"$run8 ${uniq(4, 3)} $run8")).toDF("doc_id", "text")
+    val r = ops.DedupOps.substringSpansOver(docs)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // docs 1+2: exactly the 10-token passage (3 overlapping 8-grams merge
+    // to one maximal span); doc 3 clean; doc 4 both 8-token runs flagged
+    assert(r(1L) == ((1L, 10L, 19L)), r(1L).toString)
+    assert(r(2L) == ((1L, 10L, 22L)), r(2L).toString)
+    assert(r(3L) == ((0L, 0L, 30L)), r(3L).toString)
+    assert(r(4L) == ((2L, 16L, 19L)), r(4L).toString)
+  }
+
   test("corrupt-feed write-once cache returns identical aggregates on reuse") {
     // corruptRecords materializes its JSON feed only if absent; a second
     // in-session call must hit the cached feed and agree exactly — a
