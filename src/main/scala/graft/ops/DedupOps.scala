@@ -351,22 +351,37 @@ object DedupOps extends OpGroup {
     * constructed-corpus spec (planted copied passages must surface with
     * exact span bounds).
     */
-  private[graft] def substringSpansOver(d: DataFrame): DataFrame = {
-    val toks = d.select(col("doc_id"),
+  /** Exploded (doc_id, pos, tok) rows — the shared token base. */
+  private def tokenRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+
+  /** All k-gram occurrences (doc_id, pos, h): k−1 LEADs over one
+    * doc-partitioned window assemble the gram, one md5 hashes it.
+    */
+  private def kgramRows(d: DataFrame): DataFrame = {
     val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leadCols = (1 until substringK)
       .map(i => lead(col("tok"), i).over(wLead).as(s"_t$i"))
-    val withLeads = toks
+    tokenRows(d)
       .select(col("doc_id") +: col("pos") +: col("tok") +: leadCols: _*)
       .filter(col(s"_t${substringK - 1}").isNotNull)
-    val kg = withLeads.select(col("doc_id"), col("pos"),
-      fastMd5(concat_ws(" ",
-        col("tok") +: (1 until substringK).map(i => col(s"_t$i")): _*))
-        .as("h"))
+      .select(col("doc_id"), col("pos"),
+        fastMd5(concat_ws(" ",
+          col("tok") +: (1 until substringK).map(i => col(s"_t$i")): _*))
+          .as("h"))
+  }
+
+  /** k-gram occurrences whose hash repeats anywhere in the corpus. */
+  private def dupOccurrences(d: DataFrame): DataFrame = {
+    val kg = kgramRows(d)
     val duph = kg.groupBy(col("h")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > 1).drop("_n")
-    val dp = kg.join(duph, Seq("h")).select(col("doc_id"), col("pos"))
+    kg.join(duph, Seq("h"))
+  }
+
+  private[graft] def substringSpansOver(d: DataFrame): DataFrame = {
+    val dp = dupOccurrences(d).select(col("doc_id"), col("pos"))
     // gaps-and-islands: a k-gram start extends the current span iff it
     // begins before the running max span end; islands number by the
     // running count of fresh starts
@@ -437,6 +452,105 @@ object DedupOps extends OpGroup {
        |  round(CAST(COALESCE(s.dup_tokens, 0) AS DOUBLE)
        |        / len(string_split_regex(trim(d.text), '\\s+')), 4) AS dup_frac
        |FROM documents d LEFT JOIN summ s ON s.doc_id = d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ExactSubstr CUT application: remove every duplicated >= k-token span
+  // from every document EXCEPT its canonical (first) occurrence and
+  // reassemble the cleaned text — the "all but one occurrence" rule of
+  // Lee et al. 2022 §4.1, token-resolved deterministically:
+  //   * a duplicated k-gram occurrence is canonical iff it is the
+  //     (doc_id, pos)-minimum occurrence of its hash;
+  //   * a token is removed iff some non-canonical duplicated occurrence
+  //     covers it and NO canonical occurrence covers it (canonical
+  //     coverage wins, so the kept passage survives intact even where
+  //     overlapping grams disagree).
+  // Both engines replay the rule bit-identically: ownership is a
+  // ROW_NUMBER over (hash → doc_id, pos) — the novelty curve's
+  // first-owner discipline — and reassembly is an ordered token concat
+  // keyed per doc. Scale: the extra work over the span report is one
+  // hash-keyed rank window on DUPLICATED occurrences only, a ×k
+  // constant-fan coverage explode of those occurrences, and a per-doc
+  // ordered rebuild (sort_array over doc-bounded token structs) — no new
+  // corpus-wide surface beyond the one hash shuffle the report already
+  // pays.
+  // ---------------------------------------------------------------------
+  private[graft] def substringApplyOver(d: DataFrame): DataFrame = {
+    val wOwner = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id"), col("pos"))
+    val occ = dupOccurrences(d)
+      .withColumn("canon",
+        when(row_number().over(wOwner) === 1, 1).otherwise(0))
+    val covered = occ.select(col("doc_id"), col("canon"),
+      explode(sequence(col("pos"),
+        col("pos") + lit(substringK - 1))).as("tpos"))
+    val removed = covered.groupBy(col("doc_id"), col("tpos"))
+      .agg(max(col("canon")).as("_hasCanon"))
+      .filter(col("_hasCanon") === 0)
+      .select(col("doc_id"), col("tpos").as("pos"))
+    val kept = tokenRows(d).join(removed, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    d.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("total_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("total_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def substringApply(s: SparkSession, dir: String): DataFrame =
+    substringApplyOver(docs(s, dir).select(col("doc_id"), col("text")))
+
+  private val substringApplySql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+       |  FROM documents),
+       |kg AS (
+       |  SELECT doc_id, CAST(u.kp.pos AS BIGINT) AS pos, u.kp.h AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_transform(range(0, greatest(len(words) - ${substringK - 1}, 0)),
+       |        i -> struct_pack(pos := i,
+       |          h := md5(array_to_string(words[i+1:i+$substringK], ' ')))) AS kps
+       |    FROM w) l, unnest(l.kps) AS u(kp)),
+       |duph AS (SELECT h FROM kg GROUP BY h HAVING COUNT(*) > 1),
+       |occ AS (
+       |  SELECT kg.doc_id, kg.pos,
+       |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY kg.h
+       |        ORDER BY kg.doc_id, kg.pos) = 1 THEN 1 ELSE 0 END AS canon
+       |  FROM kg JOIN duph ON kg.h = duph.h),
+       |cov AS (
+       |  SELECT doc_id, canon, pos + t.i AS tpos
+       |  FROM occ, range(0, $substringK) t(i)),
+       |removed AS (
+       |  SELECT doc_id, tpos AS pos FROM cov
+       |  GROUP BY doc_id, tpos HAVING MAX(canon) = 0),
+       |tok AS (
+       |  SELECT doc_id, CAST(u.tp.pos AS BIGINT) AS pos, u.tp.t AS tok
+       |  FROM (
+       |    SELECT doc_id, list_transform(range(0, len(words)),
+       |      i -> struct_pack(pos := i, t := words[i+1])) AS tps
+       |    FROM w) l, unnest(l.tps) AS u(tp)),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok
+       |  FROM tok t LEFT JOIN removed r
+       |    ON r.doc_id = t.doc_id AND r.pos = t.pos
+       |  WHERE r.pos IS NULL),
+       |reb AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+       |    - COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_removed,
+       |  COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |  COALESCE(r.clean_text, '') AS clean_text
+       |FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id""".stripMargin
 
   private val editDistanceSql =
     s"""WITH $bandsCte,
@@ -857,5 +971,7 @@ object DedupOps extends OpGroup {
     Op("dedup_edit_distance", editDistance, Some(editDistanceSql),
       "exact Levenshtein verify over LSH candidates; relative-distance near-dup flag"),
     Op("dedup_substring_spans", substringSpans, Some(substringSpansSql),
-      "ExactSubstr span dedup: maximal >=k-token spans duplicated anywhere in the corpus, per doc"))
+      "ExactSubstr span dedup: maximal >=k-token spans duplicated anywhere in the corpus, per doc"),
+    Op("dedup_substring_apply", substringApply, Some(substringApplySql),
+      "ExactSubstr cut: remove all but the canonical occurrence of every duplicated span, rebuild text"))
 }

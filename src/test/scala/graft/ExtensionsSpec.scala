@@ -138,6 +138,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r(4L) == ((2L, 16L, 19L)), r(4L).toString)
   }
 
+  test("exact-substring cut keeps the canonical occurrence, removes the rest") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    def uniq(d: Int, n: Int, from: Int = 0) =
+      (from until from + n).map(i => s"u${d}_$i").mkString(" ")
+    val run8 = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq(1, 5)} $passage ${uniq(1, 4, 5)}"),
+      (2L, s"$passage ${uniq(2, 12)}"),
+      (3L, uniq(3, 30)),
+      (4L, s"$run8 ${uniq(4, 3)} $run8")).toDF("doc_id", "text")
+    val r = ops.DedupOps.substringApplyOver(docs)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // doc 1 owns the passage (minimum (doc_id, pos)) — untouched; doc 2's
+    // copy is cut whole; doc 4 keeps its first 8-token run, loses the
+    // repeat; doc 3 is untouched
+    assert(r(1L) == ((0L, 19L, s"${uniq(1, 5)} $passage ${uniq(1, 4, 5)}")))
+    assert(r(2L) == ((10L, 12L, uniq(2, 12))))
+    assert(r(3L) == ((0L, 30L, uniq(3, 30))))
+    assert(r(4L) == ((8L, 11L, s"$run8 ${uniq(4, 3)}")))
+  }
+
   test("corrupt-feed write-once cache returns identical aggregates on reuse") {
     // corruptRecords materializes its JSON feed only if absent; a second
     // in-session call must hit the cached feed and agree exactly — a
