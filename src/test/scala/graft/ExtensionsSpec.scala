@@ -888,6 +888,16 @@ class ExtensionsSpec extends AnyFunSuite {
     val rr = c("sim_recall_report")
     assert(rr("nestedLoopJoins") <= 1 && rr("sortMergeJoins") <= 1 &&
       rr("shuffles") <= 6, s"sim_recall_report: $rr")
+    // ExactSubstr report: doc window + hash group-by + islands — three
+    // keyed exchanges, never a pairwise join surface
+    val ss = c("dedup_substring_spans")
+    assert(ss("shuffles") <= 3 && ss("nestedLoopJoins") == 0,
+      s"dedup_substring_spans: $ss")
+    // ExactSubstr cut adds the ownership rank + coverage agg + rebuild —
+    // still all keyed exchanges, no loop joins
+    val sa = c("dedup_substring_apply")
+    assert(sa("shuffles") <= 6 && sa("nestedLoopJoins") == 0,
+      s"dedup_substring_apply: $sa")
   }
 
   test("approx-distinct raw path keeps the single-shuffle sketch shape") {

@@ -333,6 +333,38 @@ object PropertySpec extends Properties("graft") {
       agg.filter(_._2.nonEmpty) == win
     }
 
+  property("exact-substring spans equal the brute-force model") =
+    Prop.forAll(Gen.listOfN(6,
+      Gen.listOfN(24, Gen.oneOf("a", "b", "c")))) { docTokens =>
+      // tiny vocabulary forces duplicated 8-grams across and within docs
+      val k = ops.DedupOps.substringK
+      val df = docTokens.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = ops.DedupOps.substringSpansOver(df)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // model: global k-gram counts -> duplicated start positions ->
+      // merged spans per doc
+      val grams = docTokens.zipWithIndex.flatMap { case (ts, d) =>
+        ts.sliding(k).zipWithIndex.filter(_._1.size == k)
+          .map { case (g, p) => (d.toLong, p, g.mkString(" ")) }
+      }
+      val dupG = grams.groupBy(_._3).filter(_._2.size > 1).keySet
+      val model = docTokens.zipWithIndex.map { case (ts, d) =>
+        val starts = grams.filter(g => g._1 == d && dupG(g._3)).map(_._2).sorted
+        val spans = starts.foldLeft(List.empty[(Int, Int)]) {
+          case (acc, p) => acc match {
+            case (s, e) :: rest if p <= e => (s, math.max(e, p + k)) :: rest
+            case _ => (p, p + k) :: acc
+          }
+        }
+        d.toLong -> ((spans.size.toLong,
+          spans.map(x => x._2 - x._1).sum.toLong, ts.size.toLong))
+      }.toMap
+      got == model
+    }
+
   property("connected components equal union-find on random graphs") =
     Prop.forAll(Gen.listOfN(20, edgeGen)) { es =>
       val got = ops.DedupOps
