@@ -71,10 +71,40 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
-  test("every registered query executes at sf0.001") {
+  test("every registered query executes at sf0.001 and plans no stray loop join") {
+    // Repo-wide scale audit, free-riding on the umbrella execution pass:
+    // a BroadcastNestedLoopJoin/CartesianProduct is O(N·M) at scale, so
+    // NO query may plan one unless whitelisted here with its audited
+    // count — each entry below is a DELIBERATE bounded broadcast cross
+    // (a scalar subquery, a corpus-stats side table, a sampled query
+    // set), never corpus×corpus. A new operator that accidentally plans
+    // a loop join fails here before it ever reaches the bench.
+    val allowedNested = Map(
+      "a10_sketch_rollup" -> 1, // 1-row sketch-manifest cross
+      "a4_fact_agg_consistency" -> 1, // two scalar counts crossed
+      "curate_curriculum" -> 1, // quartile-boundary scalar row
+      "j10_scalar_backfill" -> 1, // THE scalar-subquery operator
+      "s_freq_sketch" -> 1, // CMS sketch row broadcast
+      "sim_cosine_topk" -> 1, // bounded query sample × corpus
+      "sim_mips_topk" -> 3, // max-norm scalar + query sample + rerank
+      "sim_recall_report" -> 1, // brute-force truth definition
+      "text_bm25" -> 1, // corpus-stats scalar row
+      "text_hard_negatives" -> 1, // idf/stats side table
+      "text_importance_sample" -> 2, // target/base LM scalar rows
+      "text_kl_mixture" -> 1, // corpus-total scalar row
+      "text_lm_bigram_score" -> 1, // vocab-size scalar row
+      "text_lm_score" -> 1, // vocab-size scalar row
+      "text_pmi_bigrams" -> 2, // unigram/bigram total rows
+      "text_tfidf" -> 1) // doc-count scalar row
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, dir).count()
-      assert(n >= 0, s"$name failed")
+      val df = fn(spark, dir)
+      val loops = Explain.counters(df)("nestedLoopJoins")
+      val cap = allowedNested.getOrElse(name, 0)
+      assert(loops <= cap,
+        s"$name plans $loops nested-loop/cartesian joins (allowed $cap) — " +
+          "O(N·M) at scale; bin/band/broadcast the join or whitelist it " +
+          "here with a bounded-side justification")
+      assert(df.count() >= 0, s"$name failed")
     }
   }
 
