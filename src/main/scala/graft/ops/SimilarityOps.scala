@@ -35,9 +35,13 @@ object SimilarityOps extends OpGroup {
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+    // top-k via orderBy+limit = TakeOrdered (k rows per partition,
+    // driver k-merge); the rank window then numbers only the k survivors
+    // — a global rank window over the scored corpus would move every row
+    // to one task
+    val cut = sim.orderBy(col("sim").desc, col("vec_id").asc).limit(topK)
     val w = Window.orderBy(col("sim").desc, col("vec_id").asc)
-    sim.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    cut.withColumn("rank", row_number().over(w))
       .select(col("vec_id"), col("sim"), col("rank"))
   }
 

@@ -96,16 +96,39 @@ class GraftSpec extends AnyFunSuite {
       "text_lm_score" -> 1, // vocab-size scalar row
       "text_pmi_bigrams" -> 2, // unigram/bigram total rows
       "text_tfidf" -> 1) // doc-count scalar row
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Global (unpartitioned) windows move ALL rows to one task — the
+    // other scale-killer class. Whitelisted entries run over a frame
+    // bounded by something other than the corpus (the calendar, a
+    // top-k stratum, a report row set) with the escape documented in
+    // ARCHITECTURE.md.
+    val allowedGlobalWin = Map(
+      "ts_census" -> 1, // prefix sum over the CALENDAR (day rows)
+      "j6_null_safe_junk_join" -> 1, // junk-dim surrogate keys (dim-bounded)
+      "w1_surrogate_keys" -> 1, // reference AUTO_INCREMENT: dim-bounded
+      "text_vocab_encode" -> 1, // vocab-ordinal window (vocab-bounded)
+      "text_weighted_sample" -> 1, // rank AFTER limit(N) — N rows
+      "sim_cosine_topk" -> 1, // rank AFTER limit(topK) — k rows
+      "curate_diverse_sample" -> 1) // pick window on cell_rank<=budget stratum
+    val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val df = fn(spark, dir)
       val loops = Explain.counters(df)("nestedLoopJoins")
-      val cap = allowedNested.getOrElse(name, 0)
-      assert(loops <= cap,
-        s"$name plans $loops nested-loop/cartesian joins (allowed $cap) — " +
-          "O(N·M) at scale; bin/band/broadcast the join or whitelist it " +
-          "here with a bounded-side justification")
+      val gwin = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.size
       assert(df.count() >= 0, s"$name failed")
+      val v1 = if (loops > allowedNested.getOrElse(name, 0))
+        Seq(s"$name: $loops loop joins (allowed " +
+          s"${allowedNested.getOrElse(name, 0)})") else Nil
+      val v2 = if (gwin > allowedGlobalWin.getOrElse(name, 0))
+        Seq(s"$name: $gwin global windows (allowed " +
+          s"${allowedGlobalWin.getOrElse(name, 0)})") else Nil
+      v1 ++ v2
     }
+    assert(violations.isEmpty,
+      "scale-audit violations — bin/band/broadcast the join, partition " +
+        "the window, or whitelist with a bounded-side justification:\n  " +
+        violations.mkString("\n  "))
   }
 
   test("every query has an oracle or documented omission") {
