@@ -110,6 +110,11 @@ object Bench {
         // handles the dependency internally)
         Future(timed("knn_graph")(
           graft.ops.SimilarityOps.knnJoin(spark, sfDir).count())),
+        // near-dup cluster table: memoized shared artifact consumed by
+        // dedup_clusters/survivors and the curation pipeline — at 100 TB
+        // a scheduled dedup build writing a persisted cluster table
+        Future(timed("dedup_clusters")(
+          graft.ops.DedupOps.dedupClusters(spark, sfDir).count())),
         Future(timed("sorted_layout")(
           run(graft.sources.Warehouse.sortedLayoutScan(spark, sfDir)))),
         // remaining first-touch layouts: each op writes its physical
