@@ -187,8 +187,22 @@ object Bench {
     // stdout gets one compact line of medians — slowest queries first
     // until a byte budget, the remainder folded into one "rest" entry.
     val full = results.toSeq.sortBy(-_._2._1)
+    // cold/warm split: rep 1 pays the plan's first optimization +
+    // codegen at THIS scale factor; the rep-cap design stops after one
+    // rep once it exceeds repCapSec, so a query's only sample can be its
+    // cold plan (r6: j11_runtime_bloom_join 4.7 s cold vs 0.65 s warm).
+    // Round-over-round comparison should read `warm` (median of reps 2+,
+    // null when the cap left a single cold sample) next to `cold`
+    // instead of misreading a cold-only sample as a 7× regression.
     val fullQs = full.map { case (k, (med, walls, task, sh)) =>
+      val cold = walls.headOption.getOrElse(0.0)
+      val warm =
+        if (walls.length >= 2) {
+          val w = walls.tail.sorted
+          fmt(w(w.length / 2))
+        } else "null"
       "\"" + k + "\":{\"med\":" + fmt(med) +
+        ",\"cold\":" + fmt(cold) + ",\"warm\":" + warm +
         ",\"reps\":" + walls.map(fmt).mkString("[", ",", "]") +
         ",\"task_sec\":" + fmt(task) + ",\"shuffle_mb\":" + fmt(sh) + "}"
     }.mkString("{", ",", "}")

@@ -26,6 +26,13 @@ object Tables {
     //  - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: the session
     //    zone is pinned UTC, so a plain cast maps to the same instant
     //    DuckDB reads.
+    // The UTC pin lives HERE, not only in the entrypoints' builders: the
+    // NTZ→TIMESTAMP cast below resolves wall-clock values through the
+    // session zone, so a driver that builds its own SparkSession (the
+    // SURVEY §7 external-driver contract, ad-hoc profilers) must not
+    // silently diverge from the DuckDB oracle on a host with a non-UTC
+    // default zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>

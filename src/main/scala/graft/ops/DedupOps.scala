@@ -464,22 +464,41 @@ object DedupOps extends OpGroup {
   //     covers it and NO canonical occurrence covers it (canonical
   //     coverage wins, so the kept passage survives intact even where
   //     overlapping grams disagree).
-  // Both engines replay the rule bit-identically: ownership is a
-  // ROW_NUMBER over (hash → doc_id, pos) — the novelty curve's
-  // first-owner discipline — and reassembly is an ordered token concat
-  // keyed per doc. Scale: the extra work over the span report is one
-  // hash-keyed rank window on DUPLICATED occurrences only, a ×k
-  // constant-fan coverage explode of those occurrences, and a per-doc
-  // ordered rebuild (sort_array over doc-bounded token structs) — no new
-  // corpus-wide surface beyond the one hash shuffle the report already
-  // pays.
+  // Both engines replay the rule bit-identically: ownership is the
+  // first-owner MIN-AGG discipline (the novelty curve's shape) — NOT a
+  // rank window — and reassembly is an ordered token concat keyed per
+  // doc. Scale: the extra work over the span report is one coverage
+  // explode of DUPLICATED occurrences only (×k constant fan) and a
+  // per-doc ordered rebuild (sort_array over doc-bounded token structs)
+  // — no new corpus-wide surface beyond the one hash shuffle the report
+  // already pays.
   // ---------------------------------------------------------------------
   private[graft] def substringApplyOver(d: DataFrame): DataFrame = {
-    val wOwner = Window.partitionBy(col("h"))
-      .orderBy(col("doc_id"), col("pos"))
-    val occ = dupOccurrences(d)
+    // Canonical ownership without a rank window: the former
+    // row_number().over(Window.partitionBy("h")) serialized EVERY
+    // occurrence of one hash into a single window task — a boilerplate
+    // 8-gram (license header, template sentence) repeats 1e8–1e9 times
+    // at corpus scale, and unlike a skewed shuffle join a skewed window
+    // partition has no AQE escape. The rule only needs the
+    // (doc_id, pos)-minimum occurrence per hash, which is distributive:
+    // min(doc_id) fuses with the duplicate test in one agg, min(pos)
+    // within that owner doc in a second. Both buffers are primitive
+    // longs, so both stay HashAggregates with map-side partials — the
+    // hot key collapses to one row per mapper before any shuffle — and
+    // every consumer shares the single hash-partitioned exchange on h.
+    val kg = kgramRows(d)
+    val ownDoc = kg.groupBy(col("h"))
+      .agg(count(lit(1)).as("_n"), min(col("doc_id")).as("_od"))
+      .filter(col("_n") > 1)
+      .select(col("h"), col("_od"))
+    val ownPos = kg.join(ownDoc, Seq("h"))
+      .filter(col("doc_id") === col("_od"))
+      .groupBy(col("h"), col("_od"))
+      .agg(min(col("pos")).as("_op"))
+    val occ = kg.join(ownPos, Seq("h"))
       .withColumn("canon",
-        when(row_number().over(wOwner) === 1, 1).otherwise(0))
+        when(col("doc_id") === col("_od") && col("pos") === col("_op"), 1)
+          .otherwise(0))
     val covered = occ.select(col("doc_id"), col("canon"),
       explode(sequence(col("pos"),
         col("pos") + lit(substringK - 1))).as("tpos"))
@@ -493,14 +512,22 @@ object DedupOps extends OpGroup {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")), " ").as("clean_text"))
-    d.select(col("doc_id"),
+    // Untouched documents round-trip EXACTLY: when nothing was removed
+    // the original text is passed through, so tabs/newlines/multi-space
+    // runs survive and clean_text is a drop-in replacement corpus.
+    // Token-normalized output only appears where a span was actually cut
+    // (the rebuild cannot know the original inter-token whitespace).
+    d.select(col("doc_id"), col("text"),
         size(tokens(col("text"))).cast("long").as("total_tokens"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (col("total_tokens") - coalesce(col("n_kept"), lit(0L)))
           .as("n_removed"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        when(col("total_tokens") === coalesce(col("n_kept"), lit(0L)),
+            col("text"))
+          .otherwise(coalesce(col("clean_text"), lit("")))
+          .as("clean_text"))
   }
 
   def substringApply(s: SparkSession, dir: String): DataFrame =
@@ -518,12 +545,18 @@ object DedupOps extends OpGroup {
        |        i -> struct_pack(pos := i,
        |          h := md5(array_to_string(words[i+1:i+$substringK], ' ')))) AS kps
        |    FROM w) l, unnest(l.kps) AS u(kp)),
-       |duph AS (SELECT h FROM kg GROUP BY h HAVING COUNT(*) > 1),
+       |own AS (
+       |  SELECT h, MIN(doc_id) AS od FROM kg
+       |  GROUP BY h HAVING COUNT(*) > 1),
+       |ownp AS (
+       |  SELECT kg.h, kg.doc_id AS od, MIN(kg.pos) AS op
+       |  FROM kg JOIN own ON kg.h = own.h AND kg.doc_id = own.od
+       |  GROUP BY kg.h, kg.doc_id),
        |occ AS (
        |  SELECT kg.doc_id, kg.pos,
-       |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY kg.h
-       |        ORDER BY kg.doc_id, kg.pos) = 1 THEN 1 ELSE 0 END AS canon
-       |  FROM kg JOIN duph ON kg.h = duph.h),
+       |    CASE WHEN kg.doc_id = o.od AND kg.pos = o.op
+       |      THEN 1 ELSE 0 END AS canon
+       |  FROM kg JOIN ownp o ON kg.h = o.h),
        |cov AS (
        |  SELECT doc_id, canon, pos + t.i AS tpos
        |  FROM occ, range(0, $substringK) t(i)),
@@ -549,7 +582,9 @@ object DedupOps extends OpGroup {
        |  CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
        |    - COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_removed,
        |  COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
-       |  COALESCE(r.clean_text, '') AS clean_text
+       |  CASE WHEN CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+       |      = COALESCE(r.n_kept, CAST(0 AS BIGINT))
+       |    THEN d.text ELSE COALESCE(r.clean_text, '') END AS clean_text
        |FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id""".stripMargin
 
   private val editDistanceSql =

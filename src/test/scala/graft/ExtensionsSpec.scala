@@ -144,11 +144,17 @@ class ExtensionsSpec extends AnyFunSuite {
     def uniq(d: Int, n: Int, from: Int = 0) =
       (from until from + n).map(i => s"u${d}_$i").mkString(" ")
     val run8 = (1 to 8).map(i => s"r$i").mkString(" ")
+    // doc 5: untouched AND whitespace-irregular — the cut must return the
+    // ORIGINAL bytes (tabs/newlines/multi-space runs intact), so
+    // clean_text is a drop-in replacement corpus, not a token-normalized
+    // rewrite of documents it never touched
+    val messy = "m1  m2\tm3\nm4   m5"
     val docs = Seq(
       (1L, s"${uniq(1, 5)} $passage ${uniq(1, 4, 5)}"),
       (2L, s"$passage ${uniq(2, 12)}"),
       (3L, uniq(3, 30)),
-      (4L, s"$run8 ${uniq(4, 3)} $run8")).toDF("doc_id", "text")
+      (4L, s"$run8 ${uniq(4, 3)} $run8"),
+      (5L, messy)).toDF("doc_id", "text")
     val r = ops.DedupOps.substringApplyOver(docs)
       .collect().map(x => x.getLong(0) ->
         ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
@@ -159,6 +165,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r(2L) == ((10L, 12L, uniq(2, 12))))
     assert(r(3L) == ((0L, 30L, uniq(3, 30))))
     assert(r(4L) == ((8L, 11L, s"$run8 ${uniq(4, 3)}")))
+    assert(r(5L) == ((0L, 5L, messy)))
+  }
+
+  test("exact-substring cut survives a pathological hot gram (boilerplate corpus)") {
+    import spark.implicits._
+    // the 100 TB failure mode in miniature: ONE 8-token boilerplate block
+    // shared by every document (license header / template sentence). The
+    // former rank-window formulation serialized all N occurrences of the
+    // hot gram hash into a single window task; the min-agg formulation
+    // collapses them map-side. Correctness: only doc 0 (the minimum
+    // (doc_id, pos) owner) keeps the block, every other doc loses exactly
+    // those 8 tokens, and unique tails are untouched.
+    val boiler = (1 to 8).map(i => s"bp$i").mkString(" ")
+    val n = 2000
+    val docsDf = (0 until n)
+      .map(d => (d.toLong, s"$boiler " +
+        (0 until 6).map(j => s"u${d}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = ops.DedupOps.substringApplyOver(docsDf)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r.size == n)
+    assert(r(0L) == ((0L, 14L,
+      s"$boiler " + (0 until 6).map(j => s"u0_$j").mkString(" "))))
+    (1 until n).foreach { d =>
+      assert(r(d.toLong) == ((8L, 6L,
+        (0 until 6).map(j => s"u${d}_$j").mkString(" "))), s"doc $d")
+    }
   }
 
   test("corrupt-feed write-once cache returns identical aggregates on reuse") {
@@ -893,11 +927,20 @@ class ExtensionsSpec extends AnyFunSuite {
     val ss = c("dedup_substring_spans")
     assert(ss("shuffles") <= 3 && ss("nestedLoopJoins") == 0,
       s"dedup_substring_spans: $ss")
-    // ExactSubstr cut adds the ownership rank + coverage agg + rebuild —
-    // still all keyed exchanges, no loop joins
+    // ExactSubstr cut adds the ownership min-aggs + coverage agg +
+    // rebuild — still all keyed exchanges, no loop joins
     val sa = c("dedup_substring_apply")
-    assert(sa("shuffles") <= 6 && sa("nestedLoopJoins") == 0,
+    assert(sa("shuffles") <= 7 && sa("nestedLoopJoins") == 0,
       s"dedup_substring_apply: $sa")
+    // …and canonical ownership must stay a distributive min-agg, NEVER a
+    // rank window keyed on the gram hash: a boilerplate 8-gram at corpus
+    // scale repeats 1e8+ times, and a skewed window partition (unlike a
+    // skewed join) has no AQE escape. The only windows allowed in this
+    // plan are the doc-partitioned tokenization LEADs.
+    val saPlan = SparkEntry.queries("dedup_substring_apply")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!saPlan.contains("windowspecdefinition(h#"),
+      "dedup_substring_apply regressed to a gram-hash-keyed window")
   }
 
   test("approx-distinct raw path keeps the single-shuffle sketch shape") {

@@ -71,6 +71,37 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("numeric columns keep their physical types across testdata generations") {
+    // The other likely regeneration drift after the r5 timestamp one: a
+    // value/price column shipped as DECIMAL instead of DOUBLE (or int
+    // width narrowed) silently changes agg results vs the oracle and
+    // breaks the integer-quantized determinism paths. Pin the numeric
+    // surface the operators depend on; a driver regeneration that drifts
+    // fails HERE with the column named, before any hash mismatch.
+    import org.apache.spark.sql.types._
+    val expected: Seq[(String, String, DataType)] = Seq(
+      ("orders", "o_orderkey", LongType), ("orders", "o_totalprice", DoubleType),
+      ("lineitem", "l_quantity", DoubleType),
+      ("lineitem", "l_extendedprice", DoubleType),
+      ("lineitem", "l_discount", DoubleType), ("lineitem", "l_tax", DoubleType),
+      ("lineitem", "l_linenumber", IntegerType),
+      ("part", "p_size", IntegerType), ("part", "p_retailprice", DoubleType),
+      ("customer", "c_acctbal", DoubleType),
+      ("supplier", "s_acctbal", DoubleType),
+      ("events", "value", DoubleType), ("events", "user_id", LongType),
+      ("documents", "doc_id", LongType), ("documents", "n_chars", LongType),
+      ("embeddings", "vec_id", LongType), ("embeddings", "label", IntegerType),
+      ("embeddings", "embedding", ArrayType(FloatType)))
+    expected.groupBy(_._1).foreach { case (table, cols) =>
+      val schema = Tables.load(spark, dir, table).schema
+      cols.foreach { case (_, c, t) =>
+        assert(schema(c).dataType == t,
+          s"$table.$c drifted to ${schema(c).dataType} (expected $t) — " +
+            "conform it in Tables.load like the timestamp flavors")
+      }
+    }
+  }
+
   test("every registered query executes at sf0.001 and plans no stray loop join") {
     // Repo-wide scale audit, free-riding on the umbrella execution pass:
     // a BroadcastNestedLoopJoin/CartesianProduct is O(N·M) at scale, so
@@ -109,13 +140,44 @@ class GraftSpec extends AnyFunSuite {
       "text_weighted_sample" -> 1, // rank AFTER limit(N) — N rows
       "sim_cosine_topk" -> 1, // rank AFTER limit(topK) — k rows
       "curate_diverse_sample" -> 1) // pick window on cell_rank<=budget stratum
+    // Third scale-killer class: a KEYED window whose partition key has
+    // unbounded cardinality WITH possible hot keys. A window partitioned
+    // on a gram hash / token / LSH bucket serializes every row of the hot
+    // key into one task, and unlike a skewed shuffle join (AQE splits
+    // those) a skewed window partition has no runtime escape — the
+    // ExactSubstr cut shipped exactly this shape in r6 and was
+    // de-skewed to a distributive min-agg. Every column NAME a window may
+    // partition on must be listed here with its bounded-fanout
+    // justification; a window on an unlisted key (h, tok, band, sig, fp,
+    // shingle, …) fails the suite until it is re-expressed as an
+    // aggregate or argued bounded below.
+    val allowedWindowKeys: Set[String] = Set(
+      "doc_id", "media_id", // per-document/media: bounded by doc length
+      "q_id", // per-query rank: bounded by the sampled query batch
+      "user_id", "patient_id", // per-entity history: human-scale fanout
+      "event_id", "event_key", // interval-dedup key: match multiplicity ≈ 1
+      "vec_a", "src", // per-vector neighbor lists: k-bounded by the index
+      "cell", "cell_rank", // IVF cell: ~N/√N rows by construction
+      "source", "source_type", "lang", "split", // enum-bounded strata
+      "o_orderstatus", // enum-bounded (reference dim values)
+      "shard", // salted hash shard: fanout = N/shards BY DESIGN (uniform
+               // md5 routing — the anti-skew device itself)
+      "event_type", // enum-bounded event taxonomy
+      "grp", "d", "island", "week", "month", "day", // calendar/gap keys
+      "window", "session_idx", // session/window ids within a user
+      "band", "sig") // LSH buckets: ONLY behind hotBucketCap (capped
+                     // explode) — the cap is asserted by its own spec
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val df = fn(spark, dir)
       val loops = Explain.counters(df)("nestedLoopJoins")
-      val gwin = df.queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.partitionSpec.isEmpty => w
-      }.size
+      val winNodes = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      val gwin = winNodes.count(_.partitionSpec.isEmpty)
+      val badKeys = winNodes.filter(_.partitionSpec.nonEmpty).flatMap { w =>
+        val names = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+        names.filterNot(allowedWindowKeys.contains)
+      }.distinct
       assert(df.count() >= 0, s"$name failed")
       val v1 = if (loops > allowedNested.getOrElse(name, 0))
         Seq(s"$name: $loops loop joins (allowed " +
@@ -123,11 +185,15 @@ class GraftSpec extends AnyFunSuite {
       val v2 = if (gwin > allowedGlobalWin.getOrElse(name, 0))
         Seq(s"$name: $gwin global windows (allowed " +
           s"${allowedGlobalWin.getOrElse(name, 0)})") else Nil
-      v1 ++ v2
+      val v3 = if (badKeys.nonEmpty)
+        Seq(s"$name: window keyed on un-audited column(s) " +
+          badKeys.mkString(", ")) else Nil
+      v1 ++ v2 ++ v3
     }
     assert(violations.isEmpty,
       "scale-audit violations — bin/band/broadcast the join, partition " +
-        "the window, or whitelist with a bounded-side justification:\n  " +
+        "the window, de-skew the hot-keyed window to an aggregate, or " +
+        "whitelist with a bounded-side justification:\n  " +
         violations.mkString("\n  "))
   }
 

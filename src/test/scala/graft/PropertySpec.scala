@@ -365,6 +365,45 @@ object PropertySpec extends Properties("graft") {
       got == model
     }
 
+  property("exact-substring cut equals the brute-force model") =
+    Prop.forAll(Gen.listOfN(6,
+      Gen.listOfN(24, Gen.oneOf("a", "b", "c")))) { docTokens =>
+      // same tiny vocabulary as the spans property — duplicated 8-grams
+      // are dense, so canonical ownership, canon-coverage precedence and
+      // the rebuild all get exercised on every generated corpus
+      val k = ops.DedupOps.substringK
+      val df = docTokens.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = ops.DedupOps.substringApplyOver(df)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      // model: dup grams -> canonical (min (doc_id,pos)) occurrence per
+      // gram -> token removed iff covered by a non-canonical occurrence
+      // and by NO canonical one -> ordered rebuild of the survivors
+      val grams = docTokens.zipWithIndex.flatMap { case (ts, d) =>
+        ts.sliding(k).zipWithIndex.filter(_._1.size == k)
+          .map { case (g, p) => (d.toLong, p, g.mkString(" ")) }
+      }
+      val dupByGram = grams.groupBy(_._3).filter(_._2.size > 1)
+      val canon = dupByGram.values
+        .map(os => os.map(o => (o._1, o._2)).min).toSet
+      val hasCanon = scala.collection.mutable.Set[(Long, Int)]()
+      val coveredNonCanon = scala.collection.mutable.Set[(Long, Int)]()
+      dupByGram.values.flatten.foreach { case (d, p, _) =>
+        val tgt = if (canon((d, p))) hasCanon else coveredNonCanon
+        (p until p + k).foreach(t => tgt += ((d, t)))
+      }
+      val removed = coveredNonCanon diff hasCanon
+      val model = docTokens.zipWithIndex.map { case (ts, d) =>
+        val kept = ts.indices.filterNot(i => removed((d.toLong, i)))
+        d.toLong -> ((ts.size - kept.size).toLong, kept.size.toLong,
+          if (kept.size == ts.size) ts.mkString(" ")
+          else kept.map(ts).mkString(" "))
+      }.toMap
+      got == model
+    }
+
   property("connected components equal union-find on random graphs") =
     Prop.forAll(Gen.listOfN(20, edgeGen)) { es =>
       val got = ops.DedupOps
