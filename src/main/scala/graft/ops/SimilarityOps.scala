@@ -883,14 +883,18 @@ object SimilarityOps extends OpGroup {
   // reversed in-edges) — NSW's bidirectional links; a directed kNN graph
   // on a structureless corpus is barely navigable (measured recall 0.20
   // directed vs the undirected figure in the spec). Per round the corpus
-  // is never shuffled: the beam (beam·(deg+1) rows per query) broadcasts
-  // against the edge index and the embedding table, so each round is two
-  // broadcast-hash probes and one tiny per-query rank window; each
-  // round's beam is localCheckpoint'd (it is beam·queries rows) so the
-  // plan stays flat instead of doubling per round. Deterministic: every
-  // cosine rounds to 6 dp before ranking, ties break on vec_id, entry
-  // set and round count are fixed — both engines replay the identical
-  // search path.
+  // is never shuffled: the beam broadcasts against the edge index, the
+  // resulting candidate set (≤ queries·beam·(deg+1) rows at ANY corpus
+  // size) broadcasts against the embedding table, and the scored rows
+  // come back to the driver — ONE action per round, zero shuffles.
+  // Ranking, dedup, and the final top-k all happen driver-side over the
+  // held scores (the bounded-query-batch discipline, same as centroids
+  // and codebooks): the per-round DISTINCT shuffle, the rank-window
+  // exchange, and the final re-rank's third corpus pass all disappear —
+  // the last round already scored the final beam. Deterministic: every
+  // cosine rounds to 6 dp inside the distributed projection (engine
+  // rounding, not JVM), ties break on vec_id, entry set and round count
+  // are fixed — both engines replay the identical search path.
   // ---------------------------------------------------------------------
   val graphBeam = 12
   val graphRounds = 4
@@ -904,58 +908,70 @@ object SimilarityOps extends OpGroup {
     */
   private[graft] def beamSearch(e: DataFrame, edges: DataFrame,
       qCount: Int, entryCount: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val q = e.filter(col("vec_id") < qCount)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    // score a (q_id, vec_id) candidate set and keep the per-query best:
-    // candidates stay beam-bounded, so they broadcast and the corpus
-    // streams through one codegen'd probe — no corpus shuffle, any scale
-    def top(cand: DataFrame, keep: Int): DataFrame = {
-      val scored = e.join(broadcast(cand), Seq("vec_id"))
+    // Score a candidate (q_id, vec_id) frame and bring the scored rows
+    // to the driver: candidates stay beam-bounded so they broadcast and
+    // the corpus streams through one codegen'd probe — no corpus
+    // shuffle, any scale. Candidates may repeat (the same neighbour is
+    // reachable from several beam members); a duplicate re-scores the
+    // identical cosine and is deduped driver-side, which is cheaper than
+    // a DISTINCT shuffle on the distributed side.
+    def score(cand: DataFrame): Array[(Long, Long, Double)] =
+      e.join(broadcast(cand), Seq("vec_id"))
         .join(broadcast(q), Seq("q_id"))
-        .select(col("q_id"), col("vec_id"),
+        .select(col("q_id").cast("long"), col("vec_id").cast("long"),
           round(graft.functions.TextFns.dotProduct(col("embedding"), col("q_emb"))
             / (col("nrm") * col("q_nrm")), 6).as("sim"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= keep)
-    }
-    val entry = e.filter(col("vec_id") >= qCount &&
-        col("vec_id") < qCount + entryCount)
-      .select(col("vec_id"))
-    // The live beam is a bounded QUERY-BATCH model — ≤ qCount·graphBeam
-    // (q_id, vec_id) pairs at ANY corpus size — so it lives on the driver
-    // between rounds (the centroid/codebook discipline) and re-enters
-    // each round as a broadcast literal. vs the previous checkpointed
-    // distributed beam: one scoring job per round instead of three
-    // (hop-broadcast + candidate-broadcast + checkpoint) and no
-    // 32-partition materializations of a 60-row frame — measured 24.8 →
-    // single-digit task-sec at sf0.1 for identical output. The
-    // corpus-side probes are unchanged: edges and embeddings stream
-    // through broadcast-hash joins, never shuffle.
-    val spark = e.sparkSession
-    import spark.implicits._
-    def fetch(df: DataFrame): Array[(Long, Long)] =
-      df.select(col("q_id").cast("long"), col("vec_id").cast("long"))
-        .as[(Long, Long)].collect()
-    var beam = fetch(
-      top(q.select(col("q_id")).crossJoin(broadcast(entry)), graphBeam))
+        .as[(Long, Long, Double)].collect()
+    // Driver-side per-query top-k over held scores: dedup on (q_id,
+    // vec_id), rank by (sim desc, vec_id asc) — the same total order the
+    // rank window used, on ≤ qCount·beam·(deg+1) rows by construction.
+    def topK(scored: Array[(Long, Long, Double)],
+        keep: Int): Array[(Long, Long, Double)] =
+      scored.distinct.groupBy(_._1).toArray.sortBy(_._1).flatMap {
+        case (_, g) => g.sortBy { case (_, v, s) => (-s, v) }.take(keep)
+      }
+    // The beam AND its scores are a bounded QUERY-BATCH model — ≤
+    // qCount·graphBeam rows at ANY corpus size — so they live on the
+    // driver between rounds (the centroid/codebook discipline) and
+    // re-enter each round as a broadcast literal. One action per round
+    // (the scored-candidate collect), zero shuffles: no per-round
+    // DISTINCT, no rank-window exchange, no checkpoint. Entry
+    // candidates are id arithmetic (q × [qCount, qCount+entryCount));
+    // ids absent from the corpus fall out of the scoring join exactly as
+    // the old corpus-side filter dropped them.
+    val init = for {
+      qi <- 0L until qCount.toLong
+      ei <- qCount.toLong until (qCount + entryCount).toLong
+    } yield (qi, ei)
+    var beam = topK(score(init.toDF("q_id", "vec_id")), graphBeam)
     (1 to graphRounds).foreach { _ =>
-      val bdf = beam.toSeq.toDF("q_id", "vec_id")
+      val bdf = beam.map(t => (t._1, t._2)).toSeq.toDF("q_id", "vec_id")
       val expand = edges.join(
           broadcast(bdf.withColumnRenamed("vec_id", "src")), Seq("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
-      val cand = bdf.union(expand)
-        .filter(col("vec_id") =!= col("q_id")).distinct()
-      beam = fetch(top(cand, graphBeam))
+        .filter(col("vec_id") =!= col("q_id"))
+      beam = topK(score(bdf.unionByName(expand)), graphBeam)
     }
-    top(beam.toSeq.toDF("q_id", "vec_id"), lshTopK)
+    // Final re-rank is FREE: the last round already scored the final
+    // beam, so the answer is a driver-side sort of held scores — the
+    // result re-enters Spark as a literal (LocalTableScan), the
+    // bounded-model shape the oracle hashes value-for-value.
+    topK(beam, lshTopK).groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (_, g) =>
+        g.sortBy { case (_, v, s) => (-s, v) }.zipWithIndex
+          .map { case ((qi, v, s), i) => (qi, v, s, i + 1) }
+    }.toDF("q_id", "vec_id", "sim", "rank")
+      .withColumn("rank", col("rank").cast("int"))
   }
 
   def graphTopk(s: SparkSession, dir: String): DataFrame = {
     // cached once per (session, dir): every beam round probes this table
-    // twice, so 5 rounds would otherwise re-scan the parquet ~10×
+    // once, so 5 scoring actions would otherwise re-scan the parquet 5×
     val e = Memo.of(s, dir, "embNorms") {
       emb(s, dir).select(col("vec_id"), col("embedding"),
         graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()

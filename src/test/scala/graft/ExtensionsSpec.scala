@@ -910,12 +910,15 @@ class ExtensionsSpec extends AnyFunSuite {
     val er = c("er_resolve")
     assert(er("nestedLoopJoins") == 0 && er("shuffles") <= 2,
       s"er_resolve: $er")
-    // graph beam search: corpus NEVER shuffles — candidates and queries
-    // broadcast into the scoring probe; the only exchange is the tiny
-    // per-query rank window
+    // graph beam search: the result is a driver-held bounded model
+    // (≤ queries·topK scored rows) re-entering as a literal — the
+    // visible plan is a LocalTableScan with NO exchange of any kind;
+    // a shuffle or loop join appearing here means the beam stopped
+    // being driver-held (per-round probes are collect actions inside
+    // beamSearch, each zero-shuffle broadcast probes of the corpus)
     val gt = c("sim_graph_topk")
-    assert(gt("shuffles") <= 1 && gt("nestedLoopJoins") == 0 &&
-      gt("broadcasts") >= 2, s"sim_graph_topk: $gt")
+    assert(gt("shuffles") == 0 && gt("nestedLoopJoins") == 0,
+      s"sim_graph_topk: $gt")
     // recall report: exactly ONE bounded nested loop — the broadcast
     // cross of the sampled query set against the corpus that DEFINES the
     // brute-force truth; a second one means the IVF side regressed
@@ -1951,15 +1954,15 @@ class ExtensionsSpec extends AnyFunSuite {
     info(s"text_weighted_sample: $wsamp")
     assert(wsamp("shuffles") == 0 && wsamp("sortMergeJoins") == 0,
       s"text_weighted_sample: $wsamp")
-    // graph beam search: each round's beam is localCheckpoint'd, so the
-    // visible plan is the final re-rank — two broadcast-hash probes of
-    // the checkpointed beam + one per-query rank window. A nested loop
-    // or sort-merge join here means a beam stopped broadcasting (grew
-    // corpus-sized) or the lineage flattening was lost
+    // graph beam search: scores are driver-held between rounds, the
+    // final re-rank is a driver-side sort of scores the last round
+    // already computed — the visible plan is a LocalTableScan. Any
+    // join or exchange appearing here means the bounded query-batch
+    // model regressed to a distributed beam
     val gt = c("sim_graph_topk")
     info(s"sim_graph_topk: $gt")
     assert(gt("nestedLoopJoins") == 0 && gt("sortMergeJoins") == 0 &&
-      gt("shuffles") <= 2, s"sim_graph_topk: $gt")
+      gt("shuffles") == 0, s"sim_graph_topk: $gt")
     // diverse sample: keyed join against the memoized cell index + two
     // rank windows; the global window reads only the cell_rank<=budget
     // stratum, so no operator is corpus-cartesian
@@ -2061,5 +2064,49 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(wideAgain.count() == nations)
     val c = Tables.load(spark, dir, "customer").count()
     assert(wideAgain.agg(sum("customers")).head.getLong(0) == c)
+  }
+
+  test("cpu budgets: the top task-second queries stay under 3× measured") {
+    // Plan-shape pins can't see a CPU regression with an unchanged plan
+    // (an interpreted expression slipping into the hot path, a lost
+    // map-side combine): this pins executor-task-seconds for the five
+    // most expensive queries at sf0.01 under generous caps (≈3× the
+    // ProfQuery warm steady-state measured 2026-08: sim_graph_topk 3.7,
+    // er_resolve 1.3, dedup_minhash_lsh 1.7, stream_join 7.3,
+    // s_warehouse_sql 5.0 task-sec at local[32]; this suite runs
+    // local[4], which only lowers per-task overhead). A breach means a
+    // class of regression the driver bench would otherwise surface two
+    // rounds later.
+    val sfDir = "/root/testdata/sf0.01"
+    val budgets = Seq(
+      ("sim_graph_topk", 15.0), ("er_resolve", 8.0),
+      ("dedup_minhash_lsh", 10.0), ("stream_join", 30.0),
+      ("s_warehouse_sql", 25.0))
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    // warm pass: first-touch index/layer builds and codegen compilation
+    // are one-time costs the budget does not charge
+    budgets.foreach { case (n, _) => run(n) }
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) taskMs.addAndGet(m.executorRunTime)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try budgets.foreach { case (name, cap) =>
+      // listener events are delivered async — drain before reading
+      Thread.sleep(300); taskMs.set(0L)
+      run(name)
+      Thread.sleep(500)
+      val sec = taskMs.get / 1e3
+      info(f"$name%-20s $sec%6.2f task-sec (cap $cap)")
+      assert(sec <= cap,
+        f"$name burned $sec%.1f executor-task-sec at sf0.01 " +
+          f"(budget $cap) — a CPU regression with no plan-shape change")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
