@@ -611,14 +611,18 @@ object DedupOps extends OpGroup {
   // doc_id. A one-pass "drop doc_b of each pair" rule misses chains
   // (A~B, B~C keeps C even though it duplicates A's cluster).
   //
-  // Algorithm: deterministic min-label propagation iterated to fixpoint —
-  // each round every node takes min(own label, neighbors' labels); the
-  // candidate graph (not the corpus) carries the iteration, so per-round
-  // cost is O(|edges|) with one shuffle on the node id. Convergence is
-  // diameter-bounded; near-dup components are overwhelmingly tiny, and
-  // each round localCheckpoints to keep the plan flat. (At extreme
-  // diameters switch to large-star/small-star contraction — same
-  // join+min building block, O(log n) rounds.)
+  // Default algorithm: alternating large-star/small-star contraction
+  // (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
+  // Components in MapReduce and Beyond", SoCC 2014). Each phase is one
+  // map-side-combinable min-agg + one join over the CURRENT edge set —
+  // and that edge set SHRINKS as components contract toward stars, so
+  // convergence is O(log) phases in component SIZE with falling
+  // per-phase volume. Min-label propagation (kept behind the useStar
+  // flag for the differential property) replays the FULL edge list
+  // every round and converges in rounds bounded by component diameter
+  // (log-diameter with pointer jumping) — on the skewed mega-component
+  // a real 100 TB corpus always has, contraction's shrinking volume is
+  // the difference between a bounded build and a straggler chain.
   // ---------------------------------------------------------------------
   val jaccardThreshold = 0.8
 
@@ -627,8 +631,140 @@ object DedupOps extends OpGroup {
     * touches an edge, where cluster_id = the component's minimum node id.
     * Standalone graph operator — [[dedupClusters]] applies it to the
     * verified near-dup pair graph, but any id-pair relation works.
+    * `useStar = false` selects the legacy min-label + pointer-jumping
+    * path, kept so the property suite can replay both on the same graphs.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame,
+      useStar: Boolean = true): DataFrame =
+    if (useStar) starContraction(edges)._1
+    else labelPropagation(edges)
+
+  /** Large-star/small-star contraction core; returns the label table and
+    * the number of (large∘small) phases it took — the phase count is
+    * pinned by a spec on a long-chain graph (O(log n) is the point).
+    *
+    * Phase invariant (canonical big→small edge rep `(u, v), v < u`):
+    * large-star links every neighbor LARGER than u to u's neighborhood
+    * minimum (a node can only gain a smaller parent), small-star links
+    * u and its smaller neighbors to the minimum of that smaller
+    * neighborhood. Both emit only (bigger, smaller) pairs, self-loops
+    * drop, and the fixpoint is a forest of stars rooted at component
+    * minima — at which point the edge list IS the label table.
+    *
+    * Hybrid finish: once the (distinct, contracted) edge set fits one
+    * task (`localThreshold` edges ≈ 32 MB at 2M), the remaining
+    * components resolve in a single-task union-find pass — iterative
+    * distributed rounds on a driver-scale graph pay ~8 stage waves per
+    * phase for data one core folds in milliseconds. At 100 TB the star
+    * phases do the contracting (each phase shrinks the edge set by
+    * merging parallel edges into star edges) until the remainder
+    * crosses the threshold; at bench scale the input usually starts
+    * below it and the whole operator is one narrow pass. Exact either
+    * way — union-find and star fixpoints both label by component min.
+    */
+  private[graft] def starContraction(edges: DataFrame,
+      localThreshold: Long = 2000000L): (DataFrame, Int) = {
+    val nodes = edges.select(col("doc_a").as("id"))
+      .unionByName(edges.select(col("doc_b").as("id"))).distinct()
+      .localCheckpoint()
+    var p = edges
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    // Per-phase convergence probe in ONE action: row count + an
+    // order-independent XOR-of-hashes digest of the (distinct) edge
+    // set. Equal digests GATE the exact exceptAll confirmation — a
+    // changed edge set virtually never digests equal (and a collision
+    // only costs a wasted exceptAll pass, which then reports
+    // non-convergence), so the O(E) set-compare runs once at the true
+    // fixpoint instead of every phase whose COUNT happened to be
+    // stable (a long chain keeps its count through every phase).
+    def digest(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var pSig = digest(p)
+    var converged = pSig._1 == 0L
+    var phases = 0
+    while (!converged && pSig._1 > localThreshold && phases < 32) {
+      // large-star over full neighborhoods: m(u) = min(Γ(u) ∪ {u});
+      // every neighbor above u re-links to m(u). The min-agg is
+      // distributive — a 10⁹-degree hot node combines map-side, the
+      // exact skew shape the de-skewed ExactSubstr cut also avoids.
+      val sym = p.unionByName(p.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mnv"))
+        .select(col("u"), least(col("u"), col("mnv")).as("mn"))
+      // No distinct here: duplicate (u, mn) rows are absorbed by the
+      // small-star min-agg (map-side) and the phase-final distinct —
+      // cheaper than an extra shuffle. Checkpoints are LAZY so each
+      // phase materializes at its single count action instead of
+      // paying three sequential job barriers.
+      val large = sym.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .filter(col("u") =!= col("v"))
+        .localCheckpoint(eager = false)
+      // small-star over the ≤-neighborhood — exactly the out-edges of
+      // the canonical rep: u and its smaller neighbors all link to the
+      // smallest of them.
+      val minsS = large.groupBy("u").agg(min(col("v")).as("mn"))
+      val small = large.join(minsS, Seq("u"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .unionByName(minsS.select(col("u"), col("mn").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(eager = false)
+      // Fixpoint ⇔ the phase was an identity map on a distinct edge
+      // set: equal (count, digest) gates the exact one-sided except,
+      // which with equal counts proves set equality.
+      val sSig = digest(small)
+      converged = sSig == pSig && small.exceptAll(p).isEmpty
+      p = small; pSig = sSig
+      phases += 1
+    }
+    if (!converged) {
+      require(pSig._1 <= localThreshold,
+        s"star contraction did not converge in $phases phases")
+      // single-task union-find finish over the contracted remainder:
+      // deterministic (component-min roots are order-independent), one
+      // narrow stage, ≤ localThreshold·16B of state.
+      val spark = p.sparkSession
+      import spark.implicits._
+      p = p.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != r) {
+              val nxt = parent(c); parent(c) = r; c = nxt
+            }
+            r
+          }
+          val seen = scala.collection.mutable.LongMap.empty[Unit]
+          it.foreach { case (a, b) =>
+            seen(a) = (); seen(b) = ()
+            val (ra, rb) = (find(a), find(b))
+            if (ra < rb) parent(rb) = ra
+            else if (rb < ra) parent(ra) = rb
+          }
+          seen.keysIterator.map(n => (n, find(n)))
+        }.toDF("u", "v")
+    }
+    // At fixpoint every edge is (node → component min); nodes that kept
+    // their own id (roots, self-loop-only nodes) re-enter via the
+    // identity rows and the min-agg keeps whichever is smaller.
+    val labels = p
+      .unionByName(nodes.select(col("id").as("u"), col("id").as("v")))
+      .groupBy(col("u")).agg(min(col("v")).as("cluster_id"))
+      .withColumnRenamed("u", "doc_id")
+    (labels, phases)
+  }
+
+  private[graft] def labelPropagation(edges: DataFrame): DataFrame = {
     // Verified pairs: computed once, reread per round. Hash-partitioned
     // on the per-round join key BEFORE the checkpoint (localCheckpoint
     // preserves outputPartitioning), so each propagation round reuses the

@@ -2066,6 +2066,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(wideAgain.agg(sum("customers")).head.getLong(0) == c)
   }
 
+  test("star contraction converges in O(log n) phases on a worst-case chain") {
+    import spark.implicits._
+    // A 400-node path is the DIAMETER worst case: plain min-label
+    // propagation needs ~diameter rounds (log-diameter with pointer
+    // jumping); star contraction must close it in O(log n) phases with
+    // the edge set shrinking as components contract. 2·log2(400) ≈ 17
+    // is generous headroom over the paper's bound constants.
+    val n = 400
+    val chain = (0L until (n - 1L)).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // localThreshold = 0 forces the DISTRIBUTED phases (the default
+    // would resolve a 400-edge graph in the single-task finish)
+    val (labels, phases) =
+      graft.ops.DedupOps.starContraction(chain, localThreshold = 0L)
+    info(s"chain of $n nodes: $phases phases")
+    assert(phases <= 17, s"star contraction took $phases phases on a $n-chain")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 0L),
+      "chain must collapse to one component rooted at 0")
+    // degenerate inputs: empty graph and pure self-loops
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.ops.DedupOps.connectedComponents(empty).isEmpty)
+    val selfOnly = Seq((7L, 7L), (9L, 9L)).toDF("doc_a", "doc_b")
+    assert(graft.ops.DedupOps.connectedComponents(selfOnly)
+      .as[(Long, Long)].collect().toSet == Set((7L, 7L), (9L, 9L)))
+  }
+
   test("cpu budgets: the top task-second queries stay under 3× measured") {
     // Plan-shape pins can't see a CPU regression with an unchanged plan
     // (an interpreted expression slipping into the hot path, a lost

@@ -406,9 +406,19 @@ object PropertySpec extends Properties("graft") {
 
   property("connected components equal union-find on random graphs") =
     Prop.forAll(Gen.listOfN(20, edgeGen)) { es =>
+      // both paths — star contraction (default) and the legacy min-label
+      // propagation — must agree with the union-find model exactly
       val got = ops.DedupOps
         .connectedComponents(es.toDF("doc_a", "doc_b"))
         .as[(Long, Long)].collect().toMap
+      val gotProp = ops.DedupOps
+        .connectedComponents(es.toDF("doc_a", "doc_b"), useStar = false)
+        .as[(Long, Long)].collect().toMap
+      // distributed star phases too (threshold 0 disables the
+      // single-task union-find finish the default path would take)
+      val gotStar = ops.DedupOps
+        .starContraction(es.toDF("doc_a", "doc_b"), localThreshold = 0L)
+        ._1.as[(Long, Long)].collect().toMap
       // model: plain union-find, components labeled by their minimum id
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
@@ -420,6 +430,6 @@ object PropertySpec extends Properties("graft") {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val model = parent.keys.map(x => x -> find(x)).toMap
-      got == model
+      got == model && gotProp == model && gotStar == model
     }
 }
