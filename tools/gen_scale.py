@@ -20,9 +20,18 @@ import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
-K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+ARGS = [a for a in sys.argv[1:] if a != "--disjoint"]
+# --disjoint: every token in replica r>0 carries a replica tag, so
+# replicas are gram-DISJOINT from each other while each replica keeps
+# the base corpus's internal duplicate structure exactly. This is the
+# distribution-preserving scale-up for measuring ALGORITHMIC task-sec
+# exponents; the default (mutating) mode instead multiplies duplicate
+# mass (every doc gains k-1 cross-replica near-dups) — the harder,
+# dedup-stress regime.
+DISJOINT = "--disjoint" in sys.argv
+BASE = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.1"
+OUT = ARGS[1] if len(ARGS) > 1 else "/tmp/graft_sf1"
+K = int(ARGS[2]) if len(ARGS) > 2 else 10
 
 os.makedirs(OUT, exist_ok=True)
 
@@ -43,7 +52,9 @@ def gen_documents():
     for rep in range(K):
         for i in range(n):
             s = text[i]
-            if rep > 0:
+            if rep > 0 and DISJOINT:
+                s = " ".join(f"{w}x{rep}" for w in s.split())
+            elif rep > 0:
                 # seed on (text, rep): equal base texts stay equal
                 seed = h64(f"{s[:64]}:{len(s)}:{rep}")
                 toks = s.split()
@@ -99,7 +110,15 @@ def gen_customer():
         for i in range(n):
             key = rep * n + cols["c_custkey"][i]
             out["c_custkey"].append(key)
-            out["c_name"].append(f"Customer#{key:09d}")
+            if DISJOINT:
+                # 3-letter replica tag keeps cross-replica levenshtein
+                # >= 3 (edit threshold is 1): each replica reproduces the
+                # base collision structure, replicas never link
+                tag = chr(65 + rep % 26) * 3
+                out["c_name"].append(
+                    f"Customer#{tag}{cols['c_custkey'][i]:09d}")
+            else:
+                out["c_name"].append(f"Customer#{key:09d}")
             out["c_nationkey"].append(cols["c_nationkey"][i])
             out["c_acctbal"].append(cols["c_acctbal"][i])
             out["c_mktsegment"].append(cols["c_mktsegment"][i])
