@@ -197,7 +197,104 @@ object Curate extends OpGroup {
        |  FROM ranked_div WHERE cell_rank <= $diverseBudget) t
        |WHERE pick_rank <= $diverseBudget""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Sequence packing (concat-then-chunk): lay the corpus out as the
+  // fixed-length training sequences the trainer actually consumes —
+  // every doc gets a global token offset in deterministic doc_id order,
+  // the token stream is cut every packLen tokens, and each (doc,
+  // sequence) overlap becomes one assignment row. This is the GPT-style
+  // packing rule (concatenate, then chunk; docs may span sequences) —
+  // no padding waste, bit-identical on any engine.
+  //
+  // The global running offset LOOKS like a corpus-wide ordered scan —
+  // the forbidden global window — but decomposes into a two-level
+  // distributed prefix sum: within-shard cumsum (window keyed on a
+  // 4096-doc shard), per-shard totals cumsum'd within a 4096-shard
+  // super-shard, and ONE global window over super-shard totals —
+  // corpus/4096² rows (a 10¹⁰-doc corpus yields ~600). Same escape
+  // discipline as the census' per-year offsets, one level deeper.
+  // Complements text_pack_sequences (the per-(lang,shard)-stratum
+  // boundary report): THIS op emits the token-exact global layout — the
+  // (seq_id, doc slice) assignment table a data loader reads.
+  // ---------------------------------------------------------------------
+  val packLen = 512L
+  private val packShard = 4096L
+
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text")))
+          .cast("long").as("tok_cnt"))
+    // level 1: within-shard running offset (shard fanout = 4096 docs BY
+    // CONSTRUCTION — doc_id ranges, not hash buckets)
+    val d1 = t.withColumn("shard", expr(s"doc_id DIV $packShard"))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = d1.withColumn("local_off",
+      coalesce(sum(col("tok_cnt")).over(wIn), lit(0L)))
+    // level 2: shard totals, cumsum'd within 4096-shard super-shards
+    val shardTot = d1.groupBy(col("shard"))
+      .agg(sum(col("tok_cnt")).as("stot"))
+      .withColumn("sup", expr(s"shard DIV $packShard"))
+    val wSup = Window.partitionBy(col("sup")).orderBy(col("shard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withinSup = shardTot.withColumn("sup_local",
+      coalesce(sum(col("stot")).over(wSup), lit(0L)))
+    // level 3: ONE global window over super-shard totals — corpus/4096²
+    // rows, the genuinely bounded frame
+    val supTot = shardTot.groupBy(col("sup")).agg(sum(col("stot")).as("suptot"))
+    val wG = Window.orderBy(col("sup").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val supOff = supTot
+      .withColumn("sup_off", coalesce(sum(col("suptot")).over(wG), lit(0L)))
+      .select(col("sup"), col("sup_off"))
+    val shardOff = withinSup.join(supOff, Seq("sup"))
+      .select(col("shard"), (col("sup_off") + col("sup_local")).as("shard_off"))
+    val placed = local.join(shardOff, Seq("shard"))
+      .filter(col("tok_cnt") > 0)
+      .select(col("doc_id"), col("tok_cnt"),
+        (col("shard_off") + col("local_off")).as("s"))
+      .withColumn("e", col("s") + col("tok_cnt"))
+    // each doc spans sequences floor(s/L)..floor((e-1)/L): explode is
+    // bounded by ceil(doc tokens / packLen) + 1 — document length, never
+    // the corpus
+    placed
+      .withColumn("seq_id", explode(sequence(
+        expr(s"s DIV $packLen"), expr(s"(e - 1) DIV $packLen"))))
+      .select(col("seq_id"), col("doc_id"),
+        (greatest(col("s"), col("seq_id") * packLen) - col("s")).as("doc_from"),
+        (least(col("e"), (col("seq_id") + lit(1L)) * packLen) - col("s")).as("doc_to"))
+      .withColumn("n_tokens", col("doc_to") - col("doc_from"))
+  }
+
+  private val packSequencesSql =
+    s"""WITH tl AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok_cnt
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, tok_cnt,
+       |    COALESCE(SUM(tok_cnt) OVER (ORDER BY doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      CAST(0 AS BIGINT)) AS s
+       |  FROM tl),
+       |a AS (SELECT doc_id, s, s + tok_cnt AS e FROM o WHERE tok_cnt > 0),
+       |x AS (
+       |  SELECT doc_id, s, e,
+       |    unnest(range(CAST(s // $packLen AS BIGINT),
+       |      CAST((e - 1) // $packLen + 1 AS BIGINT))) AS sq
+       |  FROM a)
+       |SELECT CAST(sq AS BIGINT) AS seq_id, doc_id,
+       |  CAST(greatest(s, sq * $packLen) - s AS BIGINT) AS doc_from,
+       |  CAST(least(e, (sq + 1) * $packLen) - s AS BIGINT) AS doc_to,
+       |  CAST(least(e, (sq + 1) * $packLen)
+       |    - greatest(s, sq * $packLen) AS BIGINT) AS n_tokens
+       |FROM x""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("curate_pack_sequences", packSequences, Some(packSequencesSql),
+      "sequence packing: concat-then-chunk doc->training-sequence layout via two-level distributed prefix sum"),
     Op("curate_diverse_sample", diverseSample, Some(diverseSampleSql),
       "diversity-aware budget selection: cluster-round-robin over IVF cells (MMR stand-in)"),
     Op("curate_corpus", curatedCorpus, Some(curatedCorpusSql),

@@ -2066,6 +2066,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(wideAgain.agg(sum("customers")).head.getLong(0) == c)
   }
 
+  test("sequence packing conserves tokens and fills every non-final sequence") {
+    import spark.implicits._
+    val packed = graft.ops.Curate.packSequences(spark, dir)
+    val l = graft.ops.Curate.packLen
+    // conservation: every token of every non-empty doc lands in exactly
+    // one (doc, seq) assignment
+    val docTok = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("tc"))
+      .agg(sum("tc")).head.getLong(0)
+    val packedTok = packed.agg(sum("n_tokens")).head.getLong(0)
+    assert(packedTok == docTok, s"packed $packedTok of $docTok tokens")
+    // density: every sequence except the last is exactly packLen full —
+    // the no-padding-waste property that distinguishes packing from
+    // per-doc truncation
+    val fills = packed.groupBy("seq_id").agg(sum("n_tokens").as("fill"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val lastSeq = fills.map(_._1).max
+    fills.foreach { case (sq, fill) =>
+      if (sq != lastSeq) assert(fill == l, s"seq $sq holds $fill != $l")
+      else assert(fill <= l && fill > 0, s"final seq $sq holds $fill")
+    }
+    // assignments are contiguous non-overlapping doc slices
+    val bad = packed.groupBy("doc_id")
+      .agg(min("doc_from").as("f"), max("doc_to").as("t"),
+        sum("n_tokens").as("n"))
+      .filter(col("f") =!= 0L || col("t") =!= col("n"))
+    assert(bad.isEmpty, "doc slices must tile [0, tok_cnt) exactly")
+  }
+
   test("star contraction converges in O(log n) phases on a worst-case chain") {
     import spark.implicits._
     // A 400-node path is the DIAMETER worst case: plain min-label

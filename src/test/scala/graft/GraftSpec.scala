@@ -139,7 +139,9 @@ class GraftSpec extends AnyFunSuite {
       "text_vocab_encode" -> 1, // vocab-ordinal window (vocab-bounded)
       "text_weighted_sample" -> 1, // rank AFTER limit(N) — N rows
       "sim_cosine_topk" -> 1, // rank AFTER limit(topK) — k rows
-      "curate_diverse_sample" -> 1) // pick window on cell_rank<=budget stratum
+      "curate_diverse_sample" -> 1, // pick window on cell_rank<=budget stratum
+      "curate_pack_sequences" -> 1) // prefix sum over SUPER-SHARD totals
+                                    // (corpus/4096² rows — ~600 at 10¹⁰ docs)
     // Third scale-killer class: a KEYED window whose partition key has
     // unbounded cardinality WITH possible hot keys. A window partitioned
     // on a gram hash / token / LSH bucket serializes every row of the hot
@@ -161,7 +163,11 @@ class GraftSpec extends AnyFunSuite {
       "source", "source_type", "lang", "split", // enum-bounded strata
       "o_orderstatus", // enum-bounded (reference dim values)
       "shard", // salted hash shard: fanout = N/shards BY DESIGN (uniform
-               // md5 routing — the anti-skew device itself)
+               // md5 routing — the anti-skew device itself); ALSO the
+               // packing prefix sum's 4096-doc range shard (bounded by
+               // construction, not by hash uniformity)
+      "sup", // packing prefix sum level 2: exactly 4096 shard rows per
+             // super-shard by construction
       "event_type", // enum-bounded event taxonomy
       "grp", "d", "island", "week", "month", "day", // calendar/gap keys
       "window", "session_idx", // session/window ids within a user
