@@ -86,7 +86,14 @@ object Bench {
       // else consumes it or the raw tables; then the independent builds
       // run concurrently (Spark's scheduler interleaves their jobs, so
       // wall time ≈ the slowest, exactly how a deployment schedules
-      // independent DDL jobs)
+      // independent DDL jobs). Measured counter-intuitive: overlapping
+      // the DWH build with the index builds (6-way pool, QA chained)
+      // LOST 35s end-to-end on this box — the combined working set
+      // overflows the 8g single-JVM storage pool, evicts the memoized
+      // layers, and the query pass silently recomputes them (total
+      // 90 → 129s, er_resolve 6.3 → 20.5s). On a real cluster with
+      // separate executors the overlap wins; in one JVM, build order IS
+      // cache-residency policy.
       timed("dwh_layer")(graft.etl.Dwh.materialized(spark, sfDir))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: scala.concurrent.ExecutionContext =
