@@ -538,15 +538,31 @@ object Joins extends OpGroup {
     * levenshtein θ-join on generated strings.
     */
   private[graft] def fuzzyPairs(left: DataFrame, right: DataFrame): DataFrame = {
-    def neighborhood(name: String) = expr(
-      s"""array_distinct(transform(sequence(0, length($name)), i ->
-         |  CASE WHEN i = 0 THEN $name
-         |       ELSE concat(substring($name, 1, i - 1), substring($name, i + 1))
-         |  END))""".stripMargin)
-    val lv = left.select(col("l_id"), col("l_name"),
-      explode(neighborhood("l_name")).as("variant"))
-    val rv = right.select(col("r_id"), col("r_name"),
-      explode(neighborhood("r_name")).as("variant"))
+    // The natural spelling — array_distinct(transform(sequence(...),
+    // i -> delete-at-i)) — runs interpreted: higher-order array
+    // functions are CodegenFallback, so every row paid a boxed
+    // 19-element array + lambda evals + O(k²) array_distinct outside
+    // whole-stage codegen (measured: ~4 task-sec per 15k-row side at
+    // sf0.1). This generator form stays inside codegen: explode the
+    // position range, build each variant with substr/concat. The
+    // within-row duplicates array_distinct removed arise ONLY from
+    // equal-char runs (delete(i) == delete(j), i<j ⇔ s[i..j] is one
+    // repeated char), so keeping just the LAST deletion of each run —
+    // s[i] ≠ s[i+1], trivially true at i = len against the empty
+    // suffix — dedups identically, one codegen'd comparison per
+    // variant instead of a per-row array pass.
+    def variants(df: DataFrame, id: String, name: String) = {
+      val n = col(name)
+      df.select(col(id), n, explode(sequence(lit(0), length(n))).as("i"))
+        .filter(col("i") === 0 ||
+          n.substr(col("i"), lit(1)) =!= n.substr(col("i") + 1, lit(1)))
+        .select(col(id), n,
+          when(col("i") === 0, n)
+            .otherwise(concat(n.substr(lit(1), col("i") - 1),
+              n.substr(col("i") + 1, length(n)))).as("variant"))
+    }
+    val lv = variants(left, "l_id", "l_name")
+    val rv = variants(right, "r_id", "r_name")
     // verify BEFORE distinct: a candidate pair occurs once per shared
     // variant (≤3 for distance ≤ 1), so the extra levenshtein evals are
     // bounded, while the dedup shuffle shrinks from every candidate ×
