@@ -1120,7 +1120,157 @@ object SimilarityOps extends OpGroup {
        |  ON i.q_id = b.q_id AND i.vec_id = b.vec_id
        |GROUP BY b.q_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // PCA projection — embedding whitening/compression before clustering
+  // or semantic dedup. Two halves, split exactly at the scale boundary:
+  //
+  //  1. DISTRIBUTED: one pass over the corpus through [[GramMatrix]]
+  //     (TypedImperativeAggregate) reduces N×d vectors to a single
+  //     `1 + d + d(d+1)/2` double buffer (count, sums, Gram upper
+  //     triangle) — map-side combinable, so each task emits one ~17 KB
+  //     partial and nothing keyed on the corpus ever shuffles.
+  //  2. DRIVER (bounded model, same discipline as IVF centroids / PQ
+  //     codebooks): covariance from the Gram stats, then a FIXED
+  //     30-iteration power method (x₀ = 1/√d, normalize each step) for
+  //     the top component, rank-1 deflation, repeat for the second.
+  //     Fixed iteration count — not a convergence test — because the
+  //     result must be a deterministic FUNCTION of the covariance
+  //     matrix: both engines then compute the same polynomial, converged
+  //     or not, and the oracle unrolls the identical 30 steps as chained
+  //     CTEs (MATERIALIZED: cov feeds every step and each step is
+  //     referenced twice — inlining would replan the chain 2^30 times).
+  //
+  // Projections fold in strict ascending index order on both sides
+  // (DotProduct ↔ list_reduce∘list_transform, the dotSql contract), are
+  // centered via the constant μ·v offset (so no per-row array
+  // subtraction), and are quantized half-up to 1e-3 — three decimal
+  // orders above the ~1e-12 drift distributed float sums can carry.
+  // ---------------------------------------------------------------------
+  val pcaIters = 30
+  private val pcaDims = 64
+
+  def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    val d = pcaDims
+    val g = emb(s, dir)
+      .agg(graft.expressions.GramMatrix.gram(col("embedding"), d).as("g"))
+      .head.getSeq[Double](0).toArray
+    val n = g(0)
+    val mean = Array.tabulate(d)(i => g(1 + i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    var idx = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = g(idx) / n - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    def matVec(m: Array[Array[Double]], x: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var acc = 0d
+        var j = 0
+        while (j < d) { acc += m(i)(j) * x(j); j += 1 }
+        acc
+      }
+    def powerIter(m: Array[Array[Double]]): (Array[Double], Double) = {
+      var x = Array.fill(d)(1d / math.sqrt(d.toDouble))
+      for (_ <- 1 to pcaIters) {
+        val y = matVec(m, x)
+        val nrm = math.sqrt(y.map(v => v * v).sum)
+        x = y.map(_ / nrm)
+      }
+      val mx = matVec(m, x)
+      var lam = 0d
+      var k = 0
+      while (k < d) { lam += x(k) * mx(k); k += 1 }
+      (x, lam)
+    }
+    val (v1, lam1) = powerIter(cov)
+    val cov2 = Array.tabulate(d, d)((i, j) => cov(i)(j) - lam1 * v1(i) * v1(j))
+    val (v2, _) = powerIter(cov2)
+    def offset(v: Array[Double]): Double = {
+      var acc = 0d
+      var k = 0
+      while (k < d) { acc += mean(k) * v(k); k += 1 }
+      acc
+    }
+    def pcQ(v: Array[Double]): Column =
+      floor((graft.functions.TextFns.dotProduct(col("embedding"),
+        array(v.toSeq.map(lit): _*)) - offset(v)) * 1000 + 0.5).cast("long")
+    emb(s, dir).select(col("vec_id"), col("label"),
+      pcQ(v1).as("pc1_q"), pcQ(v2).as("pc2_q"))
+  }
+
+  /** One power-method step as SQL: mat-vec against `cov`, then L2
+    * normalize. Every CTE is MATERIALIZED — `p_t` is read twice (value +
+    * norm) and `cov` by all [[pcaIters]] steps, so default inlining
+    * would duplicate the chain exponentially (observed: file-handle
+    * exhaustion before any row).
+    */
+  private def pcaPowerCtes(cov: String, pfx: String): String = {
+    val x0 = s"""${pfx}x0 AS (
+       |  SELECT range AS i, 1.0 / sqrt(64.0) AS v FROM range(1, 65))""".stripMargin
+    val steps = (1 to pcaIters).map { t =>
+      s"""${pfx}p$t AS MATERIALIZED (
+         |  SELECT c.i AS i, sum(c.c * x.v) AS v
+         |  FROM $cov c JOIN ${pfx}x${t - 1} x ON c.j = x.i GROUP BY c.i),
+         |${pfx}x$t AS MATERIALIZED (
+         |  SELECT i, v / (SELECT sqrt(sum(v * v)) FROM ${pfx}p$t) AS v
+         |  FROM ${pfx}p$t)""".stripMargin
+    }
+    (x0 +: steps).mkString(",\n")
+  }
+
+  private lazy val pcaProjectSql = {
+    val fold = "list_reduce(list_transform(range(1, 65), i -> " +
+      "CAST(e.embedding[i] AS DOUBLE) * %V%[i]), (a, b) -> a + b)"
+    s"""WITH en AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+       |mu AS MATERIALIZED (
+       |  SELECT i, sum(x) / (SELECT n FROM nn) AS m FROM en GROUP BY i),
+       |gm AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+       |  FROM en a JOIN en b USING (vec_id) GROUP BY a.i, b.i),
+       |cov AS MATERIALIZED (
+       |  SELECT gm.i, gm.j, gm.s / (SELECT n FROM nn) - ma.m * mb.m AS c
+       |  FROM gm JOIN mu ma ON ma.i = gm.i JOIN mu mb ON mb.i = gm.j),
+       |${pcaPowerCtes("cov", "a")},
+       |lam1 AS (
+       |  SELECT sum(va.v * c.c * vb.v) AS l
+       |  FROM cov c JOIN ax$pcaIters va ON va.i = c.i
+       |  JOIN ax$pcaIters vb ON vb.i = c.j),
+       |cov2 AS MATERIALIZED (
+       |  SELECT c.i, c.j, c.c - (SELECT l FROM lam1) * va.v * vb.v AS c
+       |  FROM cov c JOIN ax$pcaIters va ON va.i = c.i
+       |  JOIN ax$pcaIters vb ON vb.i = c.j),
+       |${pcaPowerCtes("cov2", "b")},
+       |v1 AS (SELECT list(v ORDER BY i) AS arr FROM ax$pcaIters),
+       |v2 AS (SELECT list(v ORDER BY i) AS arr FROM bx$pcaIters),
+       |voff AS (
+       |  SELECT (SELECT sum(m.m * x.v)
+       |          FROM mu m JOIN ax$pcaIters x ON x.i = m.i) AS o1,
+       |         (SELECT sum(m.m * x.v)
+       |          FROM mu m JOIN bx$pcaIters x ON x.i = m.i) AS o2)
+       |SELECT e.vec_id, e.label,
+       |  CAST(floor((${fold.replace("%V%", "v1.arr")} - voff.o1) * 1000 + 0.5)
+       |    AS BIGINT) AS pc1_q,
+       |  CAST(floor((${fold.replace("%V%", "v2.arr")} - voff.o2) * 1000 + 0.5)
+       |    AS BIGINT) AS pc2_q
+       |FROM embeddings e, v1, v2, voff""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
+    Op("sim_pca_project", pcaProject, Some(pcaProjectSql),
+      "distributed PCA: one-pass Gram aggregate -> driver power method -> codegen projection"),
     Op("sim_recall_report", recallReport, Some(recallReportSql),
       "index-quality report: per-query recall@k of IVF retrieval vs brute-force truth"),
     Op("sim_graph_topk", graphTopk, Some(graphTopkSql),

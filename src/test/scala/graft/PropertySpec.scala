@@ -432,4 +432,34 @@ object PropertySpec extends Properties("graft") {
       val model = parent.keys.map(x => x -> find(x)).toMap
       got == model && gotProp == model && gotStar == model
     }
+
+  property("gram_matrix equals brute-force second moments, any partitioning") =
+    Prop.forAll(Gen.choose(3, 6).flatMap(d =>
+      Gen.listOfN(15, Gen.listOfN(d, Gen.choose(-8f, 8f))).map(d -> _))) {
+      case (d, rows) =>
+        // the aggregate's merge order varies with partitioning; the
+        // result must agree with a single-threaded model to float-sum
+        // reassociation tolerance (partials here are exact enough that
+        // 1e-9 relative is generous)
+        val df = rows.map(r => Tuple1(r.toArray)).toDF("v").repartition(3)
+        val got = df.agg(
+          expressions.GramMatrix.gram(col("v"), d).as("g"))
+          .head.getSeq[Double](0).toArray
+        val model = new Array[Double](1 + d + d * (d + 1) / 2)
+        rows.foreach { r =>
+          model(0) += 1d
+          var idx = 1 + d
+          for (i <- 0 until d) {
+            model(1 + i) += r(i).toDouble
+            for (j <- i until d) {
+              model(idx) += r(i).toDouble * r(j).toDouble
+              idx += 1
+            }
+          }
+        }
+        got.length == model.length && got.indices.forall { k =>
+          math.abs(got(k) - model(k)) <=
+            1e-9 * math.max(1d, math.abs(model(k)))
+        }
+    }
 }
