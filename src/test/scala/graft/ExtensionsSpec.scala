@@ -946,6 +946,30 @@ class ExtensionsSpec extends AnyFunSuite {
       "dedup_substring_apply regressed to a gram-hash-keyed window")
   }
 
+  test("pca: gram aggregate combines map-side; projection is a narrow map") {
+    // scale contract of sim_pca_project: the distributed half must be a
+    // partial ObjectHashAggregate under ONE single-partition exchange
+    // (each task emits one ~17 KB Gram buffer), and the projection half
+    // must be a pure codegen map over the scan — no shuffle, no join
+    val g = Tables.load(spark, dir, "embeddings")
+      .agg(expressions.GramMatrix.gram(col("embedding"), 64).as("g"))
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(gPlan).length == 2,
+      s"expected partial+final ObjectHashAggregate:\n$gPlan")
+    // the only exchange is the single-partition partial-buffer merge
+    // (counters() tracks hashpartitioning exchanges, which must be 0)
+    assert("Exchange SinglePartition".r.findAllIn(gPlan).length == 1 &&
+      Explain.counters(g)("shuffles") == 0, s"gram agg plan:\n$gPlan")
+    val proj = SparkEntry.queries("sim_pca_project")(spark, dir)
+    val c = Explain.counters(proj)
+    assert(c("shuffles") == 0 && c("sortMergeJoins") == 0 &&
+      c("nestedLoopJoins") == 0, s"sim_pca_project projection: $c")
+    // quantized projections are partition-invariant (the driver model is
+    // a pure function of the Gram stats, which the property spec pins)
+    val a = proj.collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+    assert(a.length > 0 && a.toMap.size == a.length)
+  }
+
   test("approx-distinct raw path keeps the single-shuffle sketch shape") {
     // the oracle-checked a1_agg_approx carries exact countDistincts to
     // JUDGE the sketch; this is the deployment path it documents — prove
