@@ -1149,11 +1149,22 @@ object SimilarityOps extends OpGroup {
   val pcaIters = 30
   private val pcaDims = 64
 
-  def pcaProject(s: SparkSession, dir: String): DataFrame = {
+  def pcaProject(s: SparkSession, dir: String): DataFrame =
+    pcaProjectFromStats(s, dir,
+      emb(s, dir)
+        .agg(graft.expressions.GramMatrix.gram(col("embedding"), pcaDims)
+          .as("g"))
+        .head.getSeq[Double](0).toArray)
+
+  /** Driver half of [[pcaProject]], split out so the streaming
+    * maintenance twin ([[graft.streaming.Sessionize]]'s
+    * `stream_gram_maintain`) can feed it incrementally-merged Gram
+    * stats and share the batch oracle: eigensolve on the bounded model,
+    * then the codegen'd strict-order projection of the corpus.
+    */
+  private[graft] def pcaProjectFromStats(s: SparkSession, dir: String,
+      g: Array[Double]): DataFrame = {
     val d = pcaDims
-    val g = emb(s, dir)
-      .agg(graft.expressions.GramMatrix.gram(col("embedding"), d).as("g"))
-      .head.getSeq[Double](0).toArray
     val n = g(0)
     val mean = Array.tabulate(d)(i => g(1 + i) / n)
     val cov = Array.ofDim[Double](d, d)
@@ -1226,7 +1237,7 @@ object SimilarityOps extends OpGroup {
     (x0 +: steps).mkString(",\n")
   }
 
-  private lazy val pcaProjectSql = {
+  private[graft] lazy val pcaProjectSql = {
     val fold = "list_reduce(list_transform(range(1, 65), i -> " +
       "CAST(e.embedding[i] AS DOUBLE) * %V%[i]), (a, b) -> a + b)"
     s"""WITH en AS MATERIALIZED (
