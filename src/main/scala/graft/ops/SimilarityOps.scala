@@ -45,6 +45,37 @@ object SimilarityOps extends OpGroup {
       .select(col("vec_id"), col("sim"), col("rank"))
   }
 
+  /** [[cosineTopK]] written the way a user who doesn't know about
+    * [[graft.expressions.DotProduct]] writes it — builtin higher-order
+    * functions, `aggregate(zip_with(a, b, (x, y) -> x*y), 0D, +)` —
+    * with [[graft.plans.DotProductRewrite]] installed and its opt-in
+    * conf set (the aligned/null-free embedding contract). The optimizer
+    * rewrites every HOF fold into the codegen'd expression, so this
+    * compiles to the SAME plan as [[cosineTopK]] and shares its oracle;
+    * the plan assertion (dot_product present, no interpreted aggregate)
+    * and the conf-off negative control live in ExtensionsSpec.
+    */
+  def rewrittenCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.DotProductRewrite.install(s)
+    s.conf.set(graft.plans.DotProductRewrite.enableKey, "true")
+    def hofDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
+    def hofCos(a: Column, b: Column): Column =
+      hofDot(a, b) / (sqrt(hofDot(a, a)) * sqrt(hofDot(b, b)))
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val sim = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(hofCos(col("embedding"), col("q_emb")), 6).as("sim"))
+    val cut = sim.orderBy(col("sim").desc, col("vec_id").asc).limit(topK)
+    val w = Window.orderBy(col("sim").desc, col("vec_id").asc)
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("vec_id"), col("sim"), col("rank"))
+  }
+
   private val dotSql =
     "list_reduce(list_transform(range(1, 65), i -> " +
       "CAST(%A%[i] AS DOUBLE) * CAST(%B%[i] AS DOUBLE)), (acc, v) -> acc + v)"
@@ -1300,6 +1331,8 @@ object SimilarityOps extends OpGroup {
       "class prototypes: per-label centroid + nearest-prototype agreement (separability diagnostic)"),
     Op("sim_cosine_topk", cosineTopK, Some(cosineTopKSql),
       "brute-force cosine top-k vs query vector (baseline)"),
+    Op("sim_rewritten_cosine_topk", rewrittenCosineTopK, Some(cosineTopKSql),
+      "the NAIVE HOF-lambda cosine auto-rewritten to codegen'd dot_product by the optimizer rule"),
     Op("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql),
       "per-vector symmetric int8 quantization (4x index compression), integer-verified"),
     Op("sim_ivf_neardup", (s, d) => ivfNearDup(s, d), Some(ivfNearDupSql),

@@ -176,6 +176,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    e.injectOptimizerRule(_ => DotProductRewrite)
     GraftFunctions.all.foreach(e.injectFunction)
   }
 }

@@ -1769,6 +1769,47 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rewritten.exceptAll(hand).isEmpty && hand.exceptAll(rewritten).isEmpty)
   }
 
+  test("optimizer rule turns HOF dot-product folds into codegen'd dot_product") {
+    def naive(): org.apache.spark.sql.DataFrame = {
+      def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b,
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0d), (acc, v) => acc + v)
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), hofDot(col("embedding"), col("embedding")).as("d"))
+    }
+    graft.plans.DotProductRewrite.install(spark)
+    val key = graft.plans.DotProductRewrite.enableKey
+    val prev = spark.conf.getOption(key)
+    try {
+      // negative control: without the opt-in conf the rule must NOT fire
+      // (it changes NULL/ragged-array semantics, so firing is a contract)
+      spark.conf.set(key, "false")
+      val off = naive().queryExecution.executedPlan.toString
+      assert(off.contains("aggregate(") && !off.contains("dot_product"),
+        s"rule fired without the opt-in conf:\n$off")
+      spark.conf.set(key, "true")
+      val on = naive()
+      val onPlan = on.queryExecution.executedPlan.toString
+      assert(onPlan.contains("dot_product") && !onPlan.contains("zip_with"),
+        s"rule did not fire with the conf set:\n$onPlan")
+      // bit-identical to the direct expression (same strict-order fold)
+      val direct = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.TextFns.dotProduct(
+            col("embedding"), col("embedding")).as("d"))
+      assert(on.exceptAll(direct).isEmpty && direct.exceptAll(on).isEmpty)
+      // end to end: the rewritten naive cosine equals the hand-written op
+      val rew = graft.ops.SimilarityOps.rewrittenCosineTopK(spark, dir)
+      val hand = graft.ops.SimilarityOps.cosineTopK(spark, dir)
+      assert(rew.exceptAll(hand).isEmpty && hand.exceptAll(rew).isEmpty)
+      assert(!rew.queryExecution.executedPlan.toString.contains("zip_with"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("mips augmented-L2 ranking equals direct inner-product order") {
     import spark.implicits._
     val got = graft.ops.SimilarityOps.mipsTopk(spark, dir)

@@ -117,6 +117,7 @@ class GraftSpec extends AnyFunSuite {
       "j10_scalar_backfill" -> 1, // THE scalar-subquery operator
       "s_freq_sketch" -> 1, // CMS sketch row broadcast
       "sim_cosine_topk" -> 1, // bounded query sample × corpus
+      "sim_rewritten_cosine_topk" -> 1, // same shape, HOF spelling rewritten
       "sim_mips_topk" -> 3, // max-norm scalar + query sample + rerank
       "sim_recall_report" -> 1, // brute-force truth definition
       "text_bm25" -> 1, // corpus-stats scalar row
@@ -139,6 +140,7 @@ class GraftSpec extends AnyFunSuite {
       "text_vocab_encode" -> 1, // vocab-ordinal window (vocab-bounded)
       "text_weighted_sample" -> 1, // rank AFTER limit(N) — N rows
       "sim_cosine_topk" -> 1, // rank AFTER limit(topK) — k rows
+      "sim_rewritten_cosine_topk" -> 1, // rank AFTER limit(topK) — k rows
       "curate_diverse_sample" -> 1, // pick window on cell_rank<=budget stratum
       "curate_pack_sequences" -> 1) // prefix sum over SUPER-SHARD totals
                                     // (corpus/4096² rows — ~600 at 10¹⁰ docs)
