@@ -1248,6 +1248,111 @@ object SimilarityOps extends OpGroup {
       pcQ(v1).as("pc1_q"), pcQ(v2).as("pc2_q"))
   }
 
+  // ---------------------------------------------------------------------
+  // Linear probe — ridge regression of the label on the embedding, the
+  // standard "how linearly decodable is this signal" evaluation of an
+  // embedding table, trained IN-ENGINE. Same split as PCA:
+  //
+  //  1. DISTRIBUTED: ONE GramMatrix pass over the augmented vector
+  //     [x, 1, y] — its raw second moments contain every normal-equation
+  //     ingredient at once (XᵀX, Xᵀ1, Xᵀy, n, 1ᵀy), so training reads
+  //     the corpus exactly once and ships one ~18 KB buffer.
+  //  2. DRIVER: solve (A + λI)w = b by Gauss-Jordan in natural pivot
+  //     order (A is SPD + ridge ⇒ every pivot positive, no row swaps ⇒
+  //     deterministic), normalize-then-eliminate — each update is ONE
+  //     multiply and ONE subtract with no reassociable sums, so the
+  //     oracle's unrolled elimination CTEs reproduce it bit-for-bit
+  //     modulo the distributed input sums.
+  //
+  // Predictions fold strict-order like every other vector op and
+  // quantize half-up at 1e-3. λ dominates the near-isotropic spectrum
+  // here, so the solve is extremely well-conditioned; the quantization
+  // margin is ~1e-10 against ~1e-14 input drift.
+  // ---------------------------------------------------------------------
+  val probeLambda = 0.1
+
+  def linearProbe(s: SparkSession, dir: String): DataFrame = {
+    val d = pcaDims
+    val a = d + 1
+    val aug = concat(col("embedding"),
+      array(lit(1.0f), col("label").cast("float")))
+    val g = emb(s, dir)
+      .agg(graft.expressions.GramMatrix.gram(aug, d + 2).as("g"))
+      .head.getSeq[Double](0).toArray
+    val full = Array.ofDim[Double](d + 2, d + 2)
+    var idx = 1 + (d + 2)
+    var i = 0
+    while (i < d + 2) {
+      var j = i
+      while (j < d + 2) {
+        full(i)(j) = g(idx); full(j)(i) = g(idx); idx += 1; j += 1
+      }
+      i += 1
+    }
+    val m = Array.tabulate(a, a + 1)((i, j) =>
+      if (j < a) full(i)(j) + (if (i == j && i < d) probeLambda else 0.0)
+      else full(i)(d + 1))
+    for (k <- 0 until a) {
+      val pv = m(k)(k)
+      val nk = Array.tabulate(a + 1)(j => m(k)(j) / pv)
+      var r = 0
+      while (r < a) {
+        if (r != k) {
+          val c = m(r)(k)
+          var j = 0
+          while (j <= a) { m(r)(j) = m(r)(j) - c * nk(j); j += 1 }
+        }
+        r += 1
+      }
+      m(k) = nk
+    }
+    val w = Array.tabulate(d)(i => m(i)(a))
+    val b = m(d)(a)
+    emb(s, dir).select(col("vec_id"), col("label"),
+      floor((graft.functions.TextFns.dotProduct(col("embedding"),
+        array(w.toSeq.map(lit): _*)) + b) * 1000 + 0.5)
+        .cast("long").as("yhat_q"))
+  }
+
+  private lazy val linearProbeSql = {
+    val d = pcaDims
+    val a = d + 1
+    val gauss = (1 to a).map { k =>
+      val prev = if (k == 1) "rg" else s"e${k - 1}"
+      s"""n$k AS MATERIALIZED (
+         |  SELECT j, v / (SELECT v FROM $prev WHERE i = $k AND j = $k) AS v
+         |  FROM $prev WHERE i = $k),
+         |e$k AS MATERIALIZED (
+         |  SELECT a.i, a.j,
+         |    CASE WHEN a.i = $k THEN n.v
+         |         ELSE a.v - c.v * n.v END AS v
+         |  FROM $prev a
+         |  JOIN n$k n ON n.j = a.j
+         |  JOIN (SELECT i, v FROM $prev WHERE j = $k) c ON c.i = a.i)""".stripMargin
+    }.mkString(",\n")
+    val fold = "list_reduce(list_transform(range(1, 65), i -> " +
+      "CAST(e.embedding[i] AS DOUBLE) * w.arr[i]), (a, b) -> a + b)"
+    s"""WITH en AS MATERIALIZED (
+       |  SELECT vec_id, generate_subscripts(f, 1) AS i,
+       |         CAST(unnest(f) AS DOUBLE) AS x
+       |  FROM (SELECT vec_id,
+       |          list_concat(embedding,
+       |            [CAST(1.0 AS FLOAT), CAST(label AS FLOAT)]) AS f
+       |        FROM embeddings)),
+       |gm AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS v
+       |  FROM en a JOIN en b USING (vec_id) GROUP BY a.i, b.i),
+       |rg AS MATERIALIZED (
+       |  SELECT i, j, v + CASE WHEN i = j AND i <= $d THEN $probeLambda
+       |                        ELSE 0 END AS v
+       |  FROM gm WHERE i <= $a),
+       |$gauss,
+       |w AS (SELECT list(v ORDER BY i) AS arr FROM e$a WHERE j = ${a + 1})
+       |SELECT e.vec_id, e.label,
+       |  CAST(floor(($fold + w.arr[$a]) * 1000 + 0.5) AS BIGINT) AS yhat_q
+       |FROM embeddings e, w""".stripMargin
+  }
+
   /** One power-method step as SQL: mat-vec against `cov`, then L2
     * normalize. Every CTE is MATERIALIZED — `p_t` is read twice (value +
     * norm) and `cov` by all [[pcaIters]] steps, so default inlining
@@ -1313,6 +1418,8 @@ object SimilarityOps extends OpGroup {
   override val ops: Seq[Op] = Seq(
     Op("sim_pca_project", pcaProject, Some(pcaProjectSql),
       "distributed PCA: one-pass Gram aggregate -> driver power method -> codegen projection"),
+    Op("sim_linear_probe", linearProbe, Some(linearProbeSql),
+      "in-engine ridge-regression linear probe: one augmented-Gram pass -> driver normal-equation solve"),
     Op("sim_recall_report", recallReport, Some(recallReportSql),
       "index-quality report: per-query recall@k of IVF retrieval vs brute-force truth"),
     Op("sim_graph_topk", graphTopk, Some(graphTopkSql),

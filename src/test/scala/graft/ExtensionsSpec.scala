@@ -970,6 +970,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a.length > 0 && a.toMap.size == a.length)
   }
 
+  test("linear probe: narrow prediction plan, beats the intercept baseline") {
+    val probe = SparkEntry.queries("sim_linear_probe")(spark, dir)
+    // training collapsed into the one Gram pass (an action inside the
+    // builder); what remains must be a pure codegen map over the scan
+    val c = Explain.counters(probe)
+    assert(c("shuffles") == 0 && c("sortMergeJoins") == 0 &&
+      c("nestedLoopJoins") == 0, s"sim_linear_probe projection: $c")
+    // the fit is real: ridge SSE strictly under the intercept-only SST
+    // (normal equations include the intercept, so SSE <= SST always;
+    // strict margin means the features carry label signal)
+    val rows = probe.collect().map(r => (r.getInt(1).toDouble, r.getLong(2) / 1000.0))
+    val yBar = rows.map(_._1).sum / rows.length
+    val sse = rows.map { case (y, yh) => (y - yh) * (y - yh) }.sum
+    val sst = rows.map { case (y, _) => (y - yBar) * (y - yBar) }.sum
+    assert(sse < 0.98 * sst, s"probe did not beat the mean baseline: sse=$sse sst=$sst")
+  }
+
   test("approx-distinct raw path keeps the single-shuffle sketch shape") {
     // the oracle-checked a1_agg_approx carries exact countDistincts to
     // JUDGE the sketch; this is the deployment path it documents — prove
