@@ -1272,11 +1272,23 @@ object SimilarityOps extends OpGroup {
   val probeLambda = 0.1
 
   def linearProbe(s: SparkSession, dir: String): DataFrame = {
+    val (w, b, _) = probeFit(emb(s, dir))
+    emb(s, dir).select(col("vec_id"), col("label"),
+      floor((graft.functions.TextFns.dotProduct(col("embedding"),
+        array(w.toSeq.map(lit): _*)) + b) * 1000 + 0.5)
+        .cast("long").as("yhat_q"))
+  }
+
+  /** Fit the ridge probe on any (embedding, label) frame; returns
+    * (weights, intercept, raw Gram buffer) — the buffer carries n and
+    * Σy for callers that need train-set statistics ([[probeEval]]).
+    */
+  private def probeFit(e: DataFrame): (Array[Double], Double, Array[Double]) = {
     val d = pcaDims
     val a = d + 1
     val aug = concat(col("embedding"),
       array(lit(1.0f), col("label").cast("float")))
-    val g = emb(s, dir)
+    val g = e
       .agg(graft.expressions.GramMatrix.gram(aug, d + 2).as("g"))
       .head.getSeq[Double](0).toArray
     val full = Array.ofDim[Double](d + 2, d + 2)
@@ -1306,15 +1318,60 @@ object SimilarityOps extends OpGroup {
       }
       m(k) = nk
     }
-    val w = Array.tabulate(d)(i => m(i)(a))
-    val b = m(d)(a)
-    emb(s, dir).select(col("vec_id"), col("label"),
-      floor((graft.functions.TextFns.dotProduct(col("embedding"),
-        array(w.toSeq.map(lit): _*)) + b) * 1000 + 0.5)
-        .cast("long").as("yhat_q"))
+    (Array.tabulate(d)(i => m(i)(a)), m(d)(a), g)
   }
 
-  private lazy val linearProbeSql = {
+  /** Held-out evaluation of the probe — the no-training-on-test
+    * discipline as a first-class report: fit on the md5-hash train
+    * split ONLY (the [[TextOps.splitAssign]] convention, salted so the
+    * assignment is independent of every other hash decision), then one
+    * row of test-set metrics — n_train, n_test, quantized SSE of the
+    * probe and SST against the TRAIN mean (the baseline a deployment
+    * actually has). Same two-phase scale shape as training: one Gram
+    * pass over the train subset, one narrow scoring pass over the test
+    * subset, nothing shuffled. n and Σy come from the SAME Gram buffer
+    * (entries (1,1) and (1,y) of the augmented moments), so the train
+    * mean costs nothing extra — and the oracle reads them from its gm
+    * relation the same way.
+    */
+  def probeEval(s: SparkSession, dir: String): DataFrame = {
+    val isTest = substring(graft.functions.TextFns.fastMd5(
+      concat(lit("probe|"), col("vec_id").cast("string"))), 1, 2) <
+      lit(probeEvalHexCeiling)
+    val all = emb(s, dir)
+    val (w, b, g) = probeFit(all.filter(!isTest))
+    val nTrain = g(0).toLong
+    val meanY = g(1 + pcaDims + 1) / g(0)
+    val yhat = graft.functions.TextFns.dotProduct(col("embedding"),
+      array(w.toSeq.map(lit): _*)) + b
+    all.filter(isTest)
+      .select(col("label").cast("double").as("y"), yhat.as("p"))
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("y") - col("p")) * (col("y") - col("p"))).as("sse"),
+        sum((col("y") - meanY) * (col("y") - meanY)).as("sst"))
+      .select(lit(nTrain).as("n_train"), col("n_test"),
+        floor(col("sse") * 1000 + 0.5).cast("long").as("sse_q"),
+        floor(col("sst") * 1000 + 0.5).cast("long").as("sst_q"))
+  }
+
+  /** Test fraction: first-2-md5-hex < "33" ≈ 20%. */
+  val probeEvalHexCeiling = "33"
+
+  private def probeTestCondSql =
+    s"substring(md5('probe|' || CAST(vec_id AS VARCHAR)), 1, 2) < '$probeEvalHexCeiling'"
+
+  /** The strict-order prediction fold over `e.embedding` against the
+    * solved weight list `w.arr`.
+    */
+  private val probeFoldSql = "list_reduce(list_transform(range(1, 65), i -> " +
+    "CAST(e.embedding[i] AS DOUBLE) * w.arr[i]), (a, b) -> a + b)"
+
+  /** The WITH-body that fits the probe in SQL — augmented moments over
+    * `WHERE trainWhere`, ridge, the 65 unrolled elimination steps, and
+    * the final `w` weight list — shared by the full-fit and held-out
+    * oracles exactly as [[probeFit]] is shared by the Scala ops.
+    */
+  private def probeSolveSql(trainWhere: String): String = {
     val d = pcaDims
     val a = d + 1
     val gauss = (1 to a).map { k =>
@@ -1330,15 +1387,13 @@ object SimilarityOps extends OpGroup {
          |  JOIN n$k n ON n.j = a.j
          |  JOIN (SELECT i, v FROM $prev WHERE j = $k) c ON c.i = a.i)""".stripMargin
     }.mkString(",\n")
-    val fold = "list_reduce(list_transform(range(1, 65), i -> " +
-      "CAST(e.embedding[i] AS DOUBLE) * w.arr[i]), (a, b) -> a + b)"
-    s"""WITH en AS MATERIALIZED (
+    s"""en AS MATERIALIZED (
        |  SELECT vec_id, generate_subscripts(f, 1) AS i,
        |         CAST(unnest(f) AS DOUBLE) AS x
        |  FROM (SELECT vec_id,
        |          list_concat(embedding,
        |            [CAST(1.0 AS FLOAT), CAST(label AS FLOAT)]) AS f
-       |        FROM embeddings)),
+       |        FROM embeddings WHERE $trainWhere)),
        |gm AS MATERIALIZED (
        |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS v
        |  FROM en a JOIN en b USING (vec_id) GROUP BY a.i, b.i),
@@ -1347,10 +1402,38 @@ object SimilarityOps extends OpGroup {
        |                        ELSE 0 END AS v
        |  FROM gm WHERE i <= $a),
        |$gauss,
-       |w AS (SELECT list(v ORDER BY i) AS arr FROM e$a WHERE j = ${a + 1})
+       |w AS (SELECT list(v ORDER BY i) AS arr FROM e$a WHERE j = ${a + 1})""".stripMargin
+  }
+
+  private lazy val linearProbeSql = {
+    val a = pcaDims + 1
+    s"""WITH ${probeSolveSql("TRUE")}
        |SELECT e.vec_id, e.label,
-       |  CAST(floor(($fold + w.arr[$a]) * 1000 + 0.5) AS BIGINT) AS yhat_q
+       |  CAST(floor(($probeFoldSql + w.arr[$a]) * 1000 + 0.5) AS BIGINT)
+       |    AS yhat_q
        |FROM embeddings e, w""".stripMargin
+  }
+
+  private lazy val probeEvalSql = {
+    val a = pcaDims + 1
+    s"""WITH ${probeSolveSql(s"NOT ($probeTestCondSql)")},
+       |tst AS (
+       |  SELECT CAST(e.label AS DOUBLE) AS y,
+       |         ($probeFoldSql + w.arr[$a]) AS p
+       |  FROM embeddings e, w WHERE $probeTestCondSql),
+       |mn AS (
+       |  SELECT (SELECT v FROM gm WHERE i = $a AND j = ${a + 1})
+       |       / (SELECT v FROM gm WHERE i = $a AND j = $a) AS m)
+       |SELECT
+       |  CAST((SELECT v FROM gm WHERE i = $a AND j = $a) AS BIGINT)
+       |    AS n_train,
+       |  count(*) AS n_test,
+       |  CAST(floor(sum((t.y - t.p) * (t.y - t.p)) * 1000 + 0.5) AS BIGINT)
+       |    AS sse_q,
+       |  CAST(floor(sum((t.y - mn.m) * (t.y - mn.m)) * 1000 + 0.5) AS BIGINT)
+       |    AS sst_q
+       |FROM tst t, mn
+       |GROUP BY mn.m""".stripMargin
   }
 
   /** One power-method step as SQL: mat-vec against `cov`, then L2
@@ -1420,6 +1503,8 @@ object SimilarityOps extends OpGroup {
       "distributed PCA: one-pass Gram aggregate -> driver power method -> codegen projection"),
     Op("sim_linear_probe", linearProbe, Some(linearProbeSql),
       "in-engine ridge-regression linear probe: one augmented-Gram pass -> driver normal-equation solve"),
+    Op("sim_probe_eval", probeEval, Some(probeEvalSql),
+      "held-out probe evaluation: fit on the md5 train split only, one-row test SSE/SST report"),
     Op("sim_recall_report", recallReport, Some(recallReportSql),
       "index-quality report: per-query recall@k of IVF retrieval vs brute-force truth"),
     Op("sim_graph_topk", graphTopk, Some(graphTopkSql),
