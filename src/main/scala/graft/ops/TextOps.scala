@@ -96,6 +96,47 @@ object TextOps extends OpGroup {
   }
 
   // ---------------------------------------------------------------------
+  // Character-entropy quality signal: Shannon entropy of the per-doc
+  // character distribution — the standard gibberish/boilerplate detector
+  // (near-zero = repeated filler, ~4.1 bits = English-like prose, high =
+  // random/encoded bytes). Two distributive aggregations, both
+  // map-side-combinable: chars explode linearly, the (doc, char) count
+  // collapses to O(docs × alphabet) before the doc rollup, and
+  // H = log2(n) − Σc·log2(c)/n needs no per-doc array. log2 low bits
+  // differ across libm implementations, so the score quantizes at 1e-3
+  // like every cross-engine float. ASCII corpus: code-unit vs
+  // grapheme splitting agree; a unicode corpus would need a shared
+  // normalization first.
+  // ---------------------------------------------------------------------
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    val perChar = docs(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    perChar.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log2(col("c").cast("double")))
+          .as("clc"))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+        floor((log2(col("n").cast("double")) - col("clc") / col("n"))
+          * 1000 + 0.5).cast("long").as("entropy_q"))
+  }
+
+  private val charEntropySql =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |  FROM documents WHERE len(text) > 0),
+      |pc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT doc_id, sum(c) AS n,
+      |         sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clc
+      |  FROM pc GROUP BY 1)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+      |  CAST(floor((log2(CAST(n AS DOUBLE)) - clc / n) * 1000 + 0.5)
+      |    AS BIGINT) AS entropy_q
+      |FROM ag""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Language-ID heuristic: stopword evidence per candidate language.
   // Deliberately binary (en/und): the harness corpus has NO cross-language
   // signal — every `lang` label (en/de/fr/es/zh) draws from the identical
@@ -1433,6 +1474,8 @@ object TextOps extends OpGroup {
       "inverted index: token -> df/cf + sorted doc:tf posting list, two map-side-combined aggs"),
     Op("text_token_stats", tokenStats, Some(tokenStatsSql),
       "token counting: whitespace + BPE-ish regex + mean token length"),
+    Op("text_char_entropy", charEntropy, Some(charEntropySql),
+      "Shannon character entropy per doc: the gibberish/filler quality signal, two distributive aggs"),
     Op("text_quality_score", qualityScore, Some(qualityScoreSql),
       "quality scoring: stopword/punctuation ratios + label"),
     Op("text_lang_id", langId, Some(langIdSql),
