@@ -433,6 +433,35 @@ object PropertySpec extends Properties("graft") {
       got == model && gotProp == model && gotStar == model
     }
 
+  property("dot rewrite output is bit-identical to the interpreted HOF fold") =
+    Prop.forAll(Gen.choose(1, 6).flatMap(d =>
+      Gen.listOfN(10, Gen.zip(
+        Gen.listOfN(d, Gen.choose(-100f, 100f)),
+        Gen.listOfN(d, Gen.choose(-100f, 100f)))))) { rows =>
+      // the rewrite's contract on clean inputs (equal-length, null-free):
+      // identical DOUBLES, not just close — both sides fold ascending
+      // repartition blocks ConvertToLocalRelation from evaluating the
+      // projection at optimization time (the plan would collapse to a
+      // LocalTableScan and show neither spelling)
+      val df = rows.map { case (a, b) => (a.toArray, b.toArray) }
+        .toDF("va", "vb").repartition(2)
+      def hof = aggregate(
+        zip_with(col("va"), col("vb"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
+      val key = plans.DotProductRewrite.enableKey
+      plans.DotProductRewrite.install(spark)
+      spark.conf.set(key, "false")
+      val base = df.select(hof).as[Double].collect().toSeq
+      spark.conf.set(key, "true")
+      val rewritten = df.select(hof)
+      val fired = rewritten.queryExecution.executedPlan.toString
+        .contains("dot_product")
+      val rew = rewritten.as[Double].collect().toSeq
+      spark.conf.unset(key)
+      fired && base == rew
+    }
+
   property("gram_matrix equals brute-force second moments, any partitioning") =
     Prop.forAll(Gen.choose(3, 6).flatMap(d =>
       Gen.listOfN(15, Gen.listOfN(d, Gen.choose(-8f, 8f))).map(d -> _))) {
