@@ -1430,10 +1430,10 @@ object SimilarityOps extends OpGroup {
        |  count(*) AS n_test,
        |  CAST(floor(sum((t.y - t.p) * (t.y - t.p)) * 1000 + 0.5) AS BIGINT)
        |    AS sse_q,
-       |  CAST(floor(sum((t.y - mn.m) * (t.y - mn.m)) * 1000 + 0.5) AS BIGINT)
+       |  CAST(floor(sum((t.y - (SELECT m FROM mn))
+       |           * (t.y - (SELECT m FROM mn))) * 1000 + 0.5) AS BIGINT)
        |    AS sst_q
-       |FROM tst t, mn
-       |GROUP BY mn.m""".stripMargin
+       |FROM tst t""".stripMargin
   }
 
   /** One power-method step as SQL: mat-vec against `cov`, then L2
