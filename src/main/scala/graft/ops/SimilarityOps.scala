@@ -1436,6 +1436,62 @@ object SimilarityOps extends OpGroup {
        |FROM tst t""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Class-scatter report — the Fisher-style separability diagnostic:
+  // per label, the within-class variance (trace of the class covariance)
+  // and the centroid's distance to the global mean. This is GramMatrix
+  // used as a GROUPED aggregate: the shuffle carries labels × one ~17 KB
+  // buffer (each mapper pre-merges every label it saw), never N·d rows —
+  // the grouped twin of the PCA pass. The driver reduces the bounded
+  // labels×d² model; only traces are needed, so no solve.
+  // ---------------------------------------------------------------------
+  def labelScatter(s: SparkSession, dir: String): DataFrame = {
+    val d = pcaDims
+    val bufs = emb(s, dir).groupBy(col("label"))
+      .agg(graft.expressions.GramMatrix.gram(col("embedding"), d).as("g"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val nTot = bufs.map(_._2(0)).sum
+    val gMean = Array.tabulate(d)(i => bufs.map(_._2(1 + i)).sum / nTot)
+    val out = bufs.map { case (lab, g) =>
+      val n = g(0)
+      val mu = Array.tabulate(d)(i => g(1 + i) / n)
+      var trace = 0.0
+      var dist2 = 0.0
+      var i = 0
+      while (i < d) {
+        // diag entry (i,i) of the row-major upper triangle
+        val gii = g(1 + d + i * d - i * (i - 1) / 2)
+        trace += gii / n - mu(i) * mu(i)
+        val dd = mu(i) - gMean(i)
+        dist2 += dd * dd
+        i += 1
+      }
+      (lab, n.toLong, math.floor(trace * 1000 + 0.5).toLong,
+        math.floor(math.sqrt(dist2) * 1000 + 0.5).toLong)
+    }.toSeq
+    import s.implicits._
+    out.toDF("label", "n", "trace_q", "centroid_dist_q")
+  }
+
+  private val labelScatterSql =
+    """WITH en AS MATERIALIZED (
+      |  SELECT label, generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |pl AS MATERIALIZED (
+      |  SELECT label, i, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+      |  FROM en GROUP BY 1, 2),
+      |gmean AS (SELECT i, sum(s) / sum(n) AS gm FROM pl GROUP BY i)
+      |SELECT p.label, CAST(max(p.n) AS BIGINT) AS n,
+      |  CAST(floor(sum(p.ss / p.n - (p.s / p.n) * (p.s / p.n)) * 1000 + 0.5)
+      |    AS BIGINT) AS trace_q,
+      |  CAST(floor(sqrt(sum((p.s / p.n - g.gm) * (p.s / p.n - g.gm)))
+      |    * 1000 + 0.5) AS BIGINT) AS centroid_dist_q
+      |FROM pl p JOIN gmean g USING (i)
+      |GROUP BY p.label""".stripMargin
+
   /** One power-method step as SQL: mat-vec against `cov`, then L2
     * normalize. Every CTE is MATERIALIZED — `p_t` is read twice (value +
     * norm) and `cov` by all [[pcaIters]] steps, so default inlining
@@ -1505,6 +1561,8 @@ object SimilarityOps extends OpGroup {
       "in-engine ridge-regression linear probe: one augmented-Gram pass -> driver normal-equation solve"),
     Op("sim_probe_eval", probeEval, Some(probeEvalSql),
       "held-out probe evaluation: fit on the md5 train split only, one-row test SSE/SST report"),
+    Op("sim_label_scatter", labelScatter, Some(labelScatterSql),
+      "Fisher-style class-scatter report via GROUPED Gram aggregation: labels x 17KB, never N x d"),
     Op("sim_recall_report", recallReport, Some(recallReportSql),
       "index-quality report: per-query recall@k of IVF retrieval vs brute-force truth"),
     Op("sim_graph_topk", graphTopk, Some(graphTopkSql),

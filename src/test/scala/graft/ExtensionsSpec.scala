@@ -960,6 +960,13 @@ class ExtensionsSpec extends AnyFunSuite {
     // (counters() tracks hashpartitioning exchanges, which must be 0)
     assert("Exchange SinglePartition".r.findAllIn(gPlan).length == 1 &&
       Explain.counters(g)("shuffles") == 0, s"gram agg plan:\n$gPlan")
+    // grouped twin (sim_label_scatter): same partial/final pair, ONE
+    // hash exchange carrying labels × one buffer — never N·d rows
+    val gg = Tables.load(spark, dir, "embeddings").groupBy(col("label"))
+      .agg(expressions.GramMatrix.gram(col("embedding"), 64).as("g"))
+    val ggPlan = gg.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(ggPlan).length == 2 &&
+      Explain.counters(gg)("shuffles") == 1, s"grouped gram plan:\n$ggPlan")
     val proj = SparkEntry.queries("sim_pca_project")(spark, dir)
     val c = Explain.counters(proj)
     assert(c("shuffles") == 0 && c("sortMergeJoins") == 0 &&
