@@ -292,7 +292,114 @@ object AnalyticsOps extends OpGroup {
        | AND a.admission_id < b.admission_id
        | AND a.admit_us < b.disch_us AND b.admit_us < a.disch_us""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Multi-touch attribution: every purchase credits the click/view
+  // touchpoints in its 7-day lookback under three standard models —
+  // first-touch, last-touch, and linear (value split evenly across
+  // touches); a purchase with no touch in window credits 'direct'.
+  //
+  // Scale shape: ONE user_id-keyed join between conversions and touches
+  // (the window predicate rides as a residual — per-user pair volume is
+  // bounded by a user's 7-day activity, the interval-overlap
+  // discipline), then per-purchase reduction by MIN/MAX over a
+  // (ts, event_id, channel) struct — an AGGREGATE with map-side
+  // partials, not a per-purchase rank window — and a channel rollup.
+  // First/last are deterministic because event_id breaks ts ties; the
+  // oracle's row_number formulation orders by the same two keys.
+  // ---------------------------------------------------------------------
+  val attributionLookbackDays = 7
+
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(s, dir, "events")
+    val conv = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val touch = events.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        col("ts").as("t_ts"), col("event_type").as("t_channel"))
+    val joined = conv.join(touch,
+      col("user_id") === col("t_user") &&
+        col("t_ts") <= col("p_ts") &&
+        col("t_ts") >= col("p_ts") -
+          expr(s"INTERVAL $attributionLookbackDays DAYS"),
+      "left")
+    val per = joined.groupBy(col("p_id"))
+      .agg(min(col("p_value")).as("v"),
+        count(col("t_id")).as("nt"),
+        min(struct(col("t_ts"), col("t_id"), col("t_channel"))).as("fst"),
+        max(struct(col("t_ts"), col("t_id"), col("t_channel"))).as("lst"))
+    def rollup(ch: org.apache.spark.sql.Column, n: String, vq: String) =
+      per.groupBy(coalesce(ch, lit("direct")).as("channel"))
+        .agg(count(lit(1)).as(n),
+          floor(sum(col("v")) * 1000 + 0.5).cast("long").as(vq))
+    val firstA = rollup(col("fst.t_channel"), "n_first", "first_value_q")
+    val lastA = rollup(col("lst.t_channel"), "n_last", "last_value_q")
+    val linA = joined.join(per.select(col("p_id"), col("nt")), Seq("p_id"))
+      .groupBy(coalesce(col("t_channel"), lit("direct")).as("channel"))
+      .agg(floor(sum(col("p_value") / greatest(col("nt"), lit(1L)))
+        * 1000 + 0.5).cast("long").as("linear_value_q"))
+    firstA.join(lastA, Seq("channel"), "full_outer")
+      .join(linA, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        coalesce(col("first_value_q"), lit(0L)).as("first_value_q"),
+        coalesce(col("last_value_q"), lit(0L)).as("last_value_q"),
+        coalesce(col("linear_value_q"), lit(0L)).as("linear_value_q"))
+  }
+
+  private val attributionSql =
+    s"""WITH conv AS (
+       |  SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+       |  FROM events WHERE event_type = 'purchase'),
+       |touch AS (
+       |  SELECT user_id AS t_user, event_id AS t_id, ts AS t_ts,
+       |         event_type AS t_channel
+       |  FROM events WHERE event_type IN ('click', 'view')),
+       |j AS (
+       |  SELECT c.*, t.t_id, t.t_ts, t.t_channel
+       |  FROM conv c LEFT JOIN touch t
+       |    ON c.user_id = t.t_user AND t.t_ts <= c.p_ts
+       |   AND t.t_ts >= c.p_ts - INTERVAL $attributionLookbackDays DAYS),
+       |ranked AS (
+       |  SELECT p_id, p_value, t_id, t_channel,
+       |    row_number() OVER (PARTITION BY p_id
+       |      ORDER BY t_ts ASC NULLS LAST, t_id ASC NULLS LAST) AS rf,
+       |    row_number() OVER (PARTITION BY p_id
+       |      ORDER BY t_ts DESC NULLS LAST, t_id DESC NULLS LAST) AS rl
+       |  FROM j),
+       |per AS (
+       |  SELECT p_id, min(p_value) AS v, count(t_id) AS nt,
+       |    min(CASE WHEN rf = 1 THEN t_channel END) AS fch,
+       |    min(CASE WHEN rl = 1 THEN t_channel END) AS lch
+       |  FROM ranked GROUP BY p_id),
+       |fa AS (
+       |  SELECT coalesce(fch, 'direct') AS channel,
+       |    count(*) AS n_first,
+       |    CAST(floor(sum(v) * 1000 + 0.5) AS BIGINT) AS first_value_q
+       |  FROM per GROUP BY 1),
+       |la AS (
+       |  SELECT coalesce(lch, 'direct') AS channel,
+       |    count(*) AS n_last,
+       |    CAST(floor(sum(v) * 1000 + 0.5) AS BIGINT) AS last_value_q
+       |  FROM per GROUP BY 1),
+       |ln AS (
+       |  SELECT coalesce(j.t_channel, 'direct') AS channel,
+       |    CAST(floor(sum(j.p_value / greatest(p.nt, 1)) * 1000 + 0.5)
+       |      AS BIGINT) AS linear_value_q
+       |  FROM j JOIN per p USING (p_id) GROUP BY 1)
+       |SELECT channel,
+       |  coalesce(n_first, 0) AS n_first,
+       |  coalesce(n_last, 0) AS n_last,
+       |  coalesce(first_value_q, 0) AS first_value_q,
+       |  coalesce(last_value_q, 0) AS last_value_q,
+       |  coalesce(linear_value_q, 0) AS linear_value_q
+       |FROM fa FULL OUTER JOIN la USING (channel)
+       |FULL OUTER JOIN ln USING (channel)""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("a19_attribution", attribution, Some(attributionSql),
+      "multi-touch attribution (first/last/linear) over the 7-day lookback, one user-keyed join"),
     Op("a18_interval_overlap", intervalOverlap, Some(intervalOverlapSql),
       "same-patient overlapping-stay QA: patient-keyed interval self-join, overlap as residual"),
     Op("a16_event_paths", eventPaths, Some(eventPathsSql),
