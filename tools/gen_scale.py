@@ -129,11 +129,38 @@ def gen_customer():
     print(f"customer: {n} -> {n * K}")
 
 
+def gen_events():
+    # K x events with per-replica user/event id offsets: per-user activity
+    # shape (and so per-user join fan-out, funnel depth, lookback volume)
+    # is preserved exactly while users and events scale by K — the
+    # distribution-preserving regime for the event-analytics family.
+    # Column arithmetic stays in pyarrow compute so the ts column (and its
+    # TIMESTAMP(NANOS) physical type, which Tables.load conforms) is
+    # carried through byte-identical.
+    import pyarrow.compute as pc
+    t = pq.read_table(f"{BASE}/events.parquet")
+    uid_off = pc.max(t.column("user_id")).as_py() + 1
+    eid_off = pc.max(t.column("event_id")).as_py() + 1
+    reps = []
+    for rep in range(K):
+        tt = t
+        if rep > 0:
+            tt = tt.set_column(tt.schema.get_field_index("event_id"),
+                               tt.schema.field("event_id"),
+                               pc.add(tt.column("event_id"), rep * eid_off))
+            tt = tt.set_column(tt.schema.get_field_index("user_id"),
+                               tt.schema.field("user_id"),
+                               pc.add(tt.column("user_id"), rep * uid_off))
+        reps.append(tt)
+    pq.write_table(pa.concat_tables(reps), f"{OUT}/events.parquet")
+    print(f"events: {t.num_rows} -> {t.num_rows * K}")
+
+
 gen_documents()
 gen_embeddings()
 gen_customer()
-for tbl in ["region", "nation", "supplier", "part", "orders", "lineitem",
-            "events"]:
+gen_events()
+for tbl in ["region", "nation", "supplier", "part", "orders", "lineitem"]:
     src = f"{BASE}/{tbl}.parquet"
     if os.path.exists(src):
         shutil.copyfile(src, f"{OUT}/{tbl}.parquet")
