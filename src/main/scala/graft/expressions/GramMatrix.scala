@@ -72,6 +72,12 @@ case class GramMatrix(
       val x = new Array[Double](d)
       var i = 0
       while (i < d) {
+        // loud, not silent: UnsafeArrayData.getFloat on a null slot
+        // returns 0.0 and would skew every downstream eigensolve/fit
+        // with nothing failing
+        require(!arr.isNullAt(i),
+          s"gram_matrix: null element at index $i — the aggregate " +
+            "assumes null-free vectors (same contract as dot_product)")
         x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         i += 1
       }

@@ -131,11 +131,20 @@ object AnalyticsOps extends OpGroup {
     val a = Tables.load(s, dir, "events")
       .select(col("event_type"), x.as("x"), y.as("y"))
       .groupBy(col("event_type"))
+      // operands cast to DECIMAL BEFORE the multiply and the plain sums
+      // accumulate as DECIMAL too: a BIGINT product/sum would overflow
+      // first (x ~ 3e9 squares past Int64; 1e12-row groups push sum(x)
+      // past it), defeating the exactness this op exists for.
+      // (19,0)x(19,0) -> (38,0) stays in range in both engines.
       .agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
-        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
-        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+        sum(col("x").cast(DecimalType(19, 0))
+          * col("y").cast(DecimalType(19, 0))).as("sxy"),
+        sum(col("x").cast(DecimalType(19, 0))
+          * col("x").cast(DecimalType(19, 0))).as("sxx"),
+        sum(col("y").cast(DecimalType(19, 0))
+          * col("y").cast(DecimalType(19, 0))).as("syy"))
     def d(c: String) = col(c).cast("double")
     val num = d("n") * d("sxy") - d("sx") * d("sy")
     val vx = d("n") * d("sxx") - d("sx") * d("sx")
@@ -156,10 +165,12 @@ object AnalyticsOps extends OpGroup {
        |         CAST(hour(ts) AS BIGINT) AS y
        |  FROM events),
        |a AS (
-       |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-       |         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
-       |         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
-       |         SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+       |  SELECT event_type, COUNT(*) AS n,
+       |         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+       |         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+       |         SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+       |         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+       |         SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
        |  FROM b GROUP BY event_type)
        |SELECT event_type, n,
        |  round($num / sqrt($vx * $vy), 6) AS corr_xy,

@@ -55,7 +55,18 @@ object SimilarityOps extends OpGroup {
     * the plan assertion (dot_product present, no interpreted aggregate)
     * and the conf-off negative control live in ExtensionsSpec.
     */
-  def rewrittenCosineTopK(s: SparkSession, dir: String): DataFrame = {
+  def rewrittenCosineTopK(s0: SparkSession, dir: String): DataFrame = {
+    // The opt-in is scoped to a CHILD session (same SparkContext, own
+    // conf + optimizer registry): enabling the rewrite on the caller's
+    // session would leave it on for every later query there — exactly
+    // the silent NULL-semantics change the rule's default-off contract
+    // exists to prevent. The child inherits the two confs the oracle
+    // comparison depends on; Tables.load pins the rest per-load.
+    val s = s0.newSession()
+    s.conf.set("spark.sql.session.timeZone",
+      s0.conf.get("spark.sql.session.timeZone", "UTC"))
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
     graft.plans.DotProductRewrite.install(s)
     s.conf.set(graft.plans.DotProductRewrite.enableKey, "true")
     def hofDot(a: Column, b: Column): Column =
@@ -569,13 +580,21 @@ object SimilarityOps extends OpGroup {
   // ---------------------------------------------------------------------
   def mipsTopk(s: SparkSession, dir: String): DataFrame = {
     val dot = graft.functions.TextFns.dotProduct _
-    val toD = transform(col("embedding"), x => x.cast("double"))
-    val e = emb(s, dir).select(col("vec_id"), toD.as("x"))
-      .withColumn("sq", dot(col("x"), col("x")))
-    val m2 = e.agg(max("sq").as("m2"))
-    val aug = e.crossJoin(broadcast(m2))
-      .select(col("vec_id"),
-        concat(col("x"), array(sqrt(col("m2") - col("sq")))).as("xa"))
+    // memoized like embNorms: the augmented table feeds the query side
+    // AND the scored side, and the max-norm aggregate is a third pass —
+    // uncached, one invocation scanned the corpus three times (and the
+    // array cast as a transform() lambda ran interpreted; Cast on
+    // arrays is codegen'd)
+    val aug = Memo.of(s, dir, "mipsAug") {
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+        .withColumn("sq", dot(col("x"), col("x")))
+      val m2 = e.agg(max("sq").as("m2"))
+      e.crossJoin(broadcast(m2))
+        .select(col("vec_id"),
+          concat(col("x"), array(sqrt(col("m2") - col("sq")))).as("xa"))
+        .cache()
+    }
     val q = aug.filter(col("vec_id") < lshQueryCount)
       .select(col("vec_id").as("q_id"),
         // q' = [q, 0]: the query keeps its RAW vector, zero-padded
@@ -742,9 +761,14 @@ object SimilarityOps extends OpGroup {
        |      + (85 * COALESCE(s.m, 0)) // 100 AS r
        |  FROM nodes no LEFT JOIN m$k s ON s.vec_id = no.vec_id)""".stripMargin
 
-  private lazy val pagerankSql =
-    s"""WITH $ivfCellsCtes,
-       |kpairs AS (
+  /** Shared oracle fragment: the IVF-cell kNN edge list (kpairs +
+    * knn_e) every graph oracle builds on — the SQL mirror of the
+    * memoized Scala edge index. One definition: a change to the edge
+    * discipline (ordering keys, k, DISTINCT) lands once for pagerank,
+    * label propagation, and beam search alike.
+    */
+  private lazy val knnEdgesCtes =
+    s"""kpairs AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |         round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
        |  FROM cells a JOIN cells b
@@ -755,7 +779,11 @@ object SimilarityOps extends OpGroup {
        |      ROW_NUMBER() OVER (PARTITION BY vec_a
        |        ORDER BY sim DESC, vec_b ASC) AS rnk
        |    FROM kpairs) t
-       |  WHERE rnk <= $knnK),
+       |  WHERE rnk <= $knnK)""".stripMargin
+
+  private lazy val pagerankSql =
+    s"""WITH $ivfCellsCtes,
+       |$knnEdgesCtes,
        |nodes AS (SELECT vec_id FROM embeddings),
        |n AS (SELECT COUNT(*) AS c FROM nodes),
        |outdeg AS (SELECT src, COUNT(*) AS deg FROM knn_e GROUP BY src),
@@ -876,18 +904,7 @@ object SimilarityOps extends OpGroup {
 
   private lazy val labelPropagationSql =
     s"""WITH $ivfCellsCtes,
-       |kpairs AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |         round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
-       |  FROM cells a JOIN cells b
-       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-       |knn_e AS (
-       |  SELECT vec_a AS src, vec_b AS dst FROM (
-       |    SELECT vec_a, vec_b,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_a
-       |        ORDER BY sim DESC, vec_b ASC) AS rnk
-       |    FROM kpairs) t
-       |  WHERE rnk <= $knnK),
+       |$knnEdgesCtes,
        |nodes AS (
        |  SELECT vec_id, label,
        |    substring(md5('lp|' || CAST(vec_id AS VARCHAR)), 1, 1) < '4' AS is_seed
@@ -1033,18 +1050,7 @@ object SimilarityOps extends OpGroup {
 
   private lazy val graphTopkSql =
     s"""WITH $ivfCellsCtes,
-       |kpairs AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |         round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
-       |  FROM cells a JOIN cells b
-       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-       |knn_e AS (
-       |  SELECT vec_a AS src, vec_b AS dst FROM (
-       |    SELECT vec_a, vec_b,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_a
-       |        ORDER BY sim DESC, vec_b ASC) AS rnk
-       |    FROM kpairs) t
-       |  WHERE rnk <= $knnK),
+       |$knnEdgesCtes,
        |knn_und AS (
        |  SELECT src, dst FROM knn_e
        |  UNION ALL
