@@ -511,27 +511,13 @@ object SimilarityOps extends OpGroup {
   def labelCentroids(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"),
       graft.functions.TextFns.l2norm(col("embedding")).as("nrm"))
-    val centRows = e
-      .select(col("label"), posexplode(col("embedding")))
-      .select(col("label"), col("pos"),
-        round(col("col").cast("double") * 1000000).cast("long").as("q"))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(sum(col("q")).cast("double") / (count(lit(1)) * 1000000.0), 6)
-        .as("c"))
-      .collect()
-    val cents = centRows.groupBy(_.getInt(0)).toSeq.map { case (l, rs) =>
-      val arr = new Array[Double](64)
-      rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-      l -> arr
-    }.sortBy(_._1)
-    val choices = cents.map { case (l, v) =>
-      val cn = math.sqrt(v.map(x => x * x).sum) // index-order fold, = oracle
-      struct(
-        round(graft.functions.TextFns.dotProduct(col("embedding"),
-          typedLit(v.toSeq)) / (col("nrm") * lit(cn)), 6).as("sim"),
-        lit(-l).as("negl"))
-    }
-    e.withColumn("pred", -greatest(choices: _*).getField("negl"))
+    // reuse the IVF machinery with label as the cell key: the
+    // micro-quantized centroid sum and the (sim, -key) tie-break exist
+    // in ONE place, so a change to either discipline cannot drift
+    // between k-means cells and class prototypes
+    val cents = centroidsOf(e.select(col("label").as("cell"), col("embedding")))
+    assignCells(e, cents)
+      .withColumn("pred", col("cell"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"),
         sum(when(col("pred") === col("label"), 1L).otherwise(0L))
