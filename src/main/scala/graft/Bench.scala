@@ -145,7 +145,8 @@ object Bench {
     } catch { case _: Throwable => }
     val layerSec = (System.nanoTime() - tLayer) / 1e9
     var failed = List.empty[String]
-    // Measurement: up to 3 reps per query, median reported. Reps stop
+    // Measurement: up to 3 reps per query (plus one variance-triggered
+    // extra), warm-rep median reported. Reps stop
     // early once a query has consumed repCapSec of wall — cheap queries
     // (where one noisy sample would dominate the round-over-round
     // comparison) get the full 3, genuinely heavy queries aren't tripled,
@@ -161,22 +162,34 @@ object Bench {
       val before = totals.snap()
       var walls = List.empty[Double]
       var ok = true
-      while (ok && walls.length < 3 && walls.sum < repCapSec) {
+      def rep(): Unit = {
         val t0 = System.nanoTime()
         try run(fn(spark, sfDir))
         catch { case _: Throwable => ok = false; failed ::= name }
         if (ok) walls ::= (System.nanoTime() - t0) / 1e9
       }
+      while (ok && walls.length < 3 && walls.sum < repCapSec) rep()
+      // variance-triggered extra rep (cap-exempt, bounded at one): a >2×
+      // spread means a rep was still warming — one more sample keeps that
+      // rep off the reported median (r7: a1_agg_approx 2.60/1.34/0.82 s
+      // reported 1.34 against a 0.82 s steady state)
+      if (ok && walls.length >= 2 && walls.max > 2 * walls.min) rep()
       val after = totals.snap()
-      val n = walls.length
+      val chron = walls.reverse
+      val n = chron.length
+      // Headline = median of the WARM reps (2+): rep 1 pays this scale
+      // factor's plan optimization + codegen — compile cost, not query
+      // cost — and is reported separately as `cold` in BENCH_FULL. A
+      // cold-only sample (rep cap left one rep) reports that sample,
+      // flagged by warm:null.
       val med =
         if (n == 0) 0.0
-        else if (n >= 3) walls.sorted.apply(n / 2)
-        else walls.min // <3 reps: min is the least contaminated sample
+        else if (n == 1) chron.head
+        else { val w = chron.tail.sorted; w(w.length / 2) }
       val taskSec = if (n == 0) 0.0 else (after._1 - before._1) / 1e3 / n
       val shMb = if (n == 0) 0.0
         else (after._2 - before._2 + after._3 - before._3) / 1e6 / n
-      name -> ((med, walls.reverse, taskSec, shMb))
+      name -> ((med, chron, taskSec, shMb))
     }
     val fj = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.map(_._1).sum

@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   * Scale notes: concept/junk/provider dims are broadcast-sized; the fact
   * enrichment interval joins shuffle on patient_id once each and resolve
   * multi-matches with a row_number window partitioned by the fact surrogate
-  * key. The global surrogate-key window (event_key) is single-partition —
-  * at 100 TB replace with per-partition zipWithIndex + offset; kept here
-  * because the oracle needs a total order (SURVEY.md §7.4.1).
+  * key. The surrogate event_key is a patient-partitioned composite
+  * (`patient_id * 1e9 + row_number within the patient`, [[factRaw]]) —
+  * one hash shuffle, no single-partition window, no global coordination;
+  * dense global numbering, when a consumer needs it, lives in
+  * [[graft.ops.SurrogateKeys]] (SURVEY.md §7.4.1).
   */
 object Stage {
 

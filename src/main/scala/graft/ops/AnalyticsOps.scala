@@ -328,17 +328,25 @@ object AnalyticsOps extends OpGroup {
     val touch = events.filter(col("event_type").isin("click", "view"))
       .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
         col("ts").as("t_ts"), col("event_type").as("t_channel"))
+    // Persisted: `joined` feeds `per` AND the linear rollup, and `per`
+    // feeds three rollups — without the persists the user-keyed join
+    // physically re-executes ~4× (the "ONE user-keyed join" claim above
+    // would be a plan-shape claim, not an execution fact). Both frames
+    // are horizon-bounded (purchases × 7-day touches); Spark's cache
+    // manager dedups identical plans, so repeated invocations share one
+    // entry and no explicit unpersist is needed.
     val joined = conv.join(touch,
       col("user_id") === col("t_user") &&
         col("t_ts") <= col("p_ts") &&
         col("t_ts") >= col("p_ts") -
           expr(s"INTERVAL $attributionLookbackDays DAYS"),
-      "left")
+      "left").persist()
     val per = joined.groupBy(col("p_id"))
       .agg(min(col("p_value")).as("v"),
         count(col("t_id")).as("nt"),
         min(struct(col("t_ts"), col("t_id"), col("t_channel"))).as("fst"),
         max(struct(col("t_ts"), col("t_id"), col("t_channel"))).as("lst"))
+      .persist()
     def rollup(ch: org.apache.spark.sql.Column, n: String, vq: String) =
       per.groupBy(coalesce(ch, lit("direct")).as("channel"))
         .agg(count(lit(1)).as(n),

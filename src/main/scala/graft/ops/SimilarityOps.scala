@@ -1189,6 +1189,9 @@ object SimilarityOps extends OpGroup {
       g: Array[Double]): DataFrame = {
     val d = pcaDims
     val n = g(0)
+    // Loud-not-silent (the GramMatrix.update discipline): an empty corpus
+    // would make every mean/covariance NaN and the projections silently-NaN.
+    require(n > 0, s"pcaProjectFromStats: empty Gram stats (count=$n)")
     val mean = Array.tabulate(d)(i => g(1 + i) / n)
     val cov = Array.ofDim[Double](d, d)
     var idx = 1 + d

@@ -1081,18 +1081,37 @@ object TextOps extends OpGroup {
   // floats anywhere. Character-level splitting is codepoint-based in
   // both engines (identical on this BMP-only corpus); a byte-level BPE
   // would first hex-encode, same shape.
+  //
+  // MERGE-COUNT CEILING: each round is one distributed pair-count plus a
+  // one-row collect and a chained `replace` — fine for the 3 demo rounds
+  // the oracle unrolls, but a real 30k-merge vocabulary would mean 30k
+  // sequential driver round trips and a 30k-deep replace chain (the plan
+  // itself becomes the bottleneck long before the data does). The scale
+  // path is the production-BPE shape: maintain incremental pair-count
+  // DELTAS (a merge only perturbs counts of pairs adjacent to the merged
+  // pair, so each round updates O(vocab-touched) rows instead of
+  // recounting), batch mutually-non-adjacent top-k merges per round, and
+  // checkpoint `rep` every ~64 rounds to cut the replace-chain lineage.
+  // Kept as the recount form here because it makes EVERY round
+  // independently oracle-verifiable.
   // ---------------------------------------------------------------------
   val bpeRounds = 3
 
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = docs(s, dir)
+    // Memoized, NOT per-call cache()+unpersist(): the r7 bench showed the
+    // warm rep 2.4× the cold one — the end-of-call async unpersist raced
+    // the next invocation's identical-plan cache() and the replace chain
+    // recomputed the corpus pass per round. The word-frequency table is a
+    // shared artifact of the corpus (one pass, vocabulary-sized); Memo
+    // retention releases it.
+    val words = Memo.of(s, dir, "bpe_words")(docs(s, dir)
       .select(explode(tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|"))
         .as("rep"), col("freq"))
-      .cache()
+      .cache())
     val pairStructs = expr(
       "transform(slice(toks, 1, size(toks)-1), (x, i) -> " +
         "struct(x AS a, toks[i+1] AS b))")
@@ -1113,7 +1132,6 @@ object TextOps extends OpGroup {
           lit(s"|$a|$b|"), lit(s"|$a$b|")))
       }
     }
-    words.unpersist()
     merges.result()
       .toDF("round", "left", "right", "merged", "pair_count")
   }

@@ -971,10 +971,20 @@ class ExtensionsSpec extends AnyFunSuite {
     val c = Explain.counters(proj)
     assert(c("shuffles") == 0 && c("sortMergeJoins") == 0 &&
       c("nestedLoopJoins") == 0, s"sim_pca_project projection: $c")
-    // quantized projections are partition-invariant (the driver model is
-    // a pure function of the Gram stats, which the property spec pins)
+    // quantized projections are partition-invariant: recompute the Gram
+    // stats over a differently-partitioned input (different partial-merge
+    // fold order) and assert the quantized (pc1_q, pc2_q) maps are equal
+    // — the 1e-3 quantization must absorb the ~1e-12 reassociation drift
     val a = proj.collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
     assert(a.length > 0 && a.toMap.size == a.length)
+    val g2 = Tables.load(spark, dir, "embeddings")
+      .repartition(7, col("vec_id"))
+      .agg(expressions.GramMatrix.gram(col("embedding"), 64).as("g"))
+      .head.getSeq[Double](0).toArray
+    val b = ops.SimilarityOps.pcaProjectFromStats(spark, dir, g2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+    assert(a.toMap == b.toMap,
+      "quantized PCA projections changed under a repartitioned Gram pass")
   }
 
   test("linear probe: narrow prediction plan, beats the intercept baseline") {
