@@ -608,16 +608,41 @@ object Joins extends OpGroup {
         col("distance"))
   }
 
-  private val fuzzyJoinSql =
-    """WITH typos AS (
+  /** Shared banded-candidate CTEs for the fuzzy oracles: the naive
+    * `customer × typos ON levenshtein ≤ 1` theta-join is O(N·M)
+    * levenshtein evaluations (2.25e8 at sf0.1 — the oracle ground to a
+    * crawl long before the engine did), so the oracle now mirrors the
+    * engine's own SymSpell discipline: distance ≤ 1 strings share a
+    * member of their single-deletion neighborhoods, so generate the
+    * variants on both sides, equi-join on the variant, and verify
+    * levenshtein on candidates only. MATERIALIZED: DuckDB inlines CTEs
+    * per reference, and `fp` feeds multiple consumers.
+    */
+  private val fuzzyBandedCtes =
+    """typos AS MATERIALIZED (
       |  SELECT c_custkey + 10000000 AS t_id,
       |         substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
       |           || substring(c_name, CAST(9 + c_custkey % 9 AS INT) + 2) AS t_name
-      |  FROM customer)
-      |SELECT c.c_custkey, t.t_id,
-      |       CAST(levenshtein(c.c_name, t.t_name) AS INT) AS distance
-      |FROM customer c JOIN typos t
-      |  ON levenshtein(c.c_name, t.t_name) <= 1""".stripMargin
+      |  FROM customer),
+      |lv AS (
+      |  SELECT c_custkey AS a, c_name AS l_name,
+      |    CASE WHEN i = 0 THEN c_name
+      |         ELSE substring(c_name, 1, i-1) || substring(c_name, i+1) END AS variant
+      |  FROM customer, unnest(range(0, length(c_name)::BIGINT + 1)) AS t(i)),
+      |rv AS (
+      |  SELECT t_id AS b, t_name,
+      |    CASE WHEN i = 0 THEN t_name
+      |         ELSE substring(t_name, 1, i-1) || substring(t_name, i+1) END AS variant
+      |  FROM typos, unnest(range(0, length(t_name)::BIGINT + 1)) AS t(i)),
+      |fp AS MATERIALIZED (
+      |  SELECT DISTINCT a, b, CAST(levenshtein(l_name, t_name) AS INT) AS distance
+      |  FROM lv JOIN rv USING (variant)
+      |  WHERE levenshtein(l_name, t_name) <= 1)""".stripMargin
+
+  // NB: no outer stripMargin around interpolated CTEs — it would strip
+  // the first char of every `||` concat operator at a line start
+  private val fuzzyJoinSql =
+    s"WITH $fuzzyBandedCtes\nSELECT a AS c_custkey, b AS t_id, distance FROM fp"
 
   // ---------------------------------------------------------------------
   // Entity resolution (patient record linkage — the reference domain's
@@ -639,9 +664,10 @@ object Joins extends OpGroup {
   // into large components (a typo string sits within one edit of many
   // masters), so the closure genuinely runs ~a dozen keyed rounds —
   // local-mode wall time is round-scheduling, not data volume, and the
-  // per-round cost stays O(edges) at any scale. The DuckDB oracle is
-  // the NAIVE theta-join + recursive CTE, affordable only at the
-  // sf0.01 correctness gate — which is the point of having the engine.
+  // per-round cost stays O(edges) at any scale. The DuckDB oracle
+  // mirrors both disciplines (banded candidates + pointer-doubling
+  // closure — see entityResolveSql) so the correctness gate itself runs
+  // in seconds at sf0.1 instead of the 45-minute naive recursion.
   // ---------------------------------------------------------------------
   def entityResolve(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer")
@@ -664,24 +690,42 @@ object Joins extends OpGroup {
         (col("id") < 10000000L).as("is_master"))
   }
 
-  private val entityResolveSql =
-    """WITH RECURSIVE typos AS (
-      |  SELECT c_custkey + 10000000 AS t_id,
-      |         substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
-      |           || substring(c_name, CAST(9 + c_custkey % 9 AS INT) + 2) AS t_name
-      |  FROM customer),
-      |fp AS (
-      |  SELECT c.c_custkey AS a, t.t_id AS b
-      |  FROM customer c JOIN typos t ON levenshtein(c.c_name, t.t_name) <= 1),
-      |er_nodes AS (SELECT c_custkey AS id FROM customer
-      |             UNION ALL SELECT t_id FROM typos),
-      |er_sym AS (SELECT a, b FROM fp UNION ALL SELECT b AS a, a AS b FROM fp),
-      |er_reach(d, r) AS (
-      |  SELECT id, id FROM er_nodes
-      |  UNION
-      |  SELECT s.a, er_reach.r FROM er_sym s JOIN er_reach ON er_reach.d = s.b),
-      |ent AS (SELECT d AS id, MIN(r) AS entity_id FROM er_reach GROUP BY d)
-      |SELECT id, entity_id, id < 10000000 AS is_master FROM ent""".stripMargin
+  /** The closure oracle was a recursive reachability CTE — all (node,
+    * reachable) pairs, O(Σ component²): at sf0.1 every record chains into
+    * ONE 30k-node component (9e8 pairs, 45+ CPU-minutes in DuckDB). Now
+    * it is min-label propagation with POINTER DOUBLING, unrolled as
+    * chained MATERIALIZED CTEs: each round propagates the min label over
+    * edges (O(E)) then hops l ← l(l) (O(V)), so label reach at least
+    * doubles per round — [[erClosureRounds]] rounds cover any component
+    * diameter up to 2^rounds. Verified equal to union-find ground truth
+    * at every SF (sf0.1: 1.5 s vs the 45-min recursion). Convergence
+    * margin: sf0.1 converges by round 4; 10 rounds is 64× that.
+    */
+  private val erClosureRounds = 10
+
+  private val entityResolveSql = {
+    val rounds = (1 to erClosureRounds).map { r =>
+      val prev = if (r == 1) "l0" else s"h${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT d, MIN(l) AS l FROM (
+         |    SELECT x.d, x.l FROM $prev x
+         |    UNION ALL
+         |    SELECT s.a AS d, x.l FROM er_sym s JOIN $prev x ON x.d = s.b
+         |  ) GROUP BY d),
+         |h$r AS MATERIALIZED (
+         |  SELECT x.d, LEAST(x.l, y.l) AS l
+         |  FROM p$r x JOIN p$r y ON y.d = x.l)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $fuzzyBandedCtes,\n" +
+      """er_nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer
+        |             UNION ALL SELECT t_id FROM typos),
+        |er_sym AS MATERIALIZED (SELECT a, b FROM fp
+        |             UNION ALL SELECT b AS a, a AS b FROM fp),
+        |l0 AS MATERIALIZED (SELECT id AS d, id AS l FROM er_nodes),""".stripMargin +
+      s"\n$rounds\n" +
+      s"SELECT d AS id, l AS entity_id, d < 10000000 AS is_master\n" +
+      s"FROM h$erClosureRounds"
+  }
 
   override val ops: Seq[Op] = Seq(
     Op("er_resolve", entityResolve, Some(entityResolveSql),
