@@ -514,7 +514,12 @@ object Sessionize extends OpGroup {
       val root = layerPath(dir, "cdc_stream")
       val feedDir = s"$root/feed"
       if (!new java.io.File(feedDir).exists()) {
-        // pre-split the feed into 4 ts-range files => 4 micro-batches
+        // pre-split the feed into 4 ts-range files, consumed 2 per
+        // trigger => 2 micro-batches: trigger 2 exercises the
+        // merge-with-existing-state path, which is the incremental
+        // property under test; more triggers only re-pay the ~0.45 s
+        // per-trigger fixed cost (metadata logs + foreachBatch jobs)
+        // without exercising anything new
         Tables.load(s, dir, "events")
           .filter(col("event_type").isin("signup", "purchase", "error"))
           .select(col("event_id"), col("ts"), col("user_id"),
@@ -522,6 +527,12 @@ object Sessionize extends OpGroup {
           .repartitionByRange(4, col("ts"))
           .write.mode("overwrite").parquet(feedDir)
       }
+      // wipe snapshots of previous runs: batch ids restart at 0 per run,
+      // so a prior run with more triggers would leave orphan snap_N dirs
+      // (disk leak + a miscount in the per-batch snapshot audit)
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("snap_") && f.getName != "snap_seed")
+        .foreach(f => freshDir(f.getPath))
       val snap0 = s"$root/snap_seed"
       Tables.load(s, dir, "customer")
         .filter(col("c_custkey") < 75)
@@ -532,7 +543,7 @@ object Sessionize extends OpGroup {
       var cur = snap0
       val schema = s.read.parquet(feedDir).schema
       val feed = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        .option("maxFilesPerTrigger", 2).parquet(feedDir)
       val q = feed.writeStream.outputMode("append")
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
           if (!batch.isEmpty) {
@@ -630,7 +641,7 @@ object Sessionize extends OpGroup {
       var accSeen = false
       val schema = s.read.parquet(feedDir).schema
       val feed = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        .option("maxFilesPerTrigger", 2).parquet(feedDir)
       val cond = col("user_id") === col("s_user") &&
         col("p_ts") >= col("s_ts") &&
         col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAY")
@@ -698,10 +709,13 @@ object Sessionize extends OpGroup {
           .repartitionByRange(4, col("ts"))
           .write.mode("overwrite").parquet(feedDir)
       }
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("agg_"))
+        .foreach(f => freshDir(f.getPath))
       var cur: Option[String] = None
       val schema = s.read.parquet(feedDir).schema
       val feed = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        .option("maxFilesPerTrigger", 2).parquet(feedDir)
       val q = feed.writeStream.outputMode("append")
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
           if (!batch.isEmpty) {
@@ -768,7 +782,7 @@ object Sessionize extends OpGroup {
     val root = layerPath(dir, "gram_stream")
     val feedDir = s"$root/feed"
     if (!new java.io.File(feedDir).exists()) {
-      // 4 vec_id-range files => 4 micro-batches
+      // 4 vec_id-range files, 2 per trigger => 2 micro-batches
       Tables.load(s, dir, "embeddings")
         .repartitionByRange(4, col("vec_id"))
         .write.mode("overwrite").parquet(feedDir)
@@ -784,7 +798,7 @@ object Sessionize extends OpGroup {
     var lastMerged = -1L
     val schema = s.read.parquet(feedDir).schema
     val feed = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+      .option("maxFilesPerTrigger", 2).parquet(feedDir)
     val q = feed.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (id > lastMerged && !batch.isEmpty) {

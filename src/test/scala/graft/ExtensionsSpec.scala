@@ -1229,11 +1229,11 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.count() == batch.count())
     assert(out.exceptAll(batch).count() == 0)
     // and it got there incrementally: one snapshot per non-empty
-    // micro-batch (feed pre-split into 4 files, maxFilesPerTrigger=1)
+    // micro-batch (feed pre-split into 4 files, maxFilesPerTrigger=2)
     val root = new java.io.File(Warehouse.layerPath(dir, "cdc_stream"))
     val snaps = root.listFiles().map(_.getName)
       .count(n => n.startsWith("snap_") && n != "snap_seed")
-    assert(snaps == 4, s"expected 4 per-batch snapshots, got $snaps")
+    assert(snaps == 2, s"expected 2 per-batch snapshots, got $snaps")
   }
 
   test("aggregate maintenance folds micro-batch partials to the batch total") {
@@ -1247,7 +1247,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.exceptAll(batch).count() == 0)
     val root = new java.io.File(Warehouse.layerPath(dir, "agg_stream"))
     val snaps = root.listFiles().map(_.getName).count(_.startsWith("agg_"))
-    assert(snaps == 4, s"expected 4 per-batch aggregate snapshots, got $snaps")
+    assert(snaps == 2, s"expected 2 per-batch aggregate snapshots, got $snaps")
   }
 
   test("compaction actually reduces the file count at the measured target") {
