@@ -207,12 +207,21 @@ object Multimodal extends OpGroup {
   // threshold each byte against the sample mean (integer
   // cross-multiplied: b·64 ≥ Σ, no float compare), 64 bits stored as
   // four 16-bit bands. Candidate pairs come from MULTI-INDEX HAMMING
-  // (Norouzi et al.): a self-join on (band_idx, band_value) — by
-  // pigeonhole, any pair within hamming ≤ 3 shares at least one of the
-  // 4 exact bands, so banding is lossless at the threshold and the scan
-  // never goes all-pairs (573 candidates of 125k possible pairs at
-  // sf0.01). Exact hamming (bit_count of per-band XORs) verifies
-  // candidates only — the LSH-band discipline on bit vectors.
+  // (Norouzi et al.) over TWO 32-BIT super-bands with a 1-bit-flip
+  // neighborhood: by pigeonhole, a pair within hamming ≤ 3 has ≤ 1
+  // error in one of the 2 bands, so enumerating each row's 33-key band
+  // neighborhood (the value + its 32 single-bit flips) and equi-joining
+  // against exact band values is lossless at the threshold. This is the
+  // SymSpell deletion-neighborhood discipline transplanted to hamming
+  // space, and it is what survives scale: exact-match banding on 16-bit
+  // values saturates by the birthday effect once n approaches √(2¹⁶·4)
+  // (measured r8: candidate pairs grew 39× on a 10× corpus), while the
+  // 33×-row enumeration buys a 2³² key space — collision-driven
+  // candidates stay negligible until n ~ 10⁸ per band value. Exact
+  // hamming (bit_count of per-band XORs) verifies candidates only.
+  // Output is IDENTICAL to the 4×16 exact-band scheme (both candidate
+  // sets contain every pair ≤ the threshold; the verify filter is the
+  // same), so the DuckDB oracle keeps the simpler 4×16 formulation.
   //
   // The raw corpus has no hash-near media (measured: zero pairs ≤ 3), so
   // the table is enriched with DETERMINISTIC twins — every 20th doc gets
@@ -262,13 +271,24 @@ object Multimodal extends OpGroup {
       MediaHash(m.media_id, b0, b1, b2, b3)
     }.toDF().cache()
     val bandCols = Seq("b0", "b1", "b2", "b3")
-    val bands = h.select(col("media_id"), explode(array(
-      bandCols.zipWithIndex.map { case (b, k) =>
-        struct(lit(k).as("k"), col(b).as("v"))
-      }: _*)).as("band"))
+    // two 32-bit super-bands (b0‖b1, b2‖b3) as Longs
+    val wide = h.select(col("media_id"), explode(array(
+      struct(lit(0).as("k"),
+        (col("b0").cast("long") * 65536L + col("b1")).as("v")),
+      struct(lit(1).as("k"),
+        (col("b2").cast("long") * 65536L + col("b3")).as("v")))).as("band"))
       .select(col("media_id"), col("band.k").as("k"), col("band.v").as("v"))
-    val cand = bands.select(col("k"), col("v"), col("media_id").as("media_a"))
-      .join(bands.select(col("k"), col("v"), col("media_id").as("media_b")),
+    // probe side: the 33-key 1-bit-flip neighborhood (j = -1 keeps the
+    // exact value) — explode(sequence) + shiftleft/xor stay in codegen,
+    // per the no-interpreted-HOF-on-the-hot-path rule
+    val probes = wide
+      .select(col("media_id").as("media_a"), col("k"),
+        explode(expr("sequence(-1, 31)")).as("j"), col("v"))
+      .select(col("media_a"), col("k"),
+        when(col("j") < 0, col("v"))
+          .otherwise(expr("v ^ shiftleft(1L, j)")).as("v"))
+    val cand = probes
+      .join(wide.select(col("k"), col("v"), col("media_id").as("media_b")),
         Seq("k", "v"))
       .filter(col("media_a") < col("media_b"))
       .select("media_a", "media_b").distinct()
