@@ -82,66 +82,70 @@ object Bench {
         f"[bench] build $what: ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     try {
-      // the DWH layer (and the stage layer under it) first — everything
-      // else consumes it or the raw tables; then the independent builds
-      // run concurrently (Spark's scheduler interleaves their jobs, so
-      // wall time ≈ the slowest, exactly how a deployment schedules
-      // independent DDL jobs). Measured counter-intuitive: overlapping
-      // the DWH build with the index builds (6-way pool, QA chained)
-      // LOST 35s end-to-end on this box — the combined working set
-      // overflows the 8g single-JVM storage pool, evicts the memoized
-      // layers, and the query pass silently recomputes them (total
-      // 90 → 129s, er_resolve 6.3 → 20.5s). On a real cluster with
-      // separate executors the overlap wins; in one JVM, build order IS
+      // Ordering (r8 attribution: dwh chain 19.3 s of the 27.9 s total —
+      // enrichment ~7 s + stage boundary write ~5 s + dwh dedup/guards/
+      // write ~6 s, a mostly-serial linear-pass chain): the DWH layer
+      // builds first WITH the small events-table layout builds overlapped
+      // (each touches only the 2 MB events table, so they fill idle cores
+      // without evicting the stage cache); the memory-heavy index builds
+      // run AFTER it. Measured counter-intuitive (r6): overlapping the
+      // DWH build with the INDEX builds (6-way pool, QA chained) LOST
+      // 35 s end-to-end on this box — the combined working set overflows
+      // the 8g single-JVM storage pool, evicts the memoized layers, and
+      // the query pass silently recomputes them (total 90 → 129 s,
+      // er_resolve 6.3 → 20.5 s). On a real cluster with separate
+      // executors the full overlap wins; in one JVM, build order IS
       // cache-residency policy.
-      timed("dwh_layer")(graft.etl.Dwh.materialized(spark, sfDir))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      try Await.result(Future.sequence(Seq(
-        Future(timed("qa_report")(graft.etl.Qa.report(spark, sfDir))),
-        Future(timed("bucketed_ddl")(
-          run(graft.sources.Warehouse.bucketedJoin(spark, sfDir)))),
-        // the IVF index (k-means cells) is the ANN equivalent of the
-        // bucketed tables: built once, probed by every retrieval query
-        Future(timed("ivf_cells")(
-          graft.ops.SimilarityOps.ivfCells(spark, sfDir).count())),
-        // PQ codebook + codes: the other one-time ANN index build
-        Future(timed("pq_codes")(
-          graft.ops.PqOps.pqCodes(spark, sfDir).count())),
-        // kNN graph: N·k edge index probed by pagerank / label
-        // propagation / the kNN-join query (built over the IVF cells,
-        // which the dwh_layer step above has NOT built — ivfCells memo
-        // handles the dependency internally)
-        Future(timed("knn_graph")(
-          graft.ops.SimilarityOps.knnJoin(spark, sfDir).count())),
-        // near-dup cluster table: memoized shared artifact consumed by
-        // dedup_clusters/survivors and the curation pipeline — at 100 TB
-        // a scheduled dedup build writing a persisted cluster table
-        Future(timed("dedup_clusters")(
-          graft.ops.DedupOps.dedupClusters(spark, sfDir).count())),
-        Future(timed("sorted_layout")(
-          run(graft.sources.Warehouse.sortedLayoutScan(spark, sfDir)))),
-        // remaining first-touch layouts: each op writes its physical
-        // layer iff absent, then only reads it — touching them here
-        // moves the write into layer_build and leaves the measured
-        // query pass read-only
-        Future(timed("partitioned_layout")(
-          run(graft.sources.Warehouse.partitionedLayoutScan(spark, sfDir)))),
-        Future(timed("zorder_layout")(
-          run(graft.sources.Warehouse.zorderLayoutScan(spark, sfDir)))),
-        Future(timed("compaction")(
-          run(graft.sources.Warehouse.compaction(spark, sfDir)))),
-        Future(timed("time_travel")(
-          run(graft.sources.Warehouse.timeTravel(spark, sfDir)))),
-        Future(timed("sketch_table")(
-          run(graft.ops.Relational.sketchRollup(spark, sfDir)))),
-        Future(timed("corrupt_feed")(
-          run(graft.sources.Warehouse.corruptRecords(spark, sfDir)))))),
-        Duration.Inf)
-      finally pool.shutdown()
+      try {
+        val layouts = Future.sequence(Seq(
+          Future(timed("sorted_layout")(
+            run(graft.sources.Warehouse.sortedLayoutScan(spark, sfDir)))),
+          // remaining first-touch layouts: each op writes its physical
+          // layer iff absent, then only reads it — touching them here
+          // moves the write into layer_build and leaves the measured
+          // query pass read-only
+          Future(timed("partitioned_layout")(
+            run(graft.sources.Warehouse.partitionedLayoutScan(spark, sfDir)))),
+          Future(timed("zorder_layout")(
+            run(graft.sources.Warehouse.zorderLayoutScan(spark, sfDir)))),
+          Future(timed("compaction")(
+            run(graft.sources.Warehouse.compaction(spark, sfDir)))),
+          Future(timed("time_travel")(
+            run(graft.sources.Warehouse.timeTravel(spark, sfDir)))),
+          Future(timed("sketch_table")(
+            run(graft.ops.Relational.sketchRollup(spark, sfDir)))),
+          Future(timed("corrupt_feed")(
+            run(graft.sources.Warehouse.corruptRecords(spark, sfDir))))))
+        timed("dwh_layer")(graft.etl.Dwh.materialized(spark, sfDir))
+        Await.result(layouts, Duration.Inf)
+        Await.result(Future.sequence(Seq(
+          Future(timed("qa_report")(graft.etl.Qa.report(spark, sfDir))),
+          Future(timed("bucketed_ddl")(
+            run(graft.sources.Warehouse.bucketedJoin(spark, sfDir)))),
+          // the IVF index (k-means cells) is the ANN equivalent of the
+          // bucketed tables: built once, probed by every retrieval query
+          Future(timed("ivf_cells")(
+            graft.ops.SimilarityOps.ivfCells(spark, sfDir).count())),
+          // PQ codebook + codes: the other one-time ANN index build
+          Future(timed("pq_codes")(
+            graft.ops.PqOps.pqCodes(spark, sfDir).count())),
+          // kNN graph: N·k edge index probed by pagerank / label
+          // propagation / the kNN-join query (built over the IVF cells —
+          // ivfCells memo handles the dependency internally)
+          Future(timed("knn_graph")(
+            graft.ops.SimilarityOps.knnJoin(spark, sfDir).count())),
+          // near-dup cluster table: memoized shared artifact consumed by
+          // dedup_clusters/survivors and the curation pipeline — at 100 TB
+          // a scheduled dedup build writing a persisted cluster table
+          Future(timed("dedup_clusters")(
+            graft.ops.DedupOps.dedupClusters(spark, sfDir).count())))),
+          Duration.Inf)
+      } finally pool.shutdown()
     } catch { case _: Throwable => }
     val layerSec = (System.nanoTime() - tLayer) / 1e9
     var failed = List.empty[String]

@@ -292,7 +292,44 @@ object Curate extends OpGroup {
        |    - greatest(s, sq * $packLen) AS BIGINT) AS n_tokens
        |FROM x""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // LEAKAGE-FREE train/eval split: assign the split by a hash of the
+  // near-dup CLUSTER id, not the doc id. [[TextOps.splitAssign]]'s
+  // doc-id hash is the standard recipe and it silently leaks: two
+  // near-duplicate documents hash independently, so ~16% of every dup
+  // cluster's copies land in eval while their twins train — the eval
+  // set then contains paraphrases of training data and overstates the
+  // model (split leakage through near-dups, the evaluation bug
+  // decontamination alone does not fix because it only screens against
+  // the BENCHMARK set, not the corpus's own eval slice). Hashing the
+  // cluster id makes the split constant per cluster by construction.
+  //
+  // Scale shape: one narrow hash-map over the memoized cluster table
+  // (the same shared artifact dedup_survivors and the curation pipeline
+  // consume — no new clustering pass); deterministic md5, stable under
+  // repartitioning, appends, and engine swaps like every split/sample
+  // hash in this repo.
+  // ---------------------------------------------------------------------
+  def leakageFreeSplit(s: SparkSession, dir: String): DataFrame =
+    DedupOps.dedupClusters(s, dir).select(
+      col("doc_id"), col("cluster_id"),
+      when(substring(graft.functions.TextFns.fastMd5(
+        concat(lit("lsplit|"), col("cluster_id").cast("string"))), 1, 2)
+        < TextOps.evalHexCeiling, lit("eval"))
+        .otherwise(lit("train")).as("split"))
+
+  private val leakageFreeSplitSql =
+    s"""WITH RECURSIVE ${DedupOps.clusterCtes}
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN substring(md5('lsplit|' || CAST(cluster_id AS VARCHAR)), 1, 2)
+       |         < '${TextOps.evalHexCeiling}'
+       |       THEN 'eval' ELSE 'train' END AS split
+       |FROM clusters""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("curate_leakage_free_split", leakageFreeSplit,
+      Some(leakageFreeSplitSql),
+      "train/eval split hashed on the near-dup CLUSTER id: no cluster straddles the split, eval can't hold near-copies of train docs"),
     Op("curate_pack_sequences", packSequences, Some(packSequencesSql),
       "sequence packing: concat-then-chunk doc->training-sequence layout via two-level distributed prefix sum"),
     Op("curate_diverse_sample", diverseSample, Some(diverseSampleSql),

@@ -1686,6 +1686,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == model, s"banding diverged: got ${got.size}, model ${model.size}")
   }
 
+  test("leakage-free split keeps every near-dup cluster in one split") {
+    val out = graft.ops.Curate.leakageFreeSplit(spark, dir).cache()
+    // the defining invariant: split is constant per cluster
+    val spans = out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(spans == 0, s"$spans clusters straddle the split")
+    // non-degenerate: both splits appear, and multi-doc clusters exist
+    assert(out.select("split").distinct().count() == 2)
+    val multi = out.groupBy("cluster_id").count().filter(col("count") > 1)
+    assert(multi.count() > 0, "no multi-doc clusters — invariant vacuous")
+    // …and the plain doc-id-hash split (text_split_assign) DOES leak on
+    // this corpus (measured: 3 of 21 multi-doc clusters at sf0.001) —
+    // the evaluation bug this operator exists to fix
+    val plain = graft.ops.TextOps.splitAssign(spark, dir)
+      .select(col("doc_id"), col("split").as("psplit"))
+    val leaked = out.join(plain, "doc_id").groupBy(col("cluster_id"))
+      .agg(countDistinct(col("psplit")).as("k")).filter(col("k") > 1).count()
+    assert(leaked > 0,
+      "doc-id split separates no cluster here — leak demonstration vacuous")
+    out.unpersist()
+    ()
+  }
+
   test("incremental dedup flags every re-crawl as an exact dup of its source") {
     val dd = graft.ops.DedupOps
     val out = dd.incrementalDedup(spark, dir).cache()
