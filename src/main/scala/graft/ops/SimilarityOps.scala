@@ -325,6 +325,69 @@ object SimilarityOps extends OpGroup {
        |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.vec_b = e.vec_id)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Embedding-space leakage audit (semantic contamination): for each
+  // vector in the held-out eval slice, the count of TRAIN vectors within
+  // the cosine threshold and the maximum such similarity — the
+  // embedding-side complement of n-gram decontamination. A paraphrase or
+  // re-encode of a training item shares no 8-gram (the lexical check
+  // misses it) but sits at high cosine; an eval set with such neighbors
+  // overstates the model. The published companion to SemDeDup-style
+  // curation: dedup_semantic removes within-corpus semantic copies,
+  // this flags cross-SPLIT ones.
+  //
+  // Scale shape: rides the memoized IVF probe-cell table — eval×train
+  // cosines touch cell-mates only (never eval × full corpus), and the
+  // eval slice is a deterministic vec_id hash (~4%), so the join's probe
+  // side is corpus/23 rows. Same quantized-cosine determinism as every
+  // sim_* oracle.
+  // ---------------------------------------------------------------------
+  val leakEvalMod = 23
+
+  def embeddingLeakage(s: SparkSession, dir: String): DataFrame = {
+    val cellsT = ivfCells(s, dir)
+    val ev = cellsT.filter(col("vec_id") % leakEvalMod === 0)
+      .select(col("cell"), col("vec_id").as("eval_id"),
+        col("embedding").as("e_emb"), col("nrm").as("e_nrm"))
+    val tr = cellsT.filter(col("vec_id") % leakEvalMod =!= 0)
+      .select(col("cell"), col("vec_id").as("train_id"),
+        col("embedding").as("t_emb"), col("nrm").as("t_nrm"))
+    val sims = ev.join(tr, Seq("cell"))
+      .select(col("eval_id"), col("train_id"),
+        round(graft.functions.TextFns.dotProduct(col("e_emb"), col("t_emb"))
+          / (col("e_nrm") * col("t_nrm")), 6).as("sim"))
+      .filter(col("sim") >= nearDupThreshold)
+      .distinct() // a pair sharing BOTH probe cells must count once
+    val agg = sims.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_leaks"), max(col("sim")).as("max_sim"))
+    emb(s, dir).filter(col("vec_id") % leakEvalMod === 0)
+      .select(col("vec_id").as("eval_id"))
+      .join(agg, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_leaks"), lit(0L)).as("n_leaks"),
+        coalesce(col("max_sim"), lit(0.0)).as("max_sim"),
+        (coalesce(col("n_leaks"), lit(0L)) > 0).as("leaked"))
+  }
+
+  private lazy val embeddingLeakageSql =
+    s"""WITH $ivfCellsCtes,
+       |esims AS (
+       |  SELECT DISTINCT a.vec_id AS eval_id, b.vec_id AS train_id,
+       |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM cells a JOIN cells b ON a.cell = b.cell
+       |  WHERE a.vec_id % $leakEvalMod = 0 AND b.vec_id % $leakEvalMod <> 0
+       |    AND round(${cosSql("a.embedding", "b.embedding")}, 6)
+       |        >= $nearDupThreshold),
+       |eagg AS (
+       |  SELECT eval_id, COUNT(*) AS n_leaks, MAX(sim) AS max_sim
+       |  FROM esims GROUP BY eval_id)
+       |SELECT e.vec_id AS eval_id,
+       |  CAST(COALESCE(g.n_leaks, 0) AS BIGINT) AS n_leaks,
+       |  COALESCE(g.max_sim, 0.0) AS max_sim,
+       |  COALESCE(g.n_leaks, 0) > 0 AS leaked
+       |FROM embeddings e LEFT JOIN eagg g ON g.eval_id = e.vec_id
+       |WHERE e.vec_id % $leakEvalMod = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
   // LSH bucketing: random-hyperplane signatures. Hyperplane j's
   // component i is ±1 by an md5-derived coin so both engines could
   // reproduce it; bucket = bit string of sign(h_j · v).
@@ -1582,6 +1645,9 @@ object SimilarityOps extends OpGroup {
       "per-vector symmetric int8 quantization (4x index compression), integer-verified"),
     Op("sim_ivf_neardup", (s, d) => ivfNearDup(s, d), Some(ivfNearDupSql),
       "IVF near-dup pair scan (k-means cells, see ivfCells)"),
+    Op("curate_embedding_leakage", embeddingLeakage,
+      Some(embeddingLeakageSql),
+      "embedding-space leakage audit: per eval vector, train neighbors within the cosine threshold via IVF cells (semantic complement of n-gram decontamination)"),
     Op("dedup_semantic", semanticDedup, Some(semanticDedupSql),
       "SemDeDup: embedding-space near-dup removal over IVF cells (greedy min-id keeper)"),
     Op("sim_ivf_topk", ivfTopk, Some(ivfTopkSql),
