@@ -1686,6 +1686,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == model, s"banding diverged: got ${got.size}, model ${model.size}")
   }
 
+  test("embedding leakage audit covers exactly the eval slice, flags consistently") {
+    import spark.implicits._
+    val sim = graft.ops.SimilarityOps
+    val out = sim.embeddingLeakage(spark, dir).cache()
+    val ids = out.select("eval_id").as[Long].collect()
+    assert(ids.nonEmpty && ids.forall(_ % sim.leakEvalMod == 0),
+      "rows outside the deterministic eval slice")
+    assert(ids.distinct.length == ids.length, "eval vector reported twice")
+    val rows = out.select("n_leaks", "max_sim", "leaked")
+      .as[(Long, Double, Boolean)].collect()
+    rows.foreach { case (n, mx, l) =>
+      assert(l == (n > 0), s"leaked flag inconsistent: n=$n l=$l")
+      if (l) assert(mx >= sim.nearDupThreshold, s"leaked but max_sim=$mx")
+      else assert(mx == 0.0, s"unleaked but max_sim=$mx")
+    }
+    // scale shape: rides the memoized cell table — no nested loop, no
+    // eval × corpus cross
+    val c = Explain.counters(out)
+    assert(c("nestedLoopJoins") == 0, s"plan: $c")
+    out.unpersist()
+    ()
+  }
+
   test("leakage-free split keeps every near-dup cluster in one split") {
     val out = graft.ops.Curate.leakageFreeSplit(spark, dir).cache()
     // the defining invariant: split is constant per cluster
