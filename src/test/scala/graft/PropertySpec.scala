@@ -491,4 +491,35 @@ object PropertySpec extends Properties("graft") {
             1e-9 * math.max(1d, math.abs(model(k)))
         }
     }
+
+  // --- mm: multi-index hamming banding is lossless at the threshold ------
+  // Model-level pigeonhole check of the r8 phash banding scheme (two
+  // 32-bit bands, 1-bit-flip probe neighborhoods): for ANY pair of
+  // 64-bit hashes within hamming <= phashMaxHamming (=3), some band must
+  // be within 1 bit — the property the candidate join's losslessness
+  // rests on, exercised on adversarial clustered hashes (a shared base
+  // with up to 6 random bit flips) that the corpus-based brute-force
+  // equivalence test cannot construct.
+  private val hashClusterGen: Gen[List[Long]] = for {
+    base <- Gen.long
+    n <- Gen.choose(2, 24)
+    hs <- Gen.listOfN(n, Gen.choose(0, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.choose(0, 63)).map(bits =>
+        bits.foldLeft(base)((h, b) => h ^ (1L << b)))))
+  } yield hs
+
+  property("2x32-band 1-bit probing is lossless for hamming <= threshold") =
+    Prop.forAll(hashClusterGen) { hs =>
+      val arr = hs.toArray
+      def bands(h: Long): Seq[Long] = Seq(h >>> 32, h & 0xffffffffL)
+      def within1(a: Long, b: Long): Boolean =
+        java.lang.Long.bitCount(a ^ b) <= 1
+      (for {
+        i <- arr.indices
+        j <- arr.indices if i < j
+        if java.lang.Long.bitCount(arr(i) ^ arr(j)) <=
+          graft.multimodal.Multimodal.phashMaxHamming
+      } yield bands(arr(i)).zip(bands(arr(j)))
+        .exists { case (a, b) => within1(a, b) }).forall(identity)
+    }
 }
