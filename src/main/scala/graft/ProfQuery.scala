@@ -22,11 +22,16 @@ object ProfQuery {
     // real cluster does (partitions ∝ data), isolating per-row cost
     // from the n·log(n/P) per-partition sort factor
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CONFS="k=v;k=v": arbitrary extra session confs for
+    // A/B experiments (state-store provider, AQE toggles, …)
+    val extra = sys.env.get("SPARK_GRAFT_CONFS").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains('='))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val spark = extra.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val taskMs = new AtomicLong
