@@ -561,8 +561,25 @@ object Joins extends OpGroup {
             .otherwise(concat(n.substr(lit(1), col("i") - 1),
               n.substr(col("i") + 1, length(n)))).as("variant"))
     }
-    val lv = variants(left, "l_id", "l_name")
-    val rv = variants(right, "r_id", "r_name")
+    // Probe parallelism tracks the session's shuffle partitioning, not
+    // the input's FILE layout: at sf0.1 each registry is ONE parquet
+    // file, so without the repartition the whole explode + broadcast
+    // probe + levenshtein verify ran as a single task (measured 1.8
+    // task-sec = 1.8 s of wall on an otherwise idle 32-thread box). The
+    // repartition shuffles only the narrow (id, name) rows — KBs —
+    // before the ~20× variant fan-out; at 100 TB the scan already has
+    // thousands of splits and the exchange coalesces away under AQE.
+    // Single-box caveat (measured r8): 32 concurrent string-heavy probe
+    // tasks contend on one memory bus, inflating SUMMED task-sec ~4×
+    // (warm 2.2 → 11.4 @32; the 8-thread control shows 3.1 — near the
+    // sequential cost) while wall still halves (j14 3.0 → 1.5 s,
+    // er_resolve 4.8 → 3.3 s). Same artifact the scale-exponent table
+    // pins with its 8-thread controls; on separate executors the
+    // parallelism is a clean win.
+    def spread(df: DataFrame) =
+      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    val lv = variants(spread(left), "l_id", "l_name")
+    val rv = variants(spread(right), "r_id", "r_name")
     // verify BEFORE distinct: a candidate pair occurs once per shared
     // variant (≤3 for distance ≤ 1), so the extra levenshtein evals are
     // bounded, while the dedup shuffle shrinks from every candidate ×
