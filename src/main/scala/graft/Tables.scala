@@ -15,6 +15,27 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Repartition a small frame to the session's shuffle partitioning so
+    * CPU-heavy map-side work after it parallelizes regardless of the
+    * input's FILE layout. The harness tables are one parquet file per
+    * table, so a builder that explodes/hashes/tokenizes straight off the
+    * scan runs as ONE task (measured: the fuzzy-join probe was 1.8 s of
+    * single-task wall on an idle 32-thread box) — and a generator that
+    * concatenates a 100× corpus into one file serializes 100× the work.
+    * The exchange itself moves only the narrow pre-fan-out rows (KBs to
+    * MBs); call sites apply it ONLY where the downstream per-row work
+    * dominates that cost. At 100 TB scans have thousands of splits and
+    * AQE coalesces the exchange away.
+    *
+    * Apply ONLY where the single task is the WALL bottleneck (the fuzzy
+    * probe: 2× wall win). A/B on the shingle/BPE builders showed walls
+    * flat and summed task-sec 2-10× worse — their single-task build
+    * overlaps other stages, so spreading only bought 32-thread
+    * memory-bus contention on this box.
+    */
+  private[graft] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The harness regenerates events.parquet between rounds and its `ts`
     // physical type has drifted across generations; accept ALL of them and

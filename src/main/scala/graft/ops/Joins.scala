@@ -576,10 +576,8 @@ object Joins extends OpGroup {
     // er_resolve 4.8 → 3.3 s). Same artifact the scale-exponent table
     // pins with its 8-thread controls; on separate executors the
     // parallelism is a clean win.
-    def spread(df: DataFrame) =
-      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-    val lv = variants(spread(left), "l_id", "l_name")
-    val rv = variants(spread(right), "r_id", "r_name")
+    val lv = variants(graft.Tables.spread(left), "l_id", "l_name")
+    val rv = variants(graft.Tables.spread(right), "r_id", "r_name")
     // verify BEFORE distinct: a candidate pair occurs once per shared
     // variant (≤3 for distance ≤ 1), so the extra levenshtein evals are
     // bounded, while the dedup shuffle shrinks from every candidate ×
