@@ -32,9 +32,18 @@ object Tables {
     * flat and summed task-sec 2-10× worse — their single-task build
     * overlaps other stages, so spreading only bought 32-thread
     * memory-bus contention on this box.
+    *
+    * HALF the session partitioning, not all of it: fan-out probe stages
+    * are compute-dense (no per-row shuffle volume to balance), and the
+    * width A/B on er_resolve measured wall flat from 8 through 32
+    * partitions while summed task-sec tripled at 32 (warm 5.3 @8 /
+    * 7.5 @16 / ~31 @32 — hyperthread + shared-cache occupancy, not
+    * work). Half stays proportional to data on a real cluster, where
+    * shuffle partitions track volume.
     */
   private[graft] def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    df.repartition(math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions / 2))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The harness regenerates events.parquet between rounds and its `ts`
