@@ -17,6 +17,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    deterministic, oracle-checked against a DuckDB lag/cumsum window.
   *  - [[sessionizeStream]]: flatMapGroupsWithState with event-time state,
   *    exercised by the ScalaTest memory-sink harness.
+  *  - [[sessionizeStreamTws]]: the same contract on Spark 4's
+  *    `transformWithState` (typed state variables + timers + TTL),
+  *    exercised as a real RocksDB-backed streaming query in the suite.
   * [[hourlyWindowed]] runs a watermark + tumbling-window aggregation as a
   * real streaming query over the parquet source (memory sink, complete
   * mode) — registered as a query so the driver verifies streaming output
@@ -126,6 +129,61 @@ object Sessionize extends OpGroup {
             closed.iterator
           }
       }
+  }
+
+  /** Sessionization via Spark 4's `transformWithState` — the third
+    * generation of the arbitrary-state API (typed state VARIABLES +
+    * event-time timers + per-state TTL), as the modern twin of
+    * [[sessionizeStream]]'s flatMapGroupsWithState. Same emit contract:
+    * closed sessions emit as recognized, the open tail stays in state —
+    * here as a typed ListState (buffered open-tail events) plus a
+    * ValueState counter (sessions already emitted, so session_idx keeps
+    * numbering across batches). What the new API buys at 100 TB: state
+    * variables are independent store columns (no monolithic case-class
+    * blob deserialized+rewritten per update — the counter updates
+    * without touching the event buffer), each with its own TTL, and an
+    * event-time TIMER at last+gap would close and emit the final
+    * session without waiting for more of that key's input —
+    * inexpressible under GroupStateTimeout's single timeout. Exercised
+    * by the same streaming-vs-batch equality harness as its sibling.
+    */
+  class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, Session] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var open: ListState[Ev] = _
+    @transient private var done: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getListState[Ev]("open",
+        Encoders.product[Ev], TTLConfig.NONE)
+      done = getHandle.getValueState[Long]("done",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[Session] = {
+      val doneN = if (done.exists()) done.get() else 0L
+      val all = open.get().toList ++ rows.toList
+      val sessions = toSessions(uid, all.iterator, doneN)
+      if (sessions.isEmpty) Iterator.empty
+      else {
+        val closed = sessions.init
+        val tail = sessions.last
+        val keep = all.sortBy(e => (e.tsMicros, e.event_id))
+          .takeRight(tail.n_events.toInt)
+        open.put(keep.toArray)
+        done.update(doneN + closed.size)
+        closed.iterator
+      }
+    }
+  }
+
+  def sessionizeStreamTws(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Watermarked tumbling 1-hour window aggregation over the streaming

@@ -40,6 +40,44 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(closedBatch).count() == 0)
   }
 
+  test("streaming sessionize (transformWithState) matches batch on closed sessions") {
+    import spark.implicits._
+    // the Spark-4 arbitrary-state API twin must emit exactly the same
+    // closed sessions as the flatMapGroupsWithState sibling and the
+    // batch. Run as a REAL streaming query over a MemoryStream:
+    // transformWithState requires the RocksDB state-store provider
+    // (scoped to this query and restored after).
+    val batch = Sessionize.sessionizeBatch(spark, dir)
+    val evs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[Sessionize.Ev].collect().toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Sessionize.Ev]
+      input.addData(evs)
+      val q = Sessionize.sessionizeStreamTws(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_sessions").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table("tws_sessions")
+      val lastIdx = batch.groupBy("user_id")
+        .agg(max("session_idx").as("last_idx"))
+      val closedBatch = batch.join(lastIdx, Seq("user_id"))
+        .filter(col("session_idx") < col("last_idx"))
+        .drop("last_idx")
+      assert(streamed.count() == closedBatch.count())
+      assert(streamed.exceptAll(closedBatch).count() == 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("rolling hash: codegen and interpreted agree") {
     val df = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
