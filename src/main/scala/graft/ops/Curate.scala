@@ -341,7 +341,9 @@ object Curate extends OpGroup {
     Op("curate_curriculum", curriculumStages, Some(curriculumStagesSql),
       "curriculum staging: quartile difficulty bins via broadcast cut points, no global sort"),
     Op("curate_training_set", trainingSet, Some(trainingSetSql),
-      "end-to-end training-set layout: curated corpus -> domain cap -> split -> shuffle coordinates"))
+      "end-to-end training-set layout: curated corpus -> domain cap -> split -> shuffle coordinates"),
+    Op("curate_shard_manifest", shardManifest, Some(shardManifestSql),
+      "release manifest: per-(split,shard) counts, char volume, id range, order-independent content digest"))
 
   // ---------------------------------------------------------------------
   // The full training-set materialization in ONE declarative plan — what
@@ -389,7 +391,10 @@ object Curate extends OpGroup {
         col("pos"))
   }
 
-  private lazy val trainingSetSql = {
+  /** The training-set CTE chain up to `sharded_ts`, shared by the
+    * coordinates query and the release manifest.
+    */
+  private lazy val trainingCtes = {
     val cases = Seq("2", "4", "6", "8", "a", "c", "e").zipWithIndex
       .map { case (ceil, i) => s"WHEN substring(h, 1, 1) < '$ceil' THEN $i" }
       .mkString(" ")
@@ -413,10 +418,58 @@ object Curate extends OpGroup {
        |  FROM cap_ts),
        |sharded_ts AS (
        |  SELECT doc_id, source, split, h, CASE $cases ELSE 7 END AS shard
-       |  FROM coords_ts)
+       |  FROM coords_ts)""".stripMargin
+  }
+
+  private lazy val trainingSetSql =
+    s"""$trainingCtes
        |SELECT doc_id, source, split, shard,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY split, shard
        |    ORDER BY h ASC, doc_id ASC) AS INT) AS pos
        |FROM sharded_ts""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Release manifest: the per-(split, shard) summary a dataset RELEASE
+  // ships so any copy of the 100 TB training set can be verified without
+  // re-reading it in any particular order — doc count, character volume,
+  // id range, and an ORDER-INDEPENDENT content digest (the sum of a
+  // 32-bit hash of each row's (doc_id, content-fingerprint) pair:
+  // addition commutes, so any engine, partitioning, or read order
+  // reproduces it — the property a distributed verification needs; a
+  // hash-of-sorted-concat would demand a global sort per shard). The
+  // digest covers CONTENT, not just membership: a flipped byte changes
+  // the normalized fingerprint and therefore the shard digest.
+  //
+  // Scale shape: one doc_id join (training set ⋈ documents) + one
+  // map-side-combinable hash-agg to splits × shards rows.
+  // ---------------------------------------------------------------------
+  def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    val fns = graft.functions.TextFns
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        conv(substring(fns.fastMd5(concat(lit("man|"),
+          col("doc_id").cast("string"), lit(":"),
+          fns.fingerprint(col("text")))), 1, 8), 16, 10)
+          .cast("long").as("rh"))
+    trainingSet(s, dir).join(d, Seq("doc_id"))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(col("rh")).cast("long").as("digest"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
   }
+
+  private lazy val shardManifestSql =
+    s"""$trainingCtes
+       |SELECT t.split, t.shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(CAST('0x' || substring(md5('man|' || CAST(d.doc_id AS VARCHAR)
+       |      || ':' || md5(regexp_replace(regexp_replace(lower(trim(d.text)),
+       |           '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))), 1, 8)
+       |    AS BIGINT)) AS BIGINT) AS digest,
+       |  MIN(d.doc_id) AS min_doc, MAX(d.doc_id) AS max_doc
+       |FROM sharded_ts t JOIN documents d ON d.doc_id = t.doc_id
+       |GROUP BY t.split, t.shard""".stripMargin
 }
