@@ -141,11 +141,12 @@ object Sessionize extends OpGroup {
     * numbering across batches). What the new API buys at 100 TB: state
     * variables are independent store columns (no monolithic case-class
     * blob deserialized+rewritten per update — the counter updates
-    * without touching the event buffer), each with its own TTL, and an
-    * event-time TIMER at last+gap would close and emit the final
-    * session without waiting for more of that key's input —
-    * inexpressible under GroupStateTimeout's single timeout. Exercised
-    * by the same streaming-vs-batch equality harness as its sibling.
+    * without touching the event buffer), each with its own TTL, and
+    * event-time TIMERS close and emit a key's final session without
+    * more of its input — inexpressible under GroupStateTimeout's single
+    * timeout, and implemented in [[SessionProcessorWithTimers]].
+    * Exercised by the same streaming-vs-batch equality harness as its
+    * flatMapGroupsWithState sibling.
     */
   class SessionProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -183,6 +184,72 @@ object Sessionize extends OpGroup {
     events.groupByKey(_.user_id)
       .transformWithState(new SessionProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** [[Ev]] plus the typed event-time column the watermark rides on. */
+  case class EvT(user_id: Long, event_id: Long, tsMicros: Long,
+      ts: java.sql.Timestamp)
+
+  /** The timer-closing variant: EVENT-TIME TIMERS emit a key's final
+    * session once the watermark passes last-event + gap — no further
+    * input from that key needed. This is the capability the older state
+    * APIs could only approximate (GroupStateTimeout gives one timeout,
+    * already spent here on nothing): without it, the LAST session of
+    * every idle user stays in state forever and never reaches the sink.
+    * One outstanding timer per key (re-registered per batch at the
+    * open-tail close time); expiry emits the buffered tail and clears
+    * it — state is O(active sessions), eviction driven by event time.
+    */
+  class SessionProcessorWithTimers
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvT, Session] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var open: ListState[Ev] = _
+    @transient private var done: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getListState[Ev]("open",
+        Encoders.product[Ev], TTLConfig.NONE)
+      done = getHandle.getValueState[Long]("done",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[EvT],
+        timers: TimerValues): Iterator[Session] = {
+      val doneN = if (done.exists()) done.get() else 0L
+      val all = open.get().toList ++
+        rows.map(e => Ev(e.user_id, e.event_id, e.tsMicros)).toList
+      val sessions = toSessions(uid, all.iterator, doneN)
+      if (sessions.isEmpty) Iterator.empty
+      else {
+        val closed = sessions.init
+        val tail = sessions.last
+        val keep = all.sortBy(e => (e.tsMicros, e.event_id))
+          .takeRight(tail.n_events.toInt)
+        open.put(keep.toArray)
+        done.update(doneN + closed.size)
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer(
+          keep.map(_.tsMicros).max / 1000L + gapMinutes * 60L * 1000L + 1L)
+        closed.iterator
+      }
+    }
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      val doneN = if (done.exists()) done.get() else 0L
+      val out = toSessions(uid, open.get(), doneN)
+      open.clear()
+      done.update(doneN + out.size)
+      out.iterator
+    }
+  }
+
+  def sessionizeStreamTwsTimers(events: Dataset[EvT]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "0 seconds").as[EvT]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessorWithTimers,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }
 

@@ -78,6 +78,46 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState timers close idle sessions at the watermark") {
+    import spark.implicits._
+    // user 1 has one open session (two events 5 min apart); an unrelated
+    // user-2 event then advances the watermark 2 h — the EVENT-TIME
+    // timer must emit user 1's final session with NO further user-1
+    // input. User 2's own timer never expires (the stream ends), so its
+    // open session stays unemitted — exactly the append contract.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val base = 1700000000000L
+      def evt(uid: Long, id: Long, ms: Long) =
+        Sessionize.EvT(uid, id, ms * 1000L, new java.sql.Timestamp(ms))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Sessionize.EvT]
+      val q = Sessionize.sessionizeStreamTwsTimers(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_timer_sessions").start()
+      try {
+        input.addData(evt(1L, 1L, base), evt(1L, 2L, base + 5L * 60 * 1000))
+        q.processAllAvailable()
+        assert(spark.table("tws_timer_sessions").count() == 0,
+          "open session emitted before its close was provable")
+        input.addData(evt(2L, 3L, base + 2L * 60 * 60 * 1000))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_timer_sessions")
+        .select("user_id", "session_idx", "n_events").as[(Long, Long, Long)]
+        .collect()
+      assert(rows.toSeq == Seq((1L, 0L, 2L)),
+        s"expected user 1's closed 2-event session only, got ${rows.toSeq}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("rolling hash: codegen and interpreted agree") {
     val df = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
