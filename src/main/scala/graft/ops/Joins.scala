@@ -582,7 +582,18 @@ object Joins extends OpGroup {
     // variant (≤3 for distance ≤ 1), so the extra levenshtein evals are
     // bounded, while the dedup shuffle shrinks from every candidate ×
     // (two ids + two full name strings) to true matches × three small
-    // columns — the shuffle, not the scalar function, is the scale cost
+    // columns — the shuffle, not the scalar function, is the scale cost.
+    // Join strategy crossover (measured at 100×): once the variant
+    // tables outgrow broadcast, Spark's default picks sort-merge and
+    // SORTS ~75M variant strings — 60% of the query's task-sec. A
+    // shuffled-hash join needs no sort (327 → 211 task-sec @8 threads,
+    // wall 56 → 32 s with rv.hint("shuffle_hash")), but hinting it
+    // unconditionally FORCES the shuffle at small scale where broadcast
+    // is 3× better, so no hint is hard-coded: a deployment at corpus
+    // scale sets spark.sql.join.preferSortMergeJoin=false, which keeps
+    // auto-broadcast for small sides and picks hash over sort when
+    // shuffling. Candidate volume itself is measured sublinear
+    // (370k → 1.6M → 7.6M across base/10×/100×, max bucket flat at 46).
     lv.join(rv, Seq("variant"))
       .select(col("l_id"), col("r_id"),
         levenshtein(col("l_name"), col("r_name")).cast("int").as("distance"))

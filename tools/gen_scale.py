@@ -111,10 +111,18 @@ def gen_customer():
             key = rep * n + cols["c_custkey"][i]
             out["c_custkey"].append(key)
             if DISJOINT:
-                # 3-letter replica tag keeps cross-replica levenshtein
-                # >= 3 (edit threshold is 1): each replica reproduces the
-                # base collision structure, replicas never link
-                tag = chr(65 + rep % 26) * 3
+                # Replica tag with PAIRWISE levenshtein >= 3 (edit
+                # threshold is 1), valid for any K: two repeated-letter
+                # triples from rep's base-26 digits. Two distinct reps
+                # differ in at least one digit, i.e. in a full triple =
+                # 3 substitutions. The old single-triple form
+                # (chr(65 + rep % 26) * 3) silently WRAPPED past K=26:
+                # replica groups 26 apart carried identical names, so a
+                # K=100 "disjoint" corpus had 4-way exact-duplicate
+                # customer replicas — superlinear candidate mass that
+                # was generator artifact, not data or operator.
+                d1, d2 = divmod(rep, 26)
+                tag = chr(65 + d1) * 3 + chr(65 + d2) * 3
                 out["c_name"].append(
                     f"Customer#{tag}{cols['c_custkey'][i]:09d}")
             else:
