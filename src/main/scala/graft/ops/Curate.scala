@@ -69,25 +69,29 @@ object Curate extends OpGroup {
   // documents (length as the quality proxy; swap in any score), with a
   // doc_id tie-break so the cut is a total order.
   //
-  // Scale shape: ONE shuffle on source + a rank window per source. The
-  // number of sources is bounded (domains, not documents), but a single
-  // hot domain at 100 TB can outgrow one window partition — the scale
-  // escape is two-phase: per-source count + quantile pass first (the
-  // text_length_quantiles shape) to find each source's length cut point,
-  // then a stateless filter, with the window reserved for the boundary
-  // stratum only. The windowed form here is the oracle-pinned semantics.
+  // Scale shape: two-phase top-K as ONE bounded AGGREGATE
+  // ([[graft.expressions.BoundedTopK]]), not a rank window. `source` is
+  // enum-bounded — which bounds window-partition COUNT, not SIZE: a
+  // `row_number() OVER (PARTITION BY source …)` puts corpus/|sources|
+  // rows into each window partition, a multi-TB single-task sort at
+  // 100 TB with no AQE escape. The aggregate's map-side partial keeps a
+  // K-element heap per source per mapper, so the exchange carries at
+  // most K·mappers rows per source and the merge folds heaps — the cap
+  // stage's shuffled volume is bounded by the CAP, never the corpus.
+  // posexplode of the best-first array reproduces the rank.
   // ---------------------------------------------------------------------
   val domainCap = 15 // < the 25 docs/source of the smallest SF, so the cap BITES
 
-  def domainCapped(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
+  def domainCapped(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("rank_in_source", row_number().over(w))
-      .filter(col("rank_in_source") <= domainCap)
-  }
+      .groupBy(col("source"))
+      .agg(graft.expressions.BoundedTopK
+        .topK(col("n_chars"), col("doc_id"), domainCap).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("t.id").as("doc_id"), col("source"),
+        col("t.key").as("n_chars"),
+        (col("p") + 1).cast("int").as("rank_in_source"))
 
   private val domainCappedSql =
     s"""SELECT doc_id, source, n_chars, rank_in_source FROM (
@@ -342,62 +346,98 @@ object Curate extends OpGroup {
       "curriculum staging: quartile difficulty bins via broadcast cut points, no global sort"),
     Op("curate_training_set", trainingSet, Some(trainingSetSql),
       "end-to-end training-set layout: curated corpus -> domain cap -> split -> shuffle coordinates"),
+    Op("curate_training_set_s16",
+      (s, d) => trainingSetAt(s, d, trainingShardsAlt),
+      Some(trainingSetSqlAt(trainingShardsAlt)),
+      "the training-set layout at a second shard setting: shards are a deployment parameter, not a constant"),
     Op("curate_shard_manifest", shardManifest, Some(shardManifestSql),
-      "release manifest: per-(split,shard) counts, char volume, id range, order-independent content digest"))
+      "release manifest: per-(split,shard) counts, char volume, id range, order-independent content digest"),
+    Op("curate_shard_manifest_s16",
+      (s, d) => shardManifestAt(s, d, trainingShardsAlt),
+      Some(shardManifestSqlAt(trainingShardsAlt)),
+      "the release manifest at the second shard setting: digest stays order-independent across settings"))
 
   // ---------------------------------------------------------------------
   // The full training-set materialization in ONE declarative plan — what
   // actually ships to the trainer: the curated corpus (lang + quality +
   // exact/near dedup + decontamination, from curate_corpus), re-capped
   // per domain AMONG the survivors (the cap must apply after cleaning,
-  // or junk holds quota), then every surviving doc gets its final layout
-  // coordinates: train/eval split (content-hash, append-stable),
-  // pseudorandom shard within its split, and within-shard position —
-  // text_global_shuffle's coordinates partitioned by (split, shard).
-  // Each stage is a semi-join or narrow map over the previous one;
-  // nothing re-derives an upstream gate. At 100 TB this is the one job
-  // whose output IS the dataset.
+  // or junk holds quota; two-phase BoundedTopK aggregate — same de-skew
+  // argument as curate_domain_cap above), then every surviving doc gets
+  // its final layout coordinates: train/eval split (content-hash,
+  // append-stable), pseudorandom shard within its split, and
+  // within-shard position — text_global_shuffle's coordinates
+  // partitioned by (split, shard). Each stage is a semi-join or narrow
+  // map over the previous one; nothing re-derives an upstream gate. At
+  // 100 TB this is the one job whose output IS the dataset.
+  //
+  // The shard count is a PARAMETER, not a constant: the pos window is
+  // keyed on (split, shard), so rows-per-window-partition is
+  // corpus/(2·shards) — bounded only if shards scales with the corpus.
+  // [[shardsFor]] states that deployment rule as code (shards from a
+  // target rows-per-shard); the registered queries pin two settings (8
+  // and 16) so the oracle verifies the layout is correct at ANY setting,
+  // and the manifest digest is order-independent across settings.
   // ---------------------------------------------------------------------
   // final val of a literal = compile-time constant: the `ops` list above
   // forces trainingSetSql during object init, BEFORE later plain vals
   // would initialize (a plain val here interpolated as 0)
   final val trainingDomainCap = 10
+  final val trainingShards = 8
+  final val trainingShardsAlt = 16
 
-  def trainingSet(s: SparkSession, dir: String): DataFrame = {
+  /** The deployment rule for the shard count: enough shards that no
+    * (split, shard) window partition outgrows one task. 4 hex digits of
+    * the routing hash give 65,536 distinct shard keys — raise the digit
+    * count alongside corpus growth past ~10¹¹ docs.
+    */
+  def shardsFor(nDocs: Long, targetDocsPerShard: Long = 4L << 20): Int =
+    math.max(1L, (nDocs + targetDocsPerShard - 1) / targetDocsPerShard)
+      .min(1 << 16).toInt
+
+  def trainingSet(s: SparkSession, dir: String): DataFrame =
+    trainingSetAt(s, dir, trainingShards)
+
+  def trainingSetAt(s: SparkSession, dir: String, shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val curated = curatedCorpus(s, dir)
-      .join(Tables.load(s, dir, "documents").select("doc_id", "source"),
-        "doc_id")
-    val capW = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    val capped = curated.withColumn("rk", row_number().over(capW))
-      .filter(col("rk") <= trainingDomainCap)
-    val split = when(
-      substring(graft.functions.TextFns.fastMd5(col("doc_id").cast("string")),
-        1, 2) < TextOps.evalHexCeiling, lit("eval")).otherwise(lit("train"))
-    val h = graft.functions.TextFns.fastMd5(
-      concat(lit("shuf|"), col("doc_id").cast("string")))
-    val c = substring(col("h"), 1, 1)
-    val shard = Seq("2", "4", "6", "8", "a", "c", "e").zipWithIndex
-      .foldRight(lit(7): org.apache.spark.sql.Column) {
-        case ((ceil, i), rest) => when(c < ceil, lit(i)).otherwise(rest)
-      }
     val posW = Window.partitionBy(col("split"), col("shard"))
       .orderBy(col("h").asc, col("doc_id").asc)
-    capped.select(col("doc_id"), col("source"), split.as("split"), h.as("h"))
-      .withColumn("shard", shard)
+    shardedTrainingSet(s, dir, shards)
       .withColumn("pos", row_number().over(posW))
       .select(col("doc_id"), col("source"), col("split"), col("shard"),
         col("pos"))
   }
 
+  /** The training set up to its (split, shard) routing — shared by the
+    * coordinates query and the release manifest. Shard routing is 4 hex
+    * digits of the shuffle hash mod `shards`: deterministic, uniform,
+    * and defined for any shard count ≤ 2¹⁶.
+    */
+  private def shardedTrainingSet(s: SparkSession, dir: String,
+      shards: Int): DataFrame = {
+    val curated = curatedCorpus(s, dir)
+      .join(Tables.load(s, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+    val capped = curated
+      .groupBy(col("source"))
+      .agg(graft.expressions.BoundedTopK
+        .topK(col("n_chars"), col("doc_id"), trainingDomainCap).as("top"))
+      .select(col("source"), explode(col("top.id")).as("doc_id"))
+    val split = when(
+      substring(graft.functions.TextFns.fastMd5(col("doc_id").cast("string")),
+        1, 2) < TextOps.evalHexCeiling, lit("eval")).otherwise(lit("train"))
+    val h = graft.functions.TextFns.fastMd5(
+      concat(lit("shuf|"), col("doc_id").cast("string")))
+    capped.select(col("doc_id"), col("source"), split.as("split"), h.as("h"))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 4), 16, 10).cast("long") % shards)
+          .cast("int"))
+  }
+
   /** The training-set CTE chain up to `sharded_ts`, shared by the
     * coordinates query and the release manifest.
     */
-  private lazy val trainingCtes = {
-    val cases = Seq("2", "4", "6", "8", "a", "c", "e").zipWithIndex
-      .map { case (ceil, i) => s"WHEN substring(h, 1, 1) < '$ceil' THEN $i" }
-      .mkString(" ")
+  private def trainingCtes(shards: Int): String = {
     // wrap curatedCorpusSql's final SELECT into a `cur` CTE and extend
     val curAsCte = curatedCorpusSql
       .replaceFirst("\\nSELECT d\\.doc_id", ",\ncur AS (SELECT d.doc_id") + ")"
@@ -417,16 +457,20 @@ object Curate extends OpGroup {
        |    md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h
        |  FROM cap_ts),
        |sharded_ts AS (
-       |  SELECT doc_id, source, split, h, CASE $cases ELSE 7 END AS shard
+       |  SELECT doc_id, source, split, h,
+       |    CAST(CAST('0x' || substring(h, 1, 4) AS BIGINT) % $shards AS INT)
+       |      AS shard
        |  FROM coords_ts)""".stripMargin
   }
 
-  private lazy val trainingSetSql =
-    s"""$trainingCtes
+  private def trainingSetSqlAt(shards: Int): String =
+    s"""${trainingCtes(shards)}
        |SELECT doc_id, source, split, shard,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY split, shard
        |    ORDER BY h ASC, doc_id ASC) AS INT) AS pos
        |FROM sharded_ts""".stripMargin
+
+  private lazy val trainingSetSql = trainingSetSqlAt(trainingShards)
 
   // ---------------------------------------------------------------------
   // Release manifest: the per-(split, shard) summary a dataset RELEASE
@@ -443,7 +487,10 @@ object Curate extends OpGroup {
   // Scale shape: one doc_id join (training set ⋈ documents) + one
   // map-side-combinable hash-agg to splits × shards rows.
   // ---------------------------------------------------------------------
-  def shardManifest(s: SparkSession, dir: String): DataFrame = {
+  def shardManifest(s: SparkSession, dir: String): DataFrame =
+    shardManifestAt(s, dir, trainingShards)
+
+  def shardManifestAt(s: SparkSession, dir: String, shards: Int): DataFrame = {
     val fns = graft.functions.TextFns
     val d = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"),
@@ -451,7 +498,7 @@ object Curate extends OpGroup {
           col("doc_id").cast("string"), lit(":"),
           fns.fingerprint(col("text")))), 1, 8), 16, 10)
           .cast("long").as("rh"))
-    trainingSet(s, dir).join(d, Seq("doc_id"))
+    shardedTrainingSet(s, dir, shards).join(d, Seq("doc_id"))
       .groupBy(col("split"), col("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_chars")).cast("long").as("n_chars"),
@@ -460,8 +507,8 @@ object Curate extends OpGroup {
         max(col("doc_id")).as("max_doc"))
   }
 
-  private lazy val shardManifestSql =
-    s"""$trainingCtes
+  private def shardManifestSqlAt(shards: Int): String =
+    s"""${trainingCtes(shards)}
        |SELECT t.split, t.shard,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
@@ -472,4 +519,6 @@ object Curate extends OpGroup {
        |  MIN(d.doc_id) AS min_doc, MAX(d.doc_id) AS max_doc
        |FROM sharded_ts t JOIN documents d ON d.doc_id = t.doc_id
        |GROUP BY t.split, t.shard""".stripMargin
+
+  private lazy val shardManifestSql = shardManifestSqlAt(trainingShards)
 }

@@ -634,23 +634,49 @@ object Relational extends OpGroup {
 
   // ---------------------------------------------------------------------
   // W4 — ranking/distribution window suite: ntile, percent_rank,
-  // cume_dist, lag over one per-status window. All four share a single
-  // (partition, order) pair, so Catalyst plans ONE exchange + ONE sort
-  // and evaluates the functions in the same WindowExec pass. The order
-  // is made TOTAL with the unique key tie-break — rank-family outputs on
-  // a non-total order are engine-dependent under ties, the same
-  // determinism rule every other window op here follows.
+  // cume_dist, lag per status, all on the total order
+  // (o_totalprice ASC, o_orderkey ASC).
+  //
+  // NOT a `PARTITION BY o_orderstatus` window: status is enum-bounded,
+  // which bounds partition COUNT — each window partition would hold
+  // N/|statuses| rows, a single-task sort at 100 TB with no AQE escape.
+  // Instead the rank-family decomposes exactly because the order is
+  // total: a range-repartitioned global row number with status as the
+  // LEADING sort key ([[SurrogateKeys.withGlobalRowNumber]] — bounded
+  // partitions + a count job for offsets) numbers each status
+  // contiguously, so per-status rank = grn − first-grn-of-status + 1
+  // with the per-status (min, count) a |statuses|-row broadcast. ntile /
+  // percent_rank / cume_dist are then closed-form arithmetic over
+  // (rank, n), and lag is a self equi-join on (status, rank−1) — unique
+  // keys, skew-free shuffle. Every stage is bounded; nothing sorts a
+  // stratum in one task.
   // ---------------------------------------------------------------------
   def windowSuite(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    Tables.load(s, dir, "orders")
+    val base = Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus").as("status"),
-        col("o_totalprice"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"),
-        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+        col("o_totalprice"))
+    val numbered = SurrogateKeys.withGlobalRowNumber(base, "grn",
+      Seq(col("status").asc, col("o_totalprice").asc, col("o_orderkey").asc))
+    val stats = numbered.groupBy(col("status"))
+      .agg(min(col("grn")).as("g0"), count(lit(1)).as("n"))
+    val rn = numbered.join(broadcast(stats), Seq("status"))
+      .withColumn("rn", col("grn") - col("g0") + lit(1L))
+    val prev = rn.select(col("status").as("p_status"),
+      (col("rn") + lit(1L)).as("p_rn"), col("o_totalprice").as("prev_price"))
+    rn.join(prev,
+        col("status") === col("p_status") && col("rn") === col("p_rn"), "left")
+      .select(col("o_orderkey"), col("status"), col("o_totalprice"),
+        // ntile(4): the first (n mod 4) buckets get ceil(n/4) rows
+        expr("""CAST(CASE
+          WHEN rn <= (n % 4) * (n DIV 4 + 1)
+            THEN (rn - 1) DIV (n DIV 4 + 1) + 1
+          ELSE (n % 4) + (rn - (n % 4) * (n DIV 4 + 1) - 1) DIV (n DIV 4) + 1
+          END AS INT)""").as("quartile"),
+        when(col("n") === 1L, lit(0d))
+          .otherwise(round((col("rn") - 1L) / (col("n") - 1L), 6))
+          .as("pct_rank"),
+        round(col("rn") / col("n"), 6).as("cume"),
+        col("prev_price"))
   }
 
   private val windowSuiteSql =

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{BottomKByHash, CountMinEstimate, DotProduct, FastMd5, RollingHash}
+import graft.expressions.{BottomKByHash, BoundedTopK, CountMinEstimate, DotProduct, FastMd5, RollingHash}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -67,6 +67,15 @@ object GraftFunctions {
         case Seq(c, Literal(k: Int, IntegerType)) => BottomKByHash(c, k)
         case args => throw new IllegalArgumentException(
           "bottom_k_by_hash expects (value, k literal int), got " +
+            args.mkString(", "))
+      }),
+    (FunctionIdentifier("bounded_top_k"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),
+      {
+        case Seq(key, id, Literal(k: Int, IntegerType)) =>
+          BoundedTopK(key, id, k)
+        case args => throw new IllegalArgumentException(
+          "bounded_top_k expects (key, id, k literal int), got " +
             args.mkString(", "))
       }))
 

@@ -191,6 +191,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == one)
   }
 
+  test("bounded-top-k aggregate: partition-invariant and window-equivalent") {
+    import graft.expressions.BoundedTopK
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars"), col("doc_id"))
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("source"))
+      .agg(BoundedTopK.topK(col("n_chars"), col("doc_id"), 7).as("t"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))))
+      .toMap
+    // merge path: 16 partitions exercise partial heaps + merge; the
+    // result (including the emitted rank ORDER) must equal the
+    // single-partition run
+    val one = top(d.repartition(1))
+    val many = top(d.repartition(16))
+    assert(one == many)
+    // window equivalent (the skewed shape the aggregate replaces):
+    // row_number over (n_chars DESC, doc_id ASC) <= 7
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val viaWindow = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7)
+      .groupBy(col("source"))
+      .agg(collect_list(struct(col("rn"), col("n_chars"), col("doc_id"))).as("t"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .sortBy(_.getInt(0)).map(x => (x.getLong(1), x.getLong(2))))
+      .toMap
+    assert(one == viaWindow)
+    // SQL surface: same aggregate through the registered function
+    graft.plans.GraftFunctions.register(spark)
+    d.createOrReplaceTempView("btk_docs")
+    val viaSql = spark.sql(
+      "SELECT source, bounded_top_k(n_chars, doc_id, 7) AS t " +
+        "FROM btk_docs GROUP BY source")
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))))
+      .toMap
+    assert(viaSql == one)
+  }
+
   test("exact-substring spans find planted copied passages with exact bounds") {
     import spark.implicits._
     // doc 1 and 2 share a 10-token passage at different offsets; doc 3 is
@@ -887,9 +932,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sj("sortMergeJoins") >= 1 && sj("broadcasts") == 0,
       s"j12_salted_skew_join: $sj")
     assert(sj("shuffles") <= 3, s"j12_salted_skew_join: $sj")
-    // the four ranking/distribution functions share one exchange + sort
+    // ranking/distribution suite, de-skewed off the status-keyed window
+    // (status bounds partition COUNT, not SIZE): range-repartitioned
+    // global row number + broadcast per-status (min, count) + closed-form
+    // arithmetic + a (status, rn) self-join for lag. Shuffle budget: the
+    // stats agg, the lag join's two sides, + the numbered frame's
+    // round-trip; the per-status frame is the broadcast, never a sort.
     val ws = c("w4_window_suite")
-    assert(ws("shuffles") == 1, s"w4_window_suite: $ws")
+    assert(ws("shuffles") <= 4 && ws("broadcasts") >= 1,
+      s"w4_window_suite: $ws")
     // schema-on-read JSON: one typed parse feeding one hash-agg shuffle
     val js = c("p9_json_extract")
     assert(js("shuffles") == 1 && js("sortMergeJoins") == 0,

@@ -144,48 +144,20 @@ class GraftSpec extends AnyFunSuite {
       "curate_diverse_sample" -> 1, // pick window on cell_rank<=budget stratum
       "curate_pack_sequences" -> 1) // prefix sum over SUPER-SHARD totals
                                     // (corpus/4096² rows — ~600 at 10¹⁰ docs)
-    // Third scale-killer class: a KEYED window whose partition key has
-    // unbounded cardinality WITH possible hot keys. A window partitioned
-    // on a gram hash / token / LSH bucket serializes every row of the hot
-    // key into one task, and unlike a skewed shuffle join (AQE splits
-    // those) a skewed window partition has no runtime escape — the
-    // ExactSubstr cut shipped exactly this shape in r6 and was
-    // de-skewed to a distributive min-agg. Every column NAME a window may
-    // partition on must be listed here with its bounded-fanout
-    // justification; a window on an unlisted key (h, tok, band, sig, fp,
-    // shingle, …) fails the suite until it is re-expressed as an
-    // aggregate or argued bounded below.
-    val allowedWindowKeys: Set[String] = Set(
-      "doc_id", "media_id", // per-document/media: bounded by doc length
-      "q_id", // per-query rank: bounded by the sampled query batch
-      "user_id", "patient_id", // per-entity history: human-scale fanout
-      "event_id", "event_key", // interval-dedup key: match multiplicity ≈ 1
-      "vec_a", "src", // per-vector neighbor lists: k-bounded by the index
-      "cell", "cell_rank", // IVF cell: ~N/√N rows by construction
-      "source", "source_type", "lang", "split", // enum-bounded strata
-      "o_orderstatus", // enum-bounded (reference dim values)
-      "shard", // salted hash shard: fanout = N/shards BY DESIGN (uniform
-               // md5 routing — the anti-skew device itself); ALSO the
-               // packing prefix sum's 4096-doc range shard (bounded by
-               // construction, not by hash uniformity)
-      "sup", // packing prefix sum level 2: exactly 4096 shard rows per
-             // super-shard by construction
-      "event_type", // enum-bounded event taxonomy
-      "grp", "d", "island", "week", "month", "day", // calendar/gap keys
-      "window", "session_idx", // session/window ids within a user
-      "band", "sig") // LSH buckets: ONLY behind hotBucketCap (capped
-                     // explode) — the cap is asserted by its own spec
+    // Third scale-killer class: a KEYED window without a bounded
+    // partition-SIZE argument. The criterion and the per-key size bounds
+    // live in [[WindowAudit]] (with its own negative control below):
+    // every window needs >= 1 partition key whose per-key row count is
+    // bounded at 100 TB — enum-bounded strata (source/lang/split/
+    // event_type/status/calendar keys) bound partition COUNT, which is
+    // the wrong direction (corpus/|values| rows per single-task sort, no
+    // AQE escape — the r8 curate_domain_cap finding), so they pass only
+    // composited with a size-bounded key.
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val df = fn(spark, dir)
       val loops = Explain.counters(df)("nestedLoopJoins")
-      val winNodes = df.queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-      }
-      val gwin = winNodes.count(_.partitionSpec.isEmpty)
-      val badKeys = winNodes.filter(_.partitionSpec.nonEmpty).flatMap { w =>
-        val names = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
-        names.filterNot(allowedWindowKeys.contains)
-      }.distinct
+      val gwin = WindowAudit.globalWindowCount(df)
+      val badWins = WindowAudit.violations(df)
       assert(df.count() >= 0, s"$name failed")
       val v1 = if (loops > allowedNested.getOrElse(name, 0))
         Seq(s"$name: $loops loop joins (allowed " +
@@ -193,9 +165,7 @@ class GraftSpec extends AnyFunSuite {
       val v2 = if (gwin > allowedGlobalWin.getOrElse(name, 0))
         Seq(s"$name: $gwin global windows (allowed " +
           s"${allowedGlobalWin.getOrElse(name, 0)})") else Nil
-      val v3 = if (badKeys.nonEmpty)
-        Seq(s"$name: window keyed on un-audited column(s) " +
-          badKeys.mkString(", ")) else Nil
+      val v3 = badWins.map(v => s"$name: $v")
       v1 ++ v2 ++ v3
     }
     assert(violations.isEmpty,
@@ -203,6 +173,24 @@ class GraftSpec extends AnyFunSuite {
         "the window, de-skew the hot-keyed window to an aggregate, or " +
         "whitelist with a bounded-side justification:\n  " +
         violations.mkString("\n  "))
+  }
+
+  test("window audit rejects a stratum-keyed window (negative control)") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    // the exact shape the r8 verdict flagged: row_number over an
+    // enum-bounded stratum alone — corpus/|sources| rows per partition
+    val bad = docs.withColumn("rk", row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("n_chars").desc)))
+    val v = WindowAudit.violations(bad)
+    assert(v.nonEmpty && v.head.contains("source"),
+      s"auditor must reject a source-keyed window, got: $v")
+    // the same stratum composited with a size-bounded key passes
+    val ok = docs.withColumn("rk", row_number().over(
+      Window.partitionBy(col("source"), col("doc_id"))
+        .orderBy(col("n_chars").desc)))
+    assert(WindowAudit.violations(ok).isEmpty,
+      "stratum + size-bounded composite must pass")
   }
 
   test("every query has an oracle or documented omission") {

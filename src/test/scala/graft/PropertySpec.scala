@@ -333,6 +333,34 @@ object PropertySpec extends Properties("graft") {
       agg.filter(_._2.nonEmpty) == win
     }
 
+  property("bounded-top-k equals the window-rank formulation") =
+    Prop.forAll(
+      Gen.listOfN(50, for {
+        g <- Gen.choose(0, 3)
+        key <- Gen.choose(0L, 5L) // tiny key range forces rank ties
+        id <- Gen.choose(0L, 1000000L)
+      } yield (g, key, id)),
+      Gen.choose(1, 8)) { (rows, k) =>
+      // ids deduped so (key DESC, id ASC) is a total order per group
+      val df = rows.distinctBy(r => (r._1, r._3)).toDF("g", "key", "id")
+      val agg = df.groupBy(col("g"))
+        .agg(expressions.BoundedTopK.topK(col("key"), col("id"), k).as("t"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getLong(1))))
+        .toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("key").desc, col("id").asc)
+      val win = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy(col("g"))
+        .agg(collect_list(struct(col("rn"), col("key"), col("id"))).as("t"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .sortBy(_.getInt(0)).map(x => (x.getLong(1), x.getLong(2))))
+        .toMap
+      agg == win
+    }
+
   property("exact-substring spans equal the brute-force model") =
     Prop.forAll(Gen.listOfN(6,
       Gen.listOfN(24, Gen.oneOf("a", "b", "c")))) { docTokens =>
