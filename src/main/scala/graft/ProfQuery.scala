@@ -22,11 +22,14 @@ object ProfQuery {
     // real cluster does (partitions ∝ data), isolating per-row cost
     // from the n·log(n/P) per-partition sort factor
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
-    // SPARK_GRAFT_CONFS="k=v;k=v": arbitrary extra session confs for
-    // A/B experiments (state-store provider, AQE toggles, …)
-    val extra = sys.env.get("SPARK_GRAFT_CONFS").toSeq
+    // SPARK_GRAFT_TIER=corpus applies the measured deployment profile
+    // (graft.Conf); SPARK_GRAFT_CONFS="k=v;k=v" layers arbitrary extra
+    // confs for A/B experiments on top (explicit confs win).
+    val tierConfs = sys.env.get("SPARK_GRAFT_TIER")
+      .map(t => Conf.profile(Conf.tier(t))).getOrElse(Map.empty)
+    val extra = (tierConfs ++ sys.env.get("SPARK_GRAFT_CONFS").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.contains('='))
-      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }).toSeq
     val spark = extra.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)

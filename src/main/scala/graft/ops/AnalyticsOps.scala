@@ -332,21 +332,27 @@ object AnalyticsOps extends OpGroup {
     // feeds three rollups — without the persists the user-keyed join
     // physically re-executes ~4× (the "ONE user-keyed join" claim above
     // would be a plan-shape claim, not an execution fact). Both frames
-    // are horizon-bounded (purchases × 7-day touches); Spark's cache
-    // manager dedups identical plans, so repeated invocations share one
-    // entry and no explicit unpersist is needed.
-    val joined = conv.join(touch,
-      col("user_id") === col("t_user") &&
-        col("t_ts") <= col("p_ts") &&
-        col("t_ts") >= col("p_ts") -
-          expr(s"INTERVAL $attributionLookbackDays DAYS"),
-      "left").persist()
-    val per = joined.groupBy(col("p_id"))
-      .agg(min(col("p_value")).as("v"),
-        count(col("t_id")).as("nt"),
-        min(struct(col("t_ts"), col("t_id"), col("t_channel"))).as("fst"),
-        max(struct(col("t_ts"), col("t_id"), col("t_channel"))).as("lst"))
-      .persist()
+    // are horizon-bounded (purchases × 7-day touches). Routed through
+    // Memo (like bpe_words) rather than bare persist(): the cache
+    // manager dedups identical plans within one sfDir, but a JVM
+    // touching many sfDirs would accumulate one entry per dir forever —
+    // Memo's bounded retention unpersists the oldest beyond its cap.
+    val joined = Memo.of(s, dir, "attributionJoined") {
+      conv.join(touch,
+        col("user_id") === col("t_user") &&
+          col("t_ts") <= col("p_ts") &&
+          col("t_ts") >= col("p_ts") -
+            expr(s"INTERVAL $attributionLookbackDays DAYS"),
+        "left").persist()
+    }
+    val per = Memo.of(s, dir, "attributionPer") {
+      joined.groupBy(col("p_id"))
+        .agg(min(col("p_value")).as("v"),
+          count(col("t_id")).as("nt"),
+          min(struct(col("t_ts"), col("t_id"), col("t_channel"))).as("fst"),
+          max(struct(col("t_ts"), col("t_id"), col("t_channel"))).as("lst"))
+        .persist()
+    }
     def rollup(ch: org.apache.spark.sql.Column, n: String, vq: String) =
       per.groupBy(coalesce(ch, lit("direct")).as("channel"))
         .agg(count(lit(1)).as(n),

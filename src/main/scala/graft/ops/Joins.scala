@@ -742,15 +742,34 @@ object Joins extends OpGroup {
          |  SELECT x.d, LEAST(x.l, y.l) AS l
          |  FROM p$r x JOIN p$r y ON y.d = x.l)""".stripMargin
     }.mkString(",\n")
+    // Convergence guard (not just a margin argument): one MORE
+    // propagation round over the final labels must change nothing. If a
+    // future corpus's component diameter outgrew 2^rounds, the oracle
+    // would silently emit wrong entity labels and fail the gate against
+    // a CORRECT Spark answer — so the guard makes the oracle itself
+    // error out loudly instead (DuckDB error() in the taken branch).
+    val fin = s"h$erClosureRounds"
     s"WITH $fuzzyBandedCtes,\n" +
       """er_nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer
         |             UNION ALL SELECT t_id FROM typos),
         |er_sym AS MATERIALIZED (SELECT a, b FROM fp
         |             UNION ALL SELECT b AS a, a AS b FROM fp),
         |l0 AS MATERIALIZED (SELECT id AS d, id AS l FROM er_nodes),""".stripMargin +
-      s"\n$rounds\n" +
-      s"SELECT d AS id, l AS entity_id, d < 10000000 AS is_master\n" +
-      s"FROM h$erClosureRounds"
+      s"\n$rounds,\n" +
+      s"""er_conv AS MATERIALIZED (
+         |  SELECT COUNT(*) AS nc FROM (
+         |    SELECT d, MIN(l) AS l FROM (
+         |      SELECT x.d, x.l FROM $fin x
+         |      UNION ALL
+         |      SELECT s.a AS d, x.l FROM er_sym s JOIN $fin x ON x.d = s.b
+         |    ) GROUP BY d) p
+         |  JOIN $fin h ON h.d = p.d AND p.l < h.l)
+         |SELECT d AS id,
+         |  CASE WHEN (SELECT nc FROM er_conv) > 0
+         |       THEN CAST(error('er oracle: label propagation not converged after $erClosureRounds rounds — raise erClosureRounds') AS BIGINT)
+         |       ELSE l END AS entity_id,
+         |  d < 10000000 AS is_master
+         |FROM $fin""".stripMargin
   }
 
   override val ops: Seq[Op] = Seq(

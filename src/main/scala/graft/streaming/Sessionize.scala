@@ -229,8 +229,11 @@ object Sessionize extends OpGroup {
         open.put(keep.toArray)
         done.update(doneN + closed.size)
         getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        // ceiling ms division: truncating micros would land the timer up
+        // to ~1 ms BEFORE last+gap, eating the +1 safety margin
         getHandle.registerTimer(
-          keep.map(_.tsMicros).max / 1000L + gapMinutes * 60L * 1000L + 1L)
+          (keep.map(_.tsMicros).max + 999L) / 1000L +
+            gapMinutes * 60L * 1000L + 1L)
         closed.iterator
       }
     }

@@ -236,6 +236,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == one)
   }
 
+  test("deployment conf profile: corpus tier as code, small-scale broadcast kept") {
+    // the measured j14 escape ships as a profile entry, not prose
+    assert(Conf.profile(Conf.Small).isEmpty,
+      "Small tier must be Spark defaults — the corpus escape is 3× worse there")
+    assert(Conf.profile(Conf.CorpusScale)
+      .get("spark.sql.join.preferSortMergeJoin").contains("false"))
+    assert(Conf.tier("corpus") == Conf.CorpusScale &&
+      Conf.tier("anything-else") == Conf.Small)
+    // applying the corpus tier must NOT break small-scale plans:
+    // preferSortMergeJoin only picks hash-vs-sort AFTER broadcast is off
+    // the table, so j14's variant join keeps its auto-broadcast here
+    val before = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    try {
+      Conf(spark, Conf.CorpusScale)
+      val c = Explain.counters(
+        SparkEntry.queries("j14_fuzzy_join")(spark, dir))
+      assert(c("broadcasts") >= 1 && c("sortMergeJoins") == 0,
+        s"corpus tier must keep auto-broadcast at small scale: $c")
+    } finally spark.conf.set("spark.sql.join.preferSortMergeJoin", before)
+  }
+
   test("exact-substring spans find planted copied passages with exact bounds") {
     import spark.implicits._
     // doc 1 and 2 share a 10-token passage at different offsets; doc 3 is
@@ -1005,7 +1026,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rj("nestedLoopJoins") == 0, s"j13_binned_range_join: $rj")
     assert(rj("sortMergeJoins") + rj("broadcasts") >= 1,
       s"j13_binned_range_join must join on the bin key: $rj")
-    // domain cap: one source-key exchange feeding the rank window
+    // domain cap: one source-key exchange feeding the bounded top-K
+    // AGGREGATE (map-side partial heaps; no window, no per-source sort)
     val dc = c("curate_domain_cap")
     assert(dc("shuffles") == 1 && dc("sortMergeJoins") == 0,
       s"curate_domain_cap: $dc")
