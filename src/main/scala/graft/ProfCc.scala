@@ -11,10 +11,20 @@ object ProfCc {
   def main(args: Array[String]): Unit = {
     val nRandom = args.headOption.map(_.toLong).getOrElse(70000L)
     val chainLen = args.lift(1).map(_.toLong).getOrElse(10000L)
+    // arg 3: star | prop | both — the 300M-edge fixpoint ladder only
+    // needs the contraction path
+    val mode = args.lift(2).getOrElse("both")
+    // arg 4: rep count — the top ladder rung is ~90 min at the 8-thread
+    // control, so a warm repeat would double a measurement whose cold
+    // codegen share is already negligible at that scale
+    val reps = args.lift(3).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // partitions ∝ edges (same methodology as ProfQuery): per-task edge
+    // volume held constant across the ladder
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -30,15 +40,26 @@ object ProfCc {
       .select((col("id") + nodeSpace).as("doc_a"),
         (col("id") + nodeSpace + 1).as("doc_b"))
     val edges = rand.unionByName(chain).localCheckpoint()
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            taskMs.addAndGet(te.taskMetrics.executorRunTime)
+      })
     def t(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
+      val (t0, m0) = (System.nanoTime(), taskMs.get)
       val n = f
-      println(f"CCPROF $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2fs  labels=$n")
+      println(f"CCPROF $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2fs  " +
+        f"task=${(taskMs.get - m0) / 1e3}%8.2fs  labels=$n")
     }
-    Seq("cold", "warm").foreach { rep =>
-      t(s"star $rep")(graft.ops.DedupOps.connectedComponents(edges).count())
-      t(s"propagate $rep")(
-        graft.ops.DedupOps.connectedComponents(edges, useStar = false).count())
+    Seq("cold", "warm").take(reps).foreach { rep =>
+      if (mode != "prop")
+        t(s"star $rep")(graft.ops.DedupOps.connectedComponents(edges).count())
+      if (mode != "star")
+        t(s"propagate $rep")(
+          graft.ops.DedupOps.connectedComponents(edges, useStar = false).count())
     }
     spark.stop()
   }

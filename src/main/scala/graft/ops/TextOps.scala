@@ -816,51 +816,60 @@ object TextOps extends OpGroup {
   // pseudorandom shards with a pseudorandom order inside each. Both
   // coordinates derive from a salted md5 of the doc id, so the shuffle is
   // reproducible across reruns, engines, repartitions, and appends
-  // (engine-RNG `orderBy(rand())` is none of those). Shard = the first
-  // hex nibble's high 3 bits (8 equiprobable buckets via string range
-  // compares — no hex→int conversion, which the two engines don't share);
-  // within-shard position = row_number over (hash, doc_id).
+  // (engine-RNG `orderBy(rand())` is none of those). Shard = 4 hex
+  // digits of the hash mod the shard COUNT — which is a parameter
+  // ([[globalShuffleAt]]), not a constant, because rows-per-shard stays
+  // bounded only if shards scale with the corpus (Curate.shardsFor is
+  // the rule as code); within-shard position = row_number over
+  // (hash, doc_id).
   //
   // Scale shape: the shard map is a narrow codegen'd stage; the ordinal
-  // is ONE shuffle on the shard key. A shard at 100 TB / 8 is still too
-  // big for one window partition, so the deployment path is
-  // repartitionByRange(shard, h) + sortWithinPartitions(h) — writers
-  // emit hash-ordered files per shard and the within-shard ordinal
-  // becomes (file sequence, row-in-file), the same dense-numbering
-  // decomposition SurrogateKeys.withGlobalRowNumber uses. The
-  // oracle-pinned form here verifies the coordinates themselves.
+  // is ONE shuffle on the shard key, each window partition corpus/shards
+  // rows BY THE PARAMETER. Past what one task should sort, the
+  // deployment path is repartitionByRange(shard, h) +
+  // sortWithinPartitions(h) — writers emit hash-ordered files per shard
+  // and the within-shard ordinal becomes (file sequence, row-in-file),
+  // the same dense-numbering decomposition
+  // SurrogateKeys.withGlobalRowNumber uses. The oracle-pinned form here
+  // verifies the coordinates themselves, at two shard settings.
   // ---------------------------------------------------------------------
   val shuffleShards = 8
+  final val shuffleShardsAlt = 16
 
-  def globalShuffle(s: SparkSession, dir: String): DataFrame = {
+  def globalShuffle(s: SparkSession, dir: String): DataFrame =
+    globalShuffleAt(s, dir, shuffleShards)
+
+  /** Shard count as a PARAMETER (the same deployment rule as
+    * Curate.shardsFor): rows-per-shard stays bounded only if shards
+    * scale with the corpus, so the count is an argument — 4 hex digits
+    * of the routing hash mod `shards`, defined for any count ≤ 2¹⁶.
+    */
+  def globalShuffleAt(s: SparkSession, dir: String, shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = fastMd5(concat(lit("shuf|"), col("doc_id").cast("string")))
-    val c = substring(col("h"), 1, 1)
-    val shard = Seq("2", "4", "6", "8", "a", "c", "e").zipWithIndex
-      .foldRight(lit(7): org.apache.spark.sql.Column) {
-        case ((ceil, i), rest) => when(c < ceil, lit(i)).otherwise(rest)
-      }
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("h").asc, col("doc_id").asc)
     docs(s, dir).select(col("doc_id"), h.as("h"))
-      .withColumn("shard", shard)
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 4), 16, 10).cast("long") % shards)
+          .cast("int"))
       .withColumn("pos", row_number().over(w))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
-  private val globalShuffleSql = {
-    val cases = Seq("2", "4", "6", "8", "a", "c", "e").zipWithIndex
-      .map { case (ceil, i) => s"WHEN substring(h, 1, 1) < '$ceil' THEN $i" }
-      .mkString(" ")
+  private[ops] def globalShuffleSqlAt(shards: Int): String =
     s"""WITH h AS (
        |  SELECT doc_id, md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h
-       |  FROM documents),
-       |sh AS (SELECT doc_id, h, CASE $cases ELSE 7 END AS shard FROM h)
-       |SELECT doc_id, shard,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(CAST('0x' || substring(h, 1, 4) AS BIGINT) % $shards AS INT)
+       |    AS shard,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY CAST('0x' || substring(h, 1, 4) AS BIGINT) % $shards
        |    ORDER BY h ASC, doc_id ASC) AS INT) AS pos
-       |FROM sh""".stripMargin
-  }
+       |FROM h""".stripMargin
+
+  private val globalShuffleSql = globalShuffleSqlAt(shuffleShards)
 
   // ---------------------------------------------------------------------
   // DSIR-style importance sampling (Xie et al. 2023): re-weight the
@@ -1533,6 +1542,10 @@ object TextOps extends OpGroup {
       "robust per-language outlier filter: median/MAD z-score over doc length"),
     Op("text_global_shuffle", globalShuffle, Some(globalShuffleSql),
       "deterministic pre-training shuffle: salted-hash shard + within-shard ordinal"),
+    Op("text_global_shuffle_s16",
+      (s, d) => globalShuffleAt(s, d, shuffleShardsAlt),
+      Some(globalShuffleSqlAt(shuffleShardsAlt)),
+      "the shuffle layout at a second shard setting: shard count is a deployment parameter"),
     Op("text_weighted_sample", weightedSample, Some(weightedSampleSql),
       "Efraimidis-Spirtas weighted sample without replacement (length-proportional, one TakeOrdered)"),
     Op("text_importance_sample", importanceSample, Some(importanceSampleSql),
