@@ -561,6 +561,84 @@ object TextOps extends OpGroup {
       |GROUP BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+  // language's documents into head/middle/tail at the per-language LM-
+  // score tertiles — the published recipe for ranking a crawl by fluency
+  // per language so downstream mixing can favor the head. Composes
+  // lmScore's integer-quantized doc score with the curriculum op's
+  // broadcast-cut-point discipline: the naive form is ntile(3) OVER
+  // (PARTITION BY lang ORDER BY score) — a stratum-sized window sort,
+  // the shape the window audit rejects.
+  //
+  // Scale design: the doc score reuses lmScore's two partial-agg'd
+  // shuffles. The tertile cuts use EXACT percentile over the MILLI-
+  // quantized score, whose aggregation state is bounded by the VALUE
+  // RANGE, not the corpus: avg log-prob per token lies in
+  // [ln(1/corpus_tokens), 0] — even a 10^14-token corpus floors at
+  // -32e3 milli — so the counts-map percentile buffer holds ≤ ~35k
+  // distinct integers per language no matter how many documents feed
+  // it. Cuts re-enter as a broadcast; assignment is a stateless CASE.
+  //
+  // Determinism: score_milli is exact integer arithmetic (floor of an
+  // exact-double division); both engines interpolate tertiles with the
+  // same lower + frac*(upper-lower) formula over identical integers,
+  // and a tertile of integer positions is never within one ulp of an
+  // integer unless exactly ON one, so the <= boundary rule (boundary
+  // doc → lower bucket) agrees across engines.
+  // ---------------------------------------------------------------------
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("n"))
+    val lp = freq.crossJoin(broadcast(total))
+      .select(col("tok"),
+        floor(log(col("c").cast("double") / col("n")) * lit(1e6))
+          .cast("long").as("lp_micro"))
+    val scored = toks.join(lp, "tok")
+      .groupBy(col("doc_id"))
+      .agg(floor(sum("lp_micro").cast("double") /
+        (count(lit(1)) * lit(1000.0))).cast("long").as("score_milli"))
+    val byLang = docs(s, dir).select(col("doc_id"), col("lang"))
+      .join(scored, "doc_id")
+    val cuts = byLang.groupBy(col("lang")).agg(
+      expr("percentile(score_milli, 0.3333333333333333)").as("c1"),
+      expr("percentile(score_milli, 0.6666666666666666)").as("c2"))
+    byLang.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("score_milli"),
+        when(col("score_milli") <= col("c1"), lit("tail"))
+          .when(col("score_milli") <= col("c2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
+  private val perplexityBucketsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      |tot AS (SELECT SUM(c) AS n FROM freq),
+      |lp AS (
+      |  SELECT tok, CAST(FLOOR(ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS lp_micro
+      |  FROM freq, tot),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(FLOOR(CAST(SUM(l.lp_micro) AS DOUBLE) / (COUNT(*) * 1000.0)) AS BIGINT) AS score_milli
+      |  FROM toks t JOIN lp l USING (tok) GROUP BY t.doc_id),
+      |by_lang AS (
+      |  SELECT d.doc_id, d.lang, s.score_milli
+      |  FROM documents d JOIN scored s USING (doc_id)),
+      |cuts AS (
+      |  SELECT lang,
+      |    quantile_cont(score_milli, 0.3333333333333333) AS c1,
+      |    quantile_cont(score_milli, 0.6666666666666666) AS c2
+      |  FROM by_lang GROUP BY lang)
+      |SELECT b.doc_id, b.lang, b.score_milli,
+      |  CASE WHEN b.score_milli <= c.c1 THEN 'tail'
+      |       WHEN b.score_milli <= c.c2 THEN 'middle'
+      |       ELSE 'head' END AS bucket
+      |FROM by_lang b JOIN cuts c USING (lang)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Data-mixing drift: KL(P_source || P_corpus) over unigram token
   // distributions — the QA twin of mixtureWeights (which plans HOW MUCH
   // of each source to take, while this measures how far each source's
@@ -1530,6 +1608,8 @@ object TextOps extends OpGroup {
       "overlapping fixed-width chunking (RAG prep): explode over stride offsets, no shuffle"),
     Op("text_mixture_weights", mixtureWeights, Some(mixtureWeightsSql),
       "data-mixing plan: per-source token inventory + budget-hitting sampling rates"),
+    Op("text_perplexity_buckets", perplexityBuckets, Some(perplexityBucketsSql),
+      "CCNet head/middle/tail: per-language LM-score tertiles via bounded-range percentile cuts"),
     Op("text_lm_score", lmScore, Some(lmScoreSql),
       "CCNet-style unigram LM avg log-prob quality score, integer-quantized logs"),
     Op("text_kl_mixture", klMixture, Some(klMixtureSql),

@@ -1759,6 +1759,32 @@ class ExtensionsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("perplexity buckets tile each language into balanced score bands") {
+    val out = graft.ops.TextOps.perplexityBuckets(spark, dir).cache()
+    val total = Tables.load(spark, dir, "documents").count()
+    assert(out.count() == total, "every document lands in exactly one bucket")
+    val bands = out.groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min("score_milli").as("lo"), max("score_milli").as("hi"))
+      .collect().groupBy(_.getAs[String]("lang"))
+    bands.foreach { case (lang, rows) =>
+      val byB = rows.map(r => r.getAs[String]("bucket") -> r).toMap
+      assert(byB.keySet == Set("head", "middle", "tail"),
+        s"$lang missing a band: ${byB.keySet}")
+      // bands tile the score axis: tail <= middle <= head (boundary ties
+      // land in the lower band, so ranges may touch but never invert)
+      assert(byB("tail").getAs[Long]("hi") <= byB("middle").getAs[Long]("lo"),
+        s"$lang tail/middle overlap")
+      assert(byB("middle").getAs[Long]("hi") <= byB("head").getAs[Long]("lo"),
+        s"$lang middle/head overlap")
+      // tertiles of ~100 docs/lang: ~1/3 each, ties may shift a few
+      val ns = rows.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= ns.sum / 2,
+        s"$lang band imbalance: ${rows.mkString(", ")}")
+    }
+    out.unpersist()
+  }
+
   test("label centroids partition the corpus and beat the random floor") {
     val out = graft.ops.SimilarityOps.labelCentroids(spark, dir).cache()
     val total = Tables.load(spark, dir, "embeddings").count()

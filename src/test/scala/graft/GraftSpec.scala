@@ -126,6 +126,7 @@ class GraftSpec extends AnyFunSuite {
       "text_kl_mixture" -> 1, // corpus-total scalar row
       "text_lm_bigram_score" -> 1, // vocab-size scalar row
       "text_lm_score" -> 1, // vocab-size scalar row
+      "text_perplexity_buckets" -> 1, // corpus-token-total scalar row
       "text_pmi_bigrams" -> 2, // unigram/bigram total rows
       "text_tfidf" -> 1) // doc-count scalar row
     // Global (unpartitioned) windows move ALL rows to one task — the
