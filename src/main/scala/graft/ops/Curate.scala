@@ -330,7 +330,63 @@ object Curate extends OpGroup {
        |       THEN 'eval' ELSE 'train' END AS split
        |FROM clusters""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Multi-epoch sampling plan: temperature-scaled source weights
+  // (Conneau & Lample 2019's p_s ∝ n_s^τ — the recipe behind every
+  // published "dataset / sampling prop / epochs" table): τ < 1 upsamples
+  // small sources relative to their share, and the per-source epoch
+  // count (target/n_s > 1 means the source repeats) is the artifact the
+  // trainer consumes. Complements text_mixture_weights, which caps each
+  // source at an absolute token budget; this allocates a GLOBAL budget
+  // across sources by relative size.
+  //
+  // Scale shape: one map-side-combinable agg to |sources| rows, then
+  // pure arithmetic on that broadcast-sized frame — the corpus is read
+  // once and never shuffled. Determinism: pow/sum run over ≤ |sources|
+  // doubles; p_sample is rounded to 1e-6 BEFORE the budget multiply so
+  // both engines derive target/epochs from the identical double (the
+  // mixtureWeights discipline).
+  // ---------------------------------------------------------------------
+  final val epochTau = 0.3
+  final val epochTokenBudget = 20000
+
+  def epochPlan(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(graft.functions.TextFns.tokens(col("text"))))
+        .cast("long").as("n_tokens"))
+    val w = n.select(col("source"), col("n_tokens"),
+      pow(col("n_tokens").cast("double"), lit(epochTau)).as("wt"))
+    val z = w.agg(sum("wt").as("z"))
+    w.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        round(col("wt") / col("z"), 6).as("p_sample"))
+      .withColumn("target_tokens",
+        floor(col("p_sample") * lit(epochTokenBudget)).cast("long"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
+  private val epochPlanSql =
+    s"""WITH n AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, n_tokens,
+       |        pow(CAST(n_tokens AS DOUBLE), $epochTau) AS wt FROM n),
+       |z AS (SELECT SUM(wt) AS z FROM w)
+       |SELECT source, n_tokens,
+       |  round(wt / z, 6) AS p_sample,
+       |  CAST(FLOOR(round(wt / z, 6) * $epochTokenBudget) AS BIGINT)
+       |    AS target_tokens,
+       |  round(CAST(FLOOR(round(wt / z, 6) * $epochTokenBudget) AS BIGINT)
+       |    / CAST(n_tokens AS DOUBLE), 4) AS epochs
+       |FROM w, z""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("curate_epoch_plan", epochPlan, Some(epochPlanSql),
+      "temperature-scaled multi-epoch sampling plan: p_s ~ n_s^tau, per-source target tokens and epoch counts"),
     Op("curate_leakage_free_split", leakageFreeSplit,
       Some(leakageFreeSplitSql),
       "train/eval split hashed on the near-dup CLUSTER id: no cluster straddles the split, eval can't hold near-copies of train docs"),

@@ -1759,6 +1759,33 @@ class ExtensionsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("epoch plan: probabilities tile the budget, tau<1 upsamples small sources") {
+    val out = graft.ops.Curate.epochPlan(spark, dir).cache()
+    val rows = out.collect()
+    val pSum = rows.map(_.getAs[Double]("p_sample")).sum
+    assert(math.abs(pSum - 1.0) < 1e-4, s"p_sample must sum to ~1, got $pSum")
+    assert(rows.map(_.getAs[Long]("target_tokens")).sum
+      <= graft.ops.Curate.epochTokenBudget,
+      "floor'd targets must not exceed the global budget")
+    // temperature < 1 compresses the size ratio: the smallest source's
+    // sampling share must exceed its raw token share (upsampled), the
+    // largest source's must fall below it (downsampled)
+    val tot = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val smallest = rows.minBy(_.getAs[Long]("n_tokens"))
+    val largest = rows.maxBy(_.getAs[Long]("n_tokens"))
+    assert(smallest.getAs[Double]("p_sample") >
+      smallest.getAs[Long]("n_tokens") / tot, "smallest source not upsampled")
+    assert(largest.getAs[Double]("p_sample") <
+      largest.getAs[Long]("n_tokens") / tot, "largest source not downsampled")
+    // epochs is exactly target/n_tokens (the repeat factor the trainer consumes)
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("target_tokens").toDouble /
+        r.getAs[Long]("n_tokens")
+      assert(math.abs(r.getAs[Double]("epochs") - expect) <= 5e-5, s"epochs drift: $r")
+    }
+    out.unpersist()
+  }
+
   test("perplexity buckets tile each language into balanced score bands") {
     val out = graft.ops.TextOps.perplexityBuckets(spark, dir).cache()
     val total = Tables.load(spark, dir, "documents").count()

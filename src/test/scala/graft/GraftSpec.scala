@@ -114,6 +114,7 @@ class GraftSpec extends AnyFunSuite {
       "a10_sketch_rollup" -> 1, // 1-row sketch-manifest cross
       "a4_fact_agg_consistency" -> 1, // two scalar counts crossed
       "curate_curriculum" -> 1, // quartile-boundary scalar row
+      "curate_epoch_plan" -> 1, // temperature-normalizer scalar row
       "j10_scalar_backfill" -> 1, // THE scalar-subquery operator
       "s_freq_sketch" -> 1, // CMS sketch row broadcast
       "sim_cosine_topk" -> 1, // bounded query sample × corpus
