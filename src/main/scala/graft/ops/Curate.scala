@@ -494,7 +494,13 @@ object Curate extends OpGroup {
     * coordinates query and the release manifest.
     */
   private def trainingCtes(shards: Int): String = {
-    // wrap curatedCorpusSql's final SELECT into a `cur` CTE and extend
+    // wrap curatedCorpusSql's final SELECT into a `cur` CTE and extend;
+    // guard the surgery: if the final SELECT's spelling drifts, fail at
+    // object init with a named error instead of emitting broken SQL the
+    // oracle run would report as a DuckDB parse failure far from here
+    require(curatedCorpusSql.contains("\nSELECT d.doc_id"),
+      "trainingCtes: curatedCorpusSql's final SELECT no longer matches " +
+        "the CTE-wrapping pattern — update both together")
     val curAsCte = curatedCorpusSql
       .replaceFirst("\\nSELECT d\\.doc_id", ",\ncur AS (SELECT d.doc_id") + ")"
     s"""$curAsCte,
