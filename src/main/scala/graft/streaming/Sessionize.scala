@@ -946,7 +946,85 @@ object Sessionize extends OpGroup {
     graft.ops.SimilarityOps.pcaProjectFromStats(s, dir, acc)
   }
 
+  /** Incremental RANK-statistic maintenance: the exact top-K token
+    * report ([[graft.ops.TextOps.topTokens]]) kept current as documents
+    * arrive in micro-batches. The instructive part is what CANNOT be
+    * maintained: the K result rows alone are not a self-maintainable
+    * view — any batch can promote a token from just below the cut, so
+    * the maintained STATE must be the full token-count SUPPORT table
+    * (vocabulary-sized: bounded by the language, not the corpus) and
+    * the top-K is a cheap rank extraction off it at read time. Each
+    * trigger costs one map-side-combined partial count over the batch
+    * plus one token-shuffled outer merge with the running table — the
+    * [[streamingAggMaintain]] fold applied to a rank statistic. Counts
+    * are commutative, so arrival order cannot perturb the fixpoint,
+    * verified against the batch `text_top_tokens` oracle. At 100 TB/day
+    * the support table is a bucketed side table and each merge shuffles
+    * only the batch's distinct tokens (partial agg collapses the batch
+    * before the exchange).
+    */
+  def streamingTopKMaintain(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s, noAqe) {
+      import graft.sources.Warehouse.layerPath
+      val root = layerPath(dir, "topk_stream")
+      val feedDir = s"$root/feed"
+      if (!new java.io.File(feedDir).exists()) {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(feedDir)
+      }
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("counts_"))
+        .foreach(f => freshDir(f.getPath))
+      var cur: Option[String] = None
+      val schema = s.read.parquet(feedDir).schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(feedDir)
+      val q = feed.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty) {
+            val part = batch
+              .select(explode(graft.functions.TextFns.tokens(col("text")))
+                .as("token"))
+              .groupBy(col("token")).agg(count(lit(1)).as("b_n"))
+            val next = cur match {
+              case None => part.select(col("token"), col("b_n").as("n"))
+              case Some(p) =>
+                val run = s.read.parquet(p)
+                run.join(part, run("token") === part("token"), "full_outer")
+                  .select(
+                    coalesce(run("token"), part("token")).as("token"),
+                    (coalesce(col("n"), lit(0L)) +
+                      coalesce(col("b_n"), lit(0L))).as("n"))
+            }
+            val nextPath = s"$root/counts_$id"
+            next.coalesce(1).write.mode("overwrite").parquet(nextPath)
+            cur = Some(nextPath)
+          }
+          ()
+        }
+        .option("checkpointLocation", freshDir(s"$root/ckpt"))
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.read.parquet(cur.get)
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(graft.ops.TextOps.topTokenK)
+    }
+
+  private val streamingTopKMaintainSql =
+    s"""SELECT token, COUNT(*) AS n
+       |FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |      FROM documents)
+       |GROUP BY token
+       |ORDER BY n DESC, token ASC
+       |LIMIT ${graft.ops.TextOps.topTokenK}""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("stream_topk_maintain", streamingTopKMaintain,
+      Some(streamingTopKMaintainSql),
+      "incremental RANK-statistic maintenance: vocabulary support table merged per batch, top-K extracted at read"),
     Op("stream_gram_maintain", streamingGramMaintain,
       Some(graft.ops.SimilarityOps.pcaProjectSql),
       "incremental PCA-model maintenance: per-batch Gram partials merged driver-side; fixpoint = batch sim_pca_project"),
