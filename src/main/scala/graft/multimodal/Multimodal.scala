@@ -301,13 +301,16 @@ object Multimodal extends OpGroup {
       .filter(col("hamming") <= phashMaxHamming)
   }
 
-  private val phashNearDupSql = {
+  /** The phash pair chain up to a `pairs` CTE — shared by the pair
+    * report and the survivor selection's transitive closure.
+    */
+  private val phashCtes = {
     val mid = "CAST(FLOOR(len(text)/2) AS INT)"
     def bandSql(k: Int) =
       s"""CAST(list_reduce(list_transform(range(${k * 16 + 1}, ${k * 16 + 17}),
          |  i -> CASE WHEN o[i] * 64 >= s THEN 1 ELSE 0 END),
          |  (a, x) -> a * 2 + x) AS INT)""".stripMargin
-    s"""WITH media AS (
+    s"""media AS (
        |  SELECT doc_id AS media_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + $twinIdOffset,
@@ -330,17 +333,58 @@ object Multimodal extends OpGroup {
        |cand AS (
        |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
        |  FROM bexp a JOIN bexp b ON a.k = b.k AND a.v = b.v
-       |    AND a.media_id < b.media_id)
-       |SELECT media_a, media_b, hamming FROM (
-       |  SELECT c.media_a, c.media_b,
-       |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
-       |       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS INT)
-       |      AS hamming
-       |  FROM cand c
-       |  JOIN bands x ON x.media_id = c.media_a
-       |  JOIN bands y ON y.media_id = c.media_b) t
-       |WHERE hamming <= $phashMaxHamming""".stripMargin
+       |    AND a.media_id < b.media_id),
+       |pairs AS (
+       |  SELECT media_a, media_b, hamming FROM (
+       |    SELECT c.media_a, c.media_b,
+       |      CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |         + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS INT)
+       |        AS hamming
+       |    FROM cand c
+       |    JOIN bands x ON x.media_id = c.media_a
+       |    JOIN bands y ON y.media_id = c.media_b) t
+       |  WHERE hamming <= $phashMaxHamming)""".stripMargin
   }
+
+  private val phashNearDupSql =
+    s"""WITH $phashCtes
+       |SELECT media_a, media_b, hamming FROM pairs""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Media near-dup survivor selection: the actionable keep set off the
+  // phash pair table — transitive clustering (the same large-star/
+  // small-star contraction the text dedup family uses: hash collisions
+  // chain originals through shared twins, so a one-pass pair-drop rule
+  // under-deletes), each cluster keeping its minimum media_id. One CC
+  // fixpoint over the (tiny relative to the corpus) verified-pair
+  // table plus one left join back to the media universe — the corpus
+  // itself is never re-shuffled; the contraction's scale behavior is
+  // the measured fixpoint ladder in ARCHITECTURE.md.
+  // ---------------------------------------------------------------------
+  def phashSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val edges = phashNearDup(s, dir)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val labels = graft.ops.DedupOps.connectedComponents(edges)
+      .withColumnRenamed("doc_id", "media_id")
+    mediaWithTwins(s, dir).toDF().select(col("media_id"))
+      .join(labels, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster_id"), col("media_id")).as("cluster_id"))
+      .withColumn("keep", col("media_id") === col("cluster_id"))
+  }
+
+  private val phashSurvivorsSql =
+    s"""WITH RECURSIVE $phashCtes,
+       |sym AS (SELECT media_a AS a, media_b AS b FROM pairs
+       |        UNION ALL SELECT media_b AS a, media_a AS b FROM pairs),
+       |reach(d, r) AS (
+       |  SELECT media_id, media_id FROM media
+       |  UNION
+       |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.d = s.b),
+       |clusters AS (SELECT d AS media_id, MIN(r) AS cluster_id
+       |             FROM reach GROUP BY d)
+       |SELECT media_id, cluster_id, media_id = cluster_id AS keep
+       |FROM clusters""".stripMargin
 
   // ---------------------------------------------------------------------
   // Scene-cut detection (video shot segmentation): per media, sample
@@ -400,6 +444,8 @@ object Multimodal extends OpGroup {
       "scene-cut detection: inter-frame energy deltas inside the codec flatMap, zero shuffle"),
     Op("mm_phash_neardup", phashNearDup, Some(phashNearDupSql),
       "perceptual-hash media near-dup: aHash bands + multi-index hamming self-join"),
+    Op("mm_dedup_survivors", phashSurvivors, Some(phashSurvivorsSql),
+      "media keep set: transitive clustering over phash pairs, min media_id survives per cluster"),
     Op("mm_decode_features", decodeFeatures, Some(decodeFeaturesSql),
       "binary media decode stub via mapPartitions, oracle-verified"),
     Op("mm_audio_energy", audioEnergy, Some(audioEnergySql),
