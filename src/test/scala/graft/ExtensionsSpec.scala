@@ -1890,6 +1890,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == model, s"banding diverged: got ${got.size}, model ${model.size}")
   }
 
+  test("phash survivors: keep set is the transitive-cluster minimum") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    val out = mm.phashSurvivors(spark, dir).cache()
+    val pairs = mm.phashNearDup(spark, dir)
+      .select("media_a", "media_b").as[(Long, Long)].collect()
+    val byId = out.select("media_id", "cluster_id").as[(Long, Long)]
+      .collect().toMap
+    // driver-side union-find model over the same pair table
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    byId.foreach { case (id, c) =>
+      assert(c == find(id), s"media $id: cluster $c, model ${find(id)}")
+    }
+    // exactly one keeper per cluster, and it is the minimum
+    val keeps = out.filter(col("keep")).select("media_id").as[Long]
+      .collect().toSet
+    assert(keeps == byId.values.toSet, "keepers must be the cluster minima")
+    out.unpersist()
+  }
+
   test("embedding leakage audit covers exactly the eval slice, flags consistently") {
     import spark.implicits._
     val sim = graft.ops.SimilarityOps
