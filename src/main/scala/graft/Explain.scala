@@ -24,13 +24,32 @@ object Explain {
     def distinctIds(kind: String): Int =
       (kind + "[^\\n]*?\\[plan_id=(\\d+)\\]").r
         .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    // Nested-loop/cartesian joins are counted on the plan TREE, not the
+    // string: a cached subtree's plan reprints at every InMemoryTableScan
+    // reference, and BNLJ lines carry no plan_id to dedupe on — a raw
+    // substring count therefore depends on which shared frames happen to
+    // be cached when the query plans (suite flakiness, r9). The walk
+    // descends through AQE's wrapper and subquery plans but stops at
+    // cached scans, so a warm cache can only LOWER the count (the cached
+    // subtree does not re-execute); whitelists calibrate the fresh max.
+    def nestedLoops(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self =
+        if (p.nodeName.startsWith("BroadcastNestedLoopJoin") ||
+          p.nodeName.startsWith("CartesianProduct")) 1 else 0
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.inputPlan)
+        case _ if p.nodeName.startsWith("InMemoryTableScan") => Nil
+        case _ => p.children
+      }
+      self + (kids ++ p.subqueries).map(nestedLoops).sum
+    }
     Map(
       "shuffles" -> distinctIds("Exchange hashpartitioning"),
       "broadcasts" -> distinctIds("BroadcastExchange"),
       "sortMergeJoins" -> "SortMergeJoin".r.findAllIn(plan).size,
       // the two non-equi scale-killers: O(N·M) row-compare joins
-      "nestedLoopJoins" -> ("BroadcastNestedLoopJoin".r.findAllIn(plan).size
-        + "CartesianProduct".r.findAllIn(plan).size),
+      "nestedLoopJoins" -> nestedLoops(df.queryExecution.executedPlan),
       // toString marks codegen stages as "*(n)" prefixes, not the word
       // "WholeStageCodegen"; distinct ids = number of codegen spans.
       "codegenSpans" -> "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
