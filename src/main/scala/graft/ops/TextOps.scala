@@ -599,8 +599,15 @@ object TextOps extends OpGroup {
       .groupBy(col("doc_id"))
       .agg(floor(sum("lp_micro").cast("double") /
         (count(lit(1)) * lit(1000.0))).cast("long").as("score_milli"))
+    // localCheckpoint: `byLang` feeds BOTH the cut computation and the
+    // final assignment — left lazy, Catalyst plans the whole scoring
+    // chain TWICE (two corpus passes, and the audit sees the doubled
+    // cross-join). Materializing the narrow (doc_id, lang, score_milli)
+    // frame once makes the reuse explicit: cuts and assignment both read
+    // the checkpoint, the scoring chain runs exactly once.
     val byLang = docs(s, dir).select(col("doc_id"), col("lang"))
       .join(scored, "doc_id")
+      .localCheckpoint()
     val cuts = byLang.groupBy(col("lang")).agg(
       expr("percentile(score_milli, 0.3333333333333333)").as("c1"),
       expr("percentile(score_milli, 0.6666666666666666)").as("c2"))
