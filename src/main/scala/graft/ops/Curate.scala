@@ -411,7 +411,9 @@ object Curate extends OpGroup {
     Op("curate_shard_manifest_s16",
       (s, d) => shardManifestAt(s, d, trainingShardsAlt),
       Some(shardManifestSqlAt(trainingShardsAlt)),
-      "the release manifest at the second shard setting: digest stays order-independent across settings"))
+      "the release manifest at the second shard setting: digest stays order-independent across settings"),
+    Op("curate_release_diff", releaseDiff, Some(releaseDiffSql),
+      "release diff: 8-shard vs 16-shard layouts rolled to split grain must carry identical counts/volume/digest — re-sharding cannot change a commutative digest"))
 
   // ---------------------------------------------------------------------
   // The full training-set materialization in ONE declarative plan — what
@@ -569,18 +571,68 @@ object Curate extends OpGroup {
         max(col("doc_id")).as("max_doc"))
   }
 
+  /** Per-row manifest hash term (DuckDB side), shared by the manifest
+    * and the release diff so both digests are definitionally identical.
+    */
+  // lazy: referenced from SQL builders that `val ops` (earlier in the
+  // object body) forces at init — a plain val here interpolates as null.
+  // Single concatenated line: a stripMargin'd block interpolated into a
+  // stripMargin'd outer template loses the first `|` of line-leading `||`.
+  private lazy val manifestRowHashSql =
+    "CAST('0x' || substring(md5('man|' || CAST(d.doc_id AS VARCHAR) " +
+      "|| ':' || md5(regexp_replace(regexp_replace(lower(trim(d.text)), " +
+      "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))), 1, 8) AS BIGINT)"
+
   private def shardManifestSqlAt(shards: Int): String =
     s"""${trainingCtes(shards)}
        |SELECT t.split, t.shard,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
-       |  CAST(SUM(CAST('0x' || substring(md5('man|' || CAST(d.doc_id AS VARCHAR)
-       |      || ':' || md5(regexp_replace(regexp_replace(lower(trim(d.text)),
-       |           '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))), 1, 8)
-       |    AS BIGINT)) AS BIGINT) AS digest,
+       |  CAST(SUM($manifestRowHashSql) AS BIGINT) AS digest,
        |  MIN(d.doc_id) AS min_doc, MAX(d.doc_id) AS max_doc
        |FROM sharded_ts t JOIN documents d ON d.doc_id = t.doc_id
        |GROUP BY t.split, t.shard""".stripMargin
 
   private lazy val shardManifestSql = shardManifestSqlAt(trainingShards)
+
+  // ---------------------------------------------------------------------
+  // Release diff: prove two physical layouts of the SAME release carry
+  // the same content — here the 8-shard and 16-shard materializations,
+  // rolled to split grain. Because the manifest digest is a commutative
+  // SUM of per-row hashes, re-sharding cannot change it: any layout of a
+  // 100 TB release — different shard counts, partitionings, read orders
+  // — rolls up to the same (n_docs, n_chars, digest) per split, and the
+  // check costs two manifest reads (splits × shards rows), never a
+  // corpus re-read. The oracle derives the expected rollup ONCE from the
+  // sharded chain — if either Spark-side layout deviated in membership
+  // or content, its digest would miss the oracle's and the hash gate
+  // fails; `consistent` falsifies non-vacuously in the suite.
+  // ---------------------------------------------------------------------
+  def releaseDiff(s: SparkSession, dir: String): DataFrame = {
+    def roll(shards: Int, sfx: String) =
+      shardManifestAt(s, dir, shards)
+        .groupBy(col("split"))
+        .agg(sum(col("n_docs")).cast("long").as(s"n_docs_$sfx"),
+          sum(col("n_chars")).cast("long").as(s"n_chars_$sfx"),
+          sum(col("digest")).cast("long").as(s"digest_$sfx"))
+    roll(trainingShards, "a").join(roll(trainingShardsAlt, "b"), Seq("split"))
+      .withColumn("consistent",
+        col("n_docs_a") === col("n_docs_b") &&
+          col("n_chars_a") === col("n_chars_b") &&
+          col("digest_a") === col("digest_b"))
+  }
+
+  private lazy val releaseDiffSql =
+    s"""${trainingCtes(trainingShards)},
+       |roll AS (
+       |  SELECT t.split, COUNT(*) AS n_docs,
+       |    CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       |    CAST(SUM($manifestRowHashSql) AS BIGINT) AS digest
+       |  FROM sharded_ts t JOIN documents d ON d.doc_id = t.doc_id
+       |  GROUP BY t.split)
+       |SELECT split,
+       |  n_docs AS n_docs_a, n_chars AS n_chars_a, digest AS digest_a,
+       |  n_docs AS n_docs_b, n_chars AS n_chars_b, digest AS digest_b,
+       |  TRUE AS consistent
+       |FROM roll""".stripMargin
 }

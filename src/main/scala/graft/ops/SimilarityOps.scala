@@ -207,6 +207,44 @@ object SimilarityOps extends OpGroup {
         col("_p.cellid").as("cell"))
   }
 
+  /** The trained coarse quantizer of one index GENERATION: the final
+    * (cell, centroid) list after the two Lloyd rounds. Separated from
+    * [[ivfCells]] so index MAINTENANCE can reuse the frozen model — in
+    * production the quantizer is trained offline per generation (k×64
+    * doubles, bounded by k not the corpus) and arrivals are assigned
+    * under it until the next re-cluster; `stream_ivf_maintain` exercises
+    * exactly that. Driver-memoized per (dir, seedBits): the model is
+    * pure deterministic data, so recomputing it per caller would just
+    * repeat the same two corpus passes.
+    */
+  private val modelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Double])]]()
+
+  def ivfModel(s: SparkSession, dir: String,
+      seedBits: Int = ivfSeedBits): Seq[(Int, Array[Double])] =
+    modelMemo.computeIfAbsent(s"$dir#$seedBits", { _ =>
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()
+      try {
+        val seeded = lshSignatures(s, dir)
+          .select(col("vec_id"), seedCell(col("bucket"), seedBits).as("cell"))
+          .join(e, Seq("vec_id"))
+        val assign1 = assignCells(e, centroidsOf(seeded))
+        centroidsOf(assign1)
+      } finally e.unpersist(blocking = false)
+    })
+
+  /** Assign top-[[ivfProbe]] probe cells under a frozen quantizer: one
+    * broadcast-literal codegen map over `vecs` (vec_id, embedding), no
+    * shuffle — the per-arrival cost of index maintenance.
+    */
+  private[graft] def probeWithModel(vecs: DataFrame,
+      model: Seq[(Int, Array[Double])]): DataFrame =
+    probeCells(
+      vecs.select(col("vec_id"), col("embedding"),
+        graft.functions.TextFns.l2norm(col("embedding")).as("nrm")),
+      model, ivfProbe)
+
   /** IVF probe table: seed from LSH prefix, 2 Lloyd rounds (single-cell
     * assignments), final top-[[ivfProbe]] probe cells per vector.
     * `seedBits` sets the cell count (2^seedBits); pass
@@ -217,11 +255,7 @@ object SimilarityOps extends OpGroup {
     Memo.of(s, dir, s"ivfCells$seedBits") {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"),
         graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()
-      val seeded = lshSignatures(s, dir)
-        .select(col("vec_id"), seedCell(col("bucket"), seedBits).as("cell"))
-        .join(e, Seq("vec_id"))
-      val assign1 = assignCells(e, centroidsOf(seeded))
-      probeCells(e, centroidsOf(assign1), ivfProbe).cache()
+      probeCells(e, ivfModel(s, dir, seedBits), ivfProbe).cache()
     }
 
   def ivfNearDup(s: SparkSession, dir: String,
@@ -485,8 +519,14 @@ object SimilarityOps extends OpGroup {
   // candidate join stays bucket-local either way. lshTopk remains as the
   // hash-verified LSH plumbing demo; THIS is the retrieval recommendation.
   // ---------------------------------------------------------------------
-  def ivfTopk(s: SparkSession, dir: String): DataFrame = {
-    val cells = ivfCells(s, dir)
+  def ivfTopk(s: SparkSession, dir: String): DataFrame =
+    ivfTopkFromCells(ivfCells(s, dir))
+
+  /** The probe itself, off ANY probe-cell table with the [[ivfCells]]
+    * schema — shared by the batch index and the stream-maintained one
+    * (`stream_ivf_maintain`), so both answer the same oracle.
+    */
+  private[graft] def ivfTopkFromCells(cells: DataFrame): DataFrame = {
     val q = cells.filter(col("vec_id") < lshQueryCount)
       .select(col("vec_id").as("q_id"), col("cell"),
         col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -502,7 +542,7 @@ object SimilarityOps extends OpGroup {
       .filter(col("rank") <= lshTopK)
   }
 
-  private lazy val ivfTopkSql =
+  private[graft] lazy val ivfTopkSql =
     s"""WITH $ivfCellsCtes,
        |qp AS (
        |  SELECT vec_id AS q_id, cell, embedding AS q_emb
@@ -517,6 +557,41 @@ object SimilarityOps extends OpGroup {
        |      ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
        |  FROM sims) r
        |WHERE rank <= $lshTopK""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // IVF index-balance report: per-cell posting counts plus each cell's
+  // share and imbalance factor (n / mean). This is the health check that
+  // decides WHEN the frozen quantizer of an index generation must be
+  // re-trained: `stream_ivf_maintain` appends arrivals under frozen
+  // centroids, so drift shows up exactly here as cells outgrowing the
+  // mean (probe cost within a cell is linear in its postings — a 10×
+  // cell is a 10× query). One map-side-combinable hash-agg to k rows,
+  // then a broadcast of the single-row total; the corpus is never
+  // re-shuffled. Share/imbalance are one IEEE double divide rounded to
+  // 6 dp — the repo's cross-engine float discipline.
+  // ---------------------------------------------------------------------
+  def ivfBalanceReport(s: SparkSession, dir: String): DataFrame = {
+    val per = ivfCells(s, dir)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_postings"))
+    val tot = per.agg(
+      sum(col("n_postings")).as("t"),
+      count(lit(1)).as("k"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_postings"),
+        round(col("n_postings").cast("double") / col("t"), 6).as("share"),
+        round(col("n_postings").cast("double") * col("k") / col("t"), 6)
+          .as("imbalance"))
+  }
+
+  private lazy val ivfBalanceReportSql =
+    s"""WITH $ivfCellsCtes,
+       |per AS (SELECT cell, COUNT(*) AS n_postings FROM cells GROUP BY cell),
+       |tot AS (SELECT SUM(n_postings) AS t, COUNT(*) AS k FROM per)
+       |SELECT cell, n_postings,
+       |  round(CAST(n_postings AS DOUBLE) / t, 6) AS share,
+       |  round(CAST(n_postings AS DOUBLE) * k / t, 6) AS imbalance
+       |FROM per, tot""".stripMargin
 
   // ---------------------------------------------------------------------
   // Int8 scalar quantization: per-vector symmetric scale (max |x|), each
@@ -1652,6 +1727,8 @@ object SimilarityOps extends OpGroup {
       "SemDeDup: embedding-space near-dup removal over IVF cells (greedy min-id keeper)"),
     Op("sim_ivf_topk", ivfTopk, Some(ivfTopkSql),
       "ANN retrieval: IVF top-2 cell probe + exact cosine + per-query top-k"),
+    Op("sim_ivf_balance", ivfBalanceReport, Some(ivfBalanceReportSql),
+      "IVF index-health report: per-cell posting count, share, imbalance factor — the re-cluster trigger for maintained indexes"),
     Op("sim_lsh_buckets", lshSignatures, Some(lshSignaturesSql),
       "random-hyperplane LSH signatures for ANN bucketing"),
     Op("sim_lsh_topk", lshTopk, Some(lshTopkSql),

@@ -1013,6 +1013,65 @@ object Sessionize extends OpGroup {
         .limit(graft.ops.TextOps.topTokenK)
     }
 
+  /** Incremental ANN-INDEX maintenance — the missing member of the IVM
+    * family (aggregate, join, rank statistic, model statistic, CDC; this
+    * one maintains an INDEX artifact). Embedding arrivals are assigned
+    * their top-2 probe cells under the FROZEN coarse quantizer of the
+    * current index generation ([[graft.ops.SimilarityOps.ivfModel]] —
+    * k×64 doubles entering the plan as broadcast literals, the way FAISS
+    * and MLlib freeze a quantizer between offline re-trainings) and
+    * appended to a file-backed postings index. Per-batch cost is ONE
+    * codegen map over the batch plus an append — no shuffle, no corpus
+    * rescan, state = the index itself (inherent: an index IS its
+    * postings). At read time the standard query probe runs off the
+    * maintained index and must hash-equal the batch index's answer —
+    * verified against the SAME DuckDB oracle as `sim_ivf_topk`, the
+    * fixpoint discipline of the other `*_maintain` ops.
+    *
+    * foreachBatch is at-least-once: a replayed batch overwrites its own
+    * `postings_$id` dir (idempotent per batch id) and the path-set guard
+    * keeps the read-side union duplicate-free. What this op does NOT
+    * maintain is the quantizer itself — a re-cluster generation pays one
+    * linear assignment pass by construction; the quantizer's TRAINING
+    * stats (per-cell integer sums/counts) are abelian-group aggregates
+    * maintainable exactly like [[streamingGramMaintain]]'s Gram buffer.
+    */
+  def streamingIvfMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warehouse.layerPath
+    val root = layerPath(dir, "ivf_stream")
+    val feedDir = s"$root/feed"
+    if (!new java.io.File(feedDir).exists()) {
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(feedDir)
+    }
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("postings_"))
+      .foreach(f => freshDir(f.getPath))
+    val model = graft.ops.SimilarityOps.ivfModel(s, dir)
+    var postings = List.empty[String]
+    val schema = s.read.parquet(feedDir).schema
+    val feed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(feedDir)
+    val q = feed.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val path = s"$root/postings_$id"
+          graft.ops.SimilarityOps.probeWithModel(batch.toDF(), model)
+            .write.mode("overwrite").parquet(path)
+          if (!postings.contains(path)) postings ::= path
+        }
+        ()
+      }
+      .option("checkpointLocation", freshDir(s"$root/ckpt"))
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ops.SimilarityOps.ivfTopkFromCells(
+      s.read.parquet(postings.reverse: _*))
+  }
+
   private val streamingTopKMaintainSql =
     s"""SELECT token, COUNT(*) AS n
        |FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
@@ -1022,6 +1081,9 @@ object Sessionize extends OpGroup {
        |LIMIT ${graft.ops.TextOps.topTokenK}""".stripMargin
 
   override val ops: Seq[Op] = Seq(
+    Op("stream_ivf_maintain", streamingIvfMaintain,
+      Some(graft.ops.SimilarityOps.ivfTopkSql),
+      "incremental ANN-index maintenance: arrivals probe-assigned under the frozen quantizer, appended postings; fixpoint = batch sim_ivf_topk"),
     Op("stream_topk_maintain", streamingTopKMaintain,
       Some(streamingTopKMaintainSql),
       "incremental RANK-statistic maintenance: vocabulary support table merged per batch, top-K extracted at read"),

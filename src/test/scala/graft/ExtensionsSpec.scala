@@ -1401,6 +1401,54 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(snaps == 2, s"expected 2 per-batch aggregate snapshots, got $snaps")
   }
 
+  test("ivf-index maintenance: appended postings equal the batch index") {
+    val out = Sessionize.streamingIvfMaintain(spark, dir)
+    // fixpoint: probing the maintained index answers exactly what the
+    // batch-built index answers
+    val batch = graft.ops.SimilarityOps.ivfTopk(spark, dir)
+    assert(out.count() == batch.count() && out.count() > 0)
+    assert(out.exceptAll(batch).count() == 0)
+    // and the maintained index itself is row-identical to the batch one
+    // (same frozen quantizer => same probe-cell assignment per arrival)
+    val root = new java.io.File(Warehouse.layerPath(dir, "ivf_stream"))
+    val posts = root.listFiles().map(_.getName)
+      .filter(_.startsWith("postings_")).sorted
+    assert(posts.length == 2, s"expected 2 per-batch appends, got ${posts.toSeq}")
+    val maintained = spark.read.parquet(
+      posts.map(p => s"${root.getPath}/$p"): _*).select("vec_id", "cell")
+    val batchIdx = graft.ops.SimilarityOps.ivfCells(spark, dir)
+      .select("vec_id", "cell")
+    assert(maintained.count() == batchIdx.count())
+    assert(maintained.exceptAll(batchIdx).count() == 0)
+  }
+
+  test("release diff: consistent across shard settings, falsifiable on tamper") {
+    val diff = graft.ops.Curate.releaseDiff(spark, dir)
+    val rows = diff.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("consistent"),
+        s"split ${r.getAs[String]("split")} inconsistent across shard settings")
+      assert(r.getAs[Long]("digest_a") != 0L) // non-vacuous content digest
+    }
+    // falsification: a tampered layout (one shard dropped from side b)
+    // must change the rolled digest — the diff actually detects loss
+    val a = graft.ops.Curate.shardManifest(spark, dir)
+      .groupBy("split").agg(sum("digest").as("dg"))
+    val bm = graft.ops.Curate
+      .shardManifestAt(spark, dir, graft.ops.Curate.trainingShardsAlt)
+    // drop each split's most-populated shard (guaranteed non-empty;
+    // shard 0 may hold no docs at this tiny sf)
+    val victim = bm.groupBy("split")
+      .agg(max(struct(col("n_docs"), col("shard"))).as("m"))
+      .select(col("split"), col("m.shard").as("drop_shard"))
+    val b = bm.join(victim, "split").filter(col("shard") =!= col("drop_shard"))
+      .groupBy("split").agg(sum("digest").as("dg"))
+    val joined = a.alias("a").join(b.alias("b"), "split")
+      .filter(col("a.dg") === col("b.dg"))
+    assert(joined.count() == 0, "dropped-shard layout was not detected")
+  }
+
   test("compaction actually reduces the file count at the measured target") {
     Warehouse.compaction(spark, dir).collect() // builds frag + compact layers
     def parquetFiles(layer: String) =

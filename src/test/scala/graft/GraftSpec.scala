@@ -121,13 +121,13 @@ class GraftSpec extends AnyFunSuite {
       "sim_rewritten_cosine_topk" -> 1, // same shape, HOF spelling rewritten
       "sim_mips_topk" -> 3, // max-norm scalar + query sample + rerank
       "sim_recall_report" -> 1, // brute-force truth definition
+      "sim_ivf_balance" -> 1, // single-row (total, k) scalar side
       "text_bm25" -> 1, // corpus-stats scalar row
       "text_hard_negatives" -> 1, // idf/stats side table
       "text_importance_sample" -> 2, // target/base LM scalar rows
       "text_kl_mixture" -> 1, // corpus-total scalar row
       "text_lm_bigram_score" -> 1, // vocab-size scalar row
       "text_lm_score" -> 1, // vocab-size scalar row
-      "text_perplexity_buckets" -> 1, // corpus-token-total scalar row
       "text_pmi_bigrams" -> 2, // unigram/bigram total rows
       "text_tfidf" -> 1) // doc-count scalar row
     // Global (unpartitioned) windows move ALL rows to one task — the
