@@ -821,6 +821,94 @@ object SimilarityOps extends OpGroup {
        |WHERE rank <= $knnK""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Margin-normalized neighbor scoring (Artetxe & Schwenk's ratio
+  // margin, the CCMatrix/LASER bitext-mining criterion): raw cosine
+  // over-accepts in dense regions and under-accepts in sparse ones, so
+  // each candidate pair is rescored by cos(a,b) relative to the MEAN
+  // similarity of each endpoint's own k-NN neighborhood —
+  // margin = cos(a,b) / ((avgNN(a) + avgNN(b)) / 2). A pair only
+  // "mines" (accept) when it stands out from BOTH endpoints' local
+  // density, margin ≥ [[marginAcceptQ]]/1e4.
+  //
+  // Scale shape: runs entirely on [[knnJoin]]'s N·k edge artifact —
+  // one per-vector mean over the edge list (map-side combinable), two
+  // id-keyed joins of the N·k edges against that N-row stats table,
+  // and a k-bounded rank window per vec_a. The corpus is never
+  // re-joined; everything downstream of the shared graph is linear.
+  // Determinism: sims enter as exact 1e-6 integer units, neighborhood
+  // means stay as exact (sum, count) pairs, and the margin is ONE
+  // integer division of cross-multiplied positive BIGINTs (the
+  // PageRank discipline — identical truncation in both engines);
+  // degenerate neighborhoods (negative cosine mass) yield NULL margin
+  // and rank last under DESC NULLS LAST in both engines.
+  // ---------------------------------------------------------------------
+  val marginAcceptQ = 10200L // accept at margin >= 1.02
+
+  def marginTopk(s: SparkSession, dir: String): DataFrame = {
+    val knn = knnJoin(s, dir).select(col("vec_a"), col("vec_b"),
+      floor(col("sim") * 1e6 + 0.5).cast("long").as("sim_u"))
+    val stats = knn.groupBy(col("vec_a"))
+      .agg(sum(col("sim_u")).as("sm"), count(lit(1)).as("cn"))
+    val sa = stats.select(col("vec_a").as("a_id"), col("sm").as("s_a"),
+      col("cn").as("c_a"))
+    val sb = stats.select(col("vec_a").as("b_id"), col("sm").as("s_b"),
+      col("cn").as("c_b"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("margin_q").desc_nulls_last, col("vec_b").asc)
+    knn.join(sa, col("vec_a") === col("a_id"))
+      .join(sb, col("vec_b") === col("b_id"))
+      .select(col("vec_a"), col("vec_b"), col("sim_u"),
+        (col("s_a") * col("c_b") + col("s_b") * col("c_a")).as("den"),
+        (col("sim_u") * lit(20000L) * col("c_a") * col("c_b")).as("num"))
+      // `div`, not `/`: Spark's `/` on BIGINTs is DOUBLE division, and a
+      // correctly-rounded quotient landing ON an integer truncates
+      // differently than true integer division — the 1-ulp class of
+      // cross-engine drift the all-integer discipline exists to exclude
+      .withColumn("margin_q", expr(
+        "CASE WHEN sim_u >= 0 AND den > 0 THEN num DIV den ELSE NULL END"))
+      .drop("num", "den")
+      .withColumn("margin_rank", row_number().over(w).cast("int"))
+      .withColumn("accept",
+        coalesce(col("margin_q") >= marginAcceptQ, lit(false)))
+  }
+
+  private lazy val marginTopkSql =
+    s"""WITH $ivfCellsCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |knn AS (
+       |  SELECT vec_a, vec_b,
+       |    CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) AS sim_u
+       |  FROM (
+       |    SELECT vec_a, vec_b, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_a
+       |        ORDER BY sim DESC, vec_b ASC) AS rank
+       |    FROM pairs) t
+       |  WHERE rank <= $knnK),
+       |nstats AS (
+       |  SELECT vec_a, SUM(sim_u) AS sm, COUNT(*) AS cn
+       |  FROM knn GROUP BY vec_a),
+       |scored_m AS (
+       |  SELECT k.vec_a, k.vec_b, k.sim_u,
+       |    CASE WHEN k.sim_u >= 0
+       |           AND sa.sm * sb.cn + sb.sm * sa.cn > 0
+       |         THEN CAST((k.sim_u * 20000 * sa.cn * sb.cn)
+       |           // (sa.sm * sb.cn + sb.sm * sa.cn) AS BIGINT)
+       |         ELSE NULL END AS margin_q
+       |  FROM knn k
+       |  JOIN nstats sa ON sa.vec_a = k.vec_a
+       |  JOIN nstats sb ON sb.vec_a = k.vec_b)
+       |SELECT vec_a, vec_b, sim_u, margin_q,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+       |    ORDER BY margin_q DESC NULLS LAST, vec_b ASC) AS INT)
+       |    AS margin_rank,
+       |  COALESCE(margin_q >= $marginAcceptQ, FALSE) AS accept
+       |FROM scored_m""".stripMargin
+
+  // ---------------------------------------------------------------------
   // PageRank over the kNN graph: graph centrality as a DATA-SELECTION
   // signal — a vector many other vectors count among their nearest
   // neighbors sits in a dense semantic region (prototypical content);
@@ -1706,6 +1794,8 @@ object SimilarityOps extends OpGroup {
       "Johnson-Lindenstrauss +-1 random projection to 16 dims (literal sign matrix, narrow map)"),
     Op("sim_pagerank", pagerank, Some(pagerankSql),
       "kNN-graph PageRank centrality (all-integer pico-unit power iteration)"),
+    Op("sim_margin_topk", marginTopk, Some(marginTopkSql),
+      "margin-normalized neighbor mining (Artetxe-Schwenk ratio margin) over the shared kNN graph: density-relative accept, all-integer margin"),
     Op("sim_knn_join", knnJoin, Some(knnJoinSql),
       "corpus-wide kNN graph: IVF cell-restricted self-join + per-vector top-k"),
     Op("sim_mips_topk", mipsTopk, Some(mipsTopkSql),
