@@ -240,7 +240,56 @@ object TimeSeriesOps extends OpGroup {
     Op("ts_anomaly_days", anomalyDays, Some(anomalyDaysSql),
       "volume-spike flags: 3-sigma vs trailing self-baseline in exact integer cross-multiplied form"),
     Op("ts_event_gaps", eventGaps, Some(eventGapsSql),
-      "inter-event gap quantiles per event type (lag over a total order, exact percentiles)"))
+      "inter-event gap quantiles per event type (lag over a total order, exact percentiles)"),
+    Op("ts_seasonal_index", seasonalIndex, Some(seasonalIndexSql),
+      "day-of-week seasonal index per event type: dow mean over overall mean, exact decimal sums cross-multiplied"))
+
+  // ---------------------------------------------------------------------
+  // Day-of-week seasonality: per event type, each weekday's mean value
+  // relative to the type's overall mean — the classical multiplicative
+  // seasonal index (index > 1: that weekday runs hot), the profile that
+  // seasonally adjusts anomaly baselines and capacity plans. Two
+  // map-side-combinable aggs (types×7 and types rows) + one broadcast-
+  // sized join; the event stream is scanned once and never shuffled at
+  // row grain. Determinism: value sums accumulate in DECIMAL(18,2)
+  // (exact, order-independent); the index is computed by ONE double
+  // division of exactly-representable cross-products, then 1e-4
+  // quantized — identical IEEE result in both engines.
+  // ---------------------------------------------------------------------
+  def seasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val byDow = ev.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_d"), sum(col("v")).as("s_d"))
+    val overall = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"), sum(col("v")).as("s_t"))
+    byDow.join(overall, Seq("event_type"))
+      .select(col("event_type"), col("dow").cast("int").as("dow"),
+        col("n_d").cast("long").as("n_events"),
+        floor((col("s_d").cast("double") * col("n_t")) /
+          (col("n_d") * col("s_t").cast("double")) * 1e4 + 0.5)
+          .cast("long").as("index_q"))
+  }
+
+  // lazy: `val ops` above forces this during object init, before a plain
+  // val declared here would have initialized (the Curate.scala trap)
+  private lazy val seasonalIndexSql =
+    """WITH e AS (
+      |  SELECT event_type, dayofweek(ts) + 1 AS dow,
+      |         CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |d AS (SELECT event_type, dow, COUNT(*) AS n_d, SUM(v) AS s_d
+      |      FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, COUNT(*) AS n_t, SUM(v) AS s_t
+      |      FROM e GROUP BY 1)
+      |SELECT d.event_type, CAST(d.dow AS INT) AS dow,
+      |  CAST(d.n_d AS BIGINT) AS n_events,
+      |  CAST(FLOOR((CAST(d.s_d AS DOUBLE) * t.n_t) /
+      |    (d.n_d * CAST(t.s_t AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+      |    AS index_q
+      |FROM d JOIN t ON t.event_type = d.event_type""".stripMargin
 
   // ---------------------------------------------------------------------
   // Inter-event gap distribution: per event type, the median and p95 of

@@ -884,6 +884,120 @@ object Sessionize extends OpGroup {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Incremental RELEASE-MANIFEST maintenance: the per-(split, shard)
+    * verification artifact of `curate_shard_manifest` — doc count, char
+    * volume, content digest, id range — kept current as documents ARRIVE,
+    * never recomputed. This is the payoff of the manifest's commutative
+    * design: the digest is a SUM of per-row hashes and the id range is a
+    * MIN/MAX, so every column is an abelian-group (or semilattice) fold
+    * and a micro-batch's partial merges into the running table by
+    * element-wise +/min/max — any arrival order reaches the same
+    * fixpoint. Per trigger: one codegen map (split/shard routing + row
+    * hash) + one partial agg over the batch + one key-shuffled outer
+    * merge with the splits×shards-row running table. At 100 TB a corpus
+    * append updates the release manifest in O(delta); the batch job that
+    * would re-scan the corpus never runs. Verified against the identical
+    * batch GROUP BY oracle (the fixpoint discipline of the other
+    * `*_maintain` ops). Covers the WHOLE corpus release (every document);
+    * the curated-training-set manifest remains `curate_shard_manifest`.
+    */
+  def streamingManifestMaintain(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s, noAqe) {
+      import graft.sources.Warehouse.layerPath
+      val fns = graft.functions.TextFns
+      val root = layerPath(dir, "manifest_stream")
+      val feedDir = s"$root/feed"
+      if (!new java.io.File(feedDir).exists()) {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(feedDir)
+      }
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("man_"))
+        .foreach(f => freshDir(f.getPath))
+      var cur: Option[String] = None
+      val schema = s.read.parquet(feedDir).schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(feedDir)
+      val q = feed.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty) {
+            val routed = batch.toDF().select(
+              col("doc_id"), col("n_chars"),
+              when(substring(fns.fastMd5(col("doc_id").cast("string")), 1, 2)
+                < graft.ops.TextOps.evalHexCeiling, lit("eval"))
+                .otherwise(lit("train")).as("split"),
+              (conv(substring(fns.fastMd5(concat(lit("shuf|"),
+                col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+                % graft.ops.Curate.trainingShards).cast("int").as("shard"),
+              conv(substring(fns.fastMd5(concat(lit("man|"),
+                col("doc_id").cast("string"), lit(":"),
+                fns.fingerprint(col("text")))), 1, 8), 16, 10)
+                .cast("long").as("rh"))
+            val part = routed.groupBy(col("split"), col("shard"))
+              .agg(count(lit(1)).cast("long").as("b_n"),
+                sum(col("n_chars")).cast("long").as("b_chars"),
+                sum(col("rh")).cast("long").as("b_digest"),
+                min(col("doc_id")).as("b_min"),
+                max(col("doc_id")).as("b_max"))
+            val next = cur match {
+              case None => part.select(col("split"), col("shard"),
+                col("b_n").as("n_docs"), col("b_chars").as("n_chars"),
+                col("b_digest").as("digest"), col("b_min").as("min_doc"),
+                col("b_max").as("max_doc"))
+              case Some(p) =>
+                val run = s.read.parquet(p)
+                run.join(part,
+                  run("split") === part("split") &&
+                    run("shard") === part("shard"), "full_outer")
+                  .select(
+                    coalesce(run("split"), part("split")).as("split"),
+                    coalesce(run("shard"), part("shard")).as("shard"),
+                    (coalesce(col("n_docs"), lit(0L)) +
+                      coalesce(col("b_n"), lit(0L))).as("n_docs"),
+                    (coalesce(run("n_chars"), lit(0L)) +
+                      coalesce(col("b_chars"), lit(0L))).as("n_chars"),
+                    (coalesce(col("digest"), lit(0L)) +
+                      coalesce(col("b_digest"), lit(0L))).as("digest"),
+                    least(coalesce(col("min_doc"), col("b_min")),
+                      coalesce(col("b_min"), col("min_doc"))).as("min_doc"),
+                    greatest(coalesce(col("max_doc"), col("b_max")),
+                      coalesce(col("b_max"), col("max_doc"))).as("max_doc"))
+            }
+            val nextPath = s"$root/man_$id"
+            next.coalesce(1).write.mode("overwrite").parquet(nextPath)
+            cur = Some(nextPath)
+          }
+          ()
+        }
+        .option("checkpointLocation", freshDir(s"$root/ckpt"))
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.read.parquet(cur.get)
+    }
+
+  private val streamingManifestMaintainSql =
+    s"""WITH r AS (
+       |  SELECT doc_id, n_chars,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+       |           < '${graft.ops.TextOps.evalHexCeiling}'
+       |         THEN 'eval' ELSE 'train' END AS split,
+       |    CAST(CAST('0x' || substring(md5('shuf|' ||
+       |      CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+       |      % ${graft.ops.Curate.trainingShards} AS INT) AS shard,
+       |    CAST('0x' || substring(md5('man|' || CAST(doc_id AS VARCHAR)
+       |      || ':' || md5(regexp_replace(regexp_replace(lower(trim(text)),
+       |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))), 1, 8)
+       |      AS BIGINT) AS rh
+       |  FROM documents)
+       |SELECT split, shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(rh) AS BIGINT) AS digest,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM r GROUP BY split, shard""".stripMargin
+
   /** Incremental MODEL-STATISTIC maintenance: the PCA/covariance Gram
     * stats of [[graft.ops.SimilarityOps]]'s `sim_pca_project` kept
     * current as the embedding corpus arrives in micro-batches. Each
@@ -1090,6 +1204,9 @@ object Sessionize extends OpGroup {
     Op("stream_gram_maintain", streamingGramMaintain,
       Some(graft.ops.SimilarityOps.pcaProjectSql),
       "incremental PCA-model maintenance: per-batch Gram partials merged driver-side; fixpoint = batch sim_pca_project"),
+    Op("stream_manifest_maintain", streamingManifestMaintain,
+      Some(streamingManifestMaintainSql),
+      "incremental release-manifest maintenance: commutative digest/count/range merged per micro-batch, O(delta) per corpus append"),
     Op("stream_agg_maintain", streamingAggMaintain,
       Some(streamingAggMaintainSql),
       "incremental aggregate maintenance: commutative per-batch merges, decimal accumulator"),
