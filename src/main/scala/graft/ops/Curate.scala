@@ -74,6 +74,99 @@ object Curate extends OpGroup {
        |  AND COALESCE(h.n_shared, 0) = 0""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Curation funnel report: per-gate survival counts and char volume for
+  // the exact gate chain curate_corpus applies — the dataset-card table
+  // every corpus release publishes ("X docs crawled, Y after language
+  // ID, Z after dedup…"). Gates are CUMULATIVE in pipeline order, so the
+  // final row equals the curated corpus by construction (pinned in the
+  // suite).
+  //
+  // Scale shape: NOT six successive filtered counts (that re-executes
+  // the gate chain per stage) — each gate's doc_id set left-joins onto
+  // the corpus once as a 0/1 flag, and ONE map-side-combinable aggregate
+  // computes every cumulative conjunction as integer sums; the six
+  // output rows unfold from the singleton agg row. The corpus is read
+  // once; all sums are integers, so the result is order-independent.
+  // ---------------------------------------------------------------------
+  def funnelReport(s: SparkSession, dir: String): DataFrame = {
+    def gate(df: DataFrame, flag: String) =
+      df.select(col("doc_id"), lit(1L).as(flag))
+    val en = gate(TextOps.langId(s, dir)
+      .filter(col("predicted_lang") === "en").select("doc_id"), "f1")
+    val good = gate(TextOps.qualityScore(s, dir)
+      .filter(col("quality") === "good").select("doc_id"), "f2")
+    val ek = gate(DedupOps.exactDedup(s, dir)
+      .select(col("keep_doc_id").as("doc_id")), "f3")
+    val nk = gate(DedupOps.nearDupSurvivors(s, dir), "f4")
+    val clean = gate(DedupOps.contamination(s, dir)
+      .filter(!col("contaminated")).select("doc_id"), "f5")
+    val flags = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .join(en, Seq("doc_id"), "left")
+      .join(good, Seq("doc_id"), "left")
+      .join(ek, Seq("doc_id"), "left")
+      .join(nk, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("f1", "f2", "f3", "f4", "f5"))
+    // cumulative conjunctions as 0/1 products
+    val g = Seq(
+      lit(1L),
+      col("f1"),
+      col("f1") * col("f2"),
+      col("f1") * col("f2") * col("f3"),
+      col("f1") * col("f2") * col("f3") * col("f4"),
+      col("f1") * col("f2") * col("f3") * col("f4") * col("f5"))
+    val aggCols = g.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(c).cast("long").as(s"n$i"),
+        sum(c * col("n_chars")).cast("long").as(s"c$i"))
+    }
+    val one = flags.agg(aggCols.head, aggCols.tail: _*)
+    val labels = Seq("0_total", "1_lang_en", "2_quality_good",
+      "3_exact_keeper", "4_near_survivor", "5_decontaminated")
+    one.select(explode(array(labels.zipWithIndex.map { case (l, i) =>
+      struct(lit(l).as("gate"), col(s"n$i").as("n_docs"),
+        col(s"c$i").as("n_chars"))
+    }: _*)).as("r")).select(col("r.gate").as("gate"),
+      col("r.n_docs").as("n_docs"), col("r.n_chars").as("n_chars"))
+  }
+
+  private val funnelReportSql =
+    s"""WITH RECURSIVE ${DedupOps.clusterCtes},
+       |${DedupOps.contaminationCtes},
+       |ql AS (${TextOps.qualityScoreSql}),
+       |li AS (${TextOps.langIdSql}),
+       |ekf AS (SELECT md5(text) AS fp, MIN(doc_id) AS keep_id
+       |        FROM documents GROUP BY md5(text)),
+       |gflags AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    CASE WHEN li.predicted_lang = 'en' THEN 1 ELSE 0 END AS f1,
+       |    CASE WHEN ql.quality = 'good' THEN 1 ELSE 0 END AS f2,
+       |    CASE WHEN k.keep_id = d.doc_id THEN 1 ELSE 0 END AS f3,
+       |    CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0 END AS f4,
+       |    CASE WHEN d.source <> '${DedupOps.benchmarkSource}'
+       |          AND COALESCE(h.n_shared, 0) = 0 THEN 1 ELSE 0 END AS f5
+       |  FROM documents d
+       |  LEFT JOIN li ON li.doc_id = d.doc_id
+       |  LEFT JOIN ql ON ql.doc_id = d.doc_id
+       |  LEFT JOIN ekf k ON k.fp = md5(d.text)
+       |  LEFT JOIN clusters c ON c.doc_id = d.doc_id
+       |  LEFT JOIN chits h ON h.doc_id = d.doc_id)
+       |SELECT '0_total' AS gate, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM gflags
+       |UNION ALL SELECT '1_lang_en', CAST(SUM(f1) AS BIGINT),
+       |  CAST(SUM(f1 * n_chars) AS BIGINT) FROM gflags
+       |UNION ALL SELECT '2_quality_good', CAST(SUM(f1 * f2) AS BIGINT),
+       |  CAST(SUM(f1 * f2 * n_chars) AS BIGINT) FROM gflags
+       |UNION ALL SELECT '3_exact_keeper', CAST(SUM(f1 * f2 * f3) AS BIGINT),
+       |  CAST(SUM(f1 * f2 * f3 * n_chars) AS BIGINT) FROM gflags
+       |UNION ALL SELECT '4_near_survivor',
+       |  CAST(SUM(f1 * f2 * f3 * f4) AS BIGINT),
+       |  CAST(SUM(f1 * f2 * f3 * f4 * n_chars) AS BIGINT) FROM gflags
+       |UNION ALL SELECT '5_decontaminated',
+       |  CAST(SUM(f1 * f2 * f3 * f4 * f5) AS BIGINT),
+       |  CAST(SUM(f1 * f2 * f3 * f4 * f5 * n_chars) AS BIGINT) FROM gflags""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Per-domain quota cap (the C4/RefinedWeb "no domain dominates" rule):
   // keep at most `domainCap` documents per source, preferring longer
   // documents (length as the quality proxy; swap in any score), with a
@@ -465,6 +558,8 @@ object Curate extends OpGroup {
       "diversity-aware budget selection: cluster-round-robin over IVF cells (MMR stand-in)"),
     Op("curate_corpus", curatedCorpus, Some(curatedCorpusSql),
       "composed curation: lang + quality + exact/near dedup + decontamination"),
+    Op("curate_funnel_report", funnelReport, Some(funnelReportSql),
+      "dataset-card funnel: per-gate cumulative survival counts and char volume in one aggregate pass"),
     Op("curate_domain_cap", domainCapped, Some(domainCappedSql),
       "per-domain quota cap: top-K docs per source by length (C4/RefinedWeb rule)"),
     Op("curate_curriculum", curriculumStages, Some(curriculumStagesSql),

@@ -1118,7 +1118,127 @@ object DedupOps extends OpGroup {
        |LEFT JOIN exact e ON e.batch_id = b.batch_id
        |LEFT JOIN near n ON n.batch_id = b.batch_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // LSH sensitivity curve: per collided-band count (1..numBands), how
+  // many candidate pairs there are and how truly similar they are — the
+  // empirical S-curve a pipeline reads before committing to an (r, b)
+  // banding choice at the next scale. A pair colliding in all b bands
+  // should be near-certain duplicate mass; a 1-band collision is mostly
+  // noise the verify stage pays for. Watching n_true/n_pairs per stratum
+  // is how the banding is tuned without re-running the corpus.
+  //
+  // Scale shape: identical joins to the candidate generator itself (the
+  // capped band self-join), with the pair-dedup replaced by a count per
+  // pair — same shuffle volume; the verify join rides the memoized
+  // shingle sets like every other verify stage. Determinism: the mean is
+  // derived from an integer sum of 1e-4-quantized jaccards (commutative),
+  // then one double division over identical integers in both engines.
+  // ---------------------------------------------------------------------
+  def lshCurve(s: SparkSession, dir: String): DataFrame = {
+    val b = cappedBands(s, dir)
+    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val c = b.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    val pairBands = a.join(c, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("int").as("n_bands"))
+    val sh = shingleSets(s, dir)
+    val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    pairBands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("n_bands"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("j"))
+      .groupBy(col("n_bands"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(when(col("j") >= jaccardThreshold, 1L).otherwise(0L))
+          .cast("long").as("n_true"),
+        sum(floor(col("j") * 10000 + 0.5).cast("long")).cast("long")
+          .as("sum_jaccard_q4"))
+      .withColumn("mean_jaccard",
+        round(col("sum_jaccard_q4").cast("double") / 10000.0 / col("n_pairs"), 4))
+  }
+
+  private val lshCurveSql =
+    s"""WITH $bandsCte,
+       |sh AS ($shinglesSql),
+       |pairbands AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS INT) AS n_bands
+       |  FROM bands_capped a JOIN bands_capped b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |jcurve AS (
+       |  SELECT pb.n_bands,
+       |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS j
+       |  FROM pairbands pb
+       |  JOIN sh x ON x.doc_id = pb.doc_a
+       |  JOIN sh y ON y.doc_id = pb.doc_b)
+       |SELECT n_bands, COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN j >= $jaccardThreshold THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_true,
+       |  CAST(SUM(CAST(FLOOR(j * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+       |    AS sum_jaccard_q4,
+       |  round(CAST(SUM(CAST(FLOOR(j * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / 10000.0 / COUNT(*), 4) AS mean_jaccard
+       |FROM jcurve GROUP BY n_bands""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Per-source duplication report: how much of each source is duplicate
+  // mass — exact copies (not their content-hash group's keeper) and
+  // near-dup non-survivors (not their cluster's canonical doc), with the
+  // character volume the exact copies would waste if trained on. The
+  // per-source view is the one that drives sourcing decisions (a crawl
+  // slice that is 40% self-copies gets re-scoped, not re-deduped).
+  //
+  // Scale shape: one content-hash agg (shared shape with dedup_exact),
+  // one doc_id join against the cluster table, one groupBy(source) —
+  // all map-side-combinable; no pair joins, no windows.
+  // ---------------------------------------------------------------------
+  def sourceStats(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      col("n_chars"), fastMd5(col("text")).as("fp"))
+    val keep = d.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val cl = dedupClusters(s, dir)
+    d.join(keep, Seq("fp"))
+      .join(cl, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .cast("long").as("n_exact_dups"),
+        sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+          .cast("long").as("n_near_dups"),
+        sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
+          .otherwise(0L)).cast("long").as("dup_chars"))
+      .withColumn("near_dup_ratio",
+        round(col("n_near_dups").cast("double") / col("n_docs"), 6))
+  }
+
+  private val sourceStatsSql =
+    s"""WITH RECURSIVE $clusterCtes,
+       |ek_src AS (
+       |  SELECT md5(text) AS fp, MIN(doc_id) AS keep_id
+       |  FROM documents GROUP BY md5(text))
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_exact_dups,
+       |  CAST(SUM(CASE WHEN d.doc_id <> c.cluster_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_near_dups,
+       |  CAST(SUM(CASE WHEN d.doc_id <> k.keep_id THEN d.n_chars ELSE 0 END)
+       |    AS BIGINT) AS dup_chars,
+       |  round(CAST(SUM(CASE WHEN d.doc_id <> c.cluster_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS near_dup_ratio
+       |FROM documents d
+       |JOIN ek_src k ON k.fp = md5(d.text)
+       |JOIN clusters c ON c.doc_id = d.doc_id
+       |GROUP BY d.source""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("dedup_lsh_curve", lshCurve, Some(lshCurveSql),
+      "LSH sensitivity curve: candidate volume and verified-jaccard mass per collided-band count (the r,b tuning artifact)"),
+    Op("dedup_source_stats", sourceStats, Some(sourceStatsSql),
+      "per-source duplication report: exact-copy and near-dup counts plus wasted char mass"),
     Op("dedup_incremental", incrementalDedup, Some(incrementalDedupSql),
       "incremental batch-vs-corpus dedup against persisted fingerprint + band indexes"),
     Op("dedup_segments", segmentDedup, Some(segmentDedupSql),

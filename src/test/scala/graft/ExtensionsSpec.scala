@@ -2420,6 +2420,52 @@ class ExtensionsSpec extends AnyFunSuite {
       sc("broadcasts") == 0, s"mm_scene_cuts: $sc")
   }
 
+  test("funnel report, lsh curve, source stats: semantics tie to their parents") {
+    import spark.implicits._
+    // funnel: cumulative gates are monotone non-increasing and the final
+    // row IS the curated corpus (same gate chain, one-pass aggregate)
+    val f = graft.ops.Curate.funnelReport(spark, dir)
+      .orderBy("gate").select("gate", "n_docs", "n_chars")
+      .as[(String, Long, Long)].collect()
+    assert(f.length == 6 && f.head._1 == "0_total")
+    f.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3,
+        s"funnel not monotone: $a -> $b")
+    }
+    val curated = graft.ops.Curate.curatedCorpus(spark, dir).count()
+    assert(f.last._2 == curated,
+      s"funnel final ${f.last._2} != curate_corpus $curated")
+    val total = Tables.load(spark, dir, "documents").count()
+    assert(f.head._2 == total)
+    // no per-stage re-count: the funnel must not window, and its gate
+    // joins are all equi-joins
+    val fc = Explain.counters(graft.ops.Curate.funnelReport(spark, dir))
+    info(s"curate_funnel_report: $fc")
+    assert(fc("nestedLoopJoins") == 0, s"funnel: $fc")
+    // lsh curve: strata partition the candidate-pair set exactly, and
+    // the per-stratum true-dup counts sum to the verified-dup total
+    val curve = graft.ops.DedupOps.lshCurve(spark, dir)
+      .select("n_bands", "n_pairs", "n_true")
+      .as[(Int, Long, Long)].collect()
+    assert(curve.forall(r => r._1 >= 1 && r._1 <= graft.ops.DedupOps.numBands))
+    val pairTotal = graft.ops.DedupOps.minhashLsh(spark, dir).count()
+    assert(curve.map(_._2).sum == pairTotal,
+      s"curve pairs ${curve.map(_._2).sum} != lsh pairs $pairTotal")
+    val trueTotal = graft.ops.DedupOps.ngramJaccard(spark, dir)
+      .filter(col("jaccard") >= graft.ops.DedupOps.jaccardThreshold).count()
+    assert(curve.map(_._3).sum == trueTotal,
+      s"curve true ${curve.map(_._3).sum} != verified dups $trueTotal")
+    // source stats: rows partition the corpus; near-dup non-survivors
+    // across sources equal docs minus cluster survivors
+    val ss = graft.ops.DedupOps.sourceStats(spark, dir)
+      .select("n_docs", "n_exact_dups", "n_near_dups")
+      .as[(Long, Long, Long)].collect()
+    assert(ss.map(_._1).sum == total)
+    val survivors = graft.ops.DedupOps.nearDupSurvivors(spark, dir).count()
+    assert(ss.map(_._3).sum == total - survivors)
+    ss.foreach(r => assert(r._2 <= r._1 && r._3 <= r._1))
+  }
+
   test("plan shapes: round-9 additions pinned; margin semantics hold") {
     def c(name: String) = Explain.counters(SparkEntry.queries(name)(spark, dir))
     // classifier inference: one codegen map + ONE per-doc agg exchange —
