@@ -207,6 +207,26 @@ object SimilarityOps extends OpGroup {
         col("_p.cellid").as("cell"))
   }
 
+  /** [[probeCells]] with the probe RANK retained (1 = best cell) — the
+    * recall-curve sweep filters `rn <= nprobe` per setting instead of
+    * re-assigning per setting.
+    */
+  private def probeCellsRanked(e: DataFrame,
+      cents: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
+    val entries = cents.map { case (c, v) =>
+      val cn = math.sqrt(v.map(x => x * x).sum)
+      struct(
+        (-round(graft.functions.TextFns.dotProduct(col("embedding"),
+          typedLit(v.toSeq)) / (col("nrm") * lit(cn)), 6)).as("negsim"),
+        lit(c).as("cellid"))
+    }
+    e.withColumn("_probe", slice(array_sort(array(entries: _*)), 1, nProbe))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(col("_probe")).as(Seq("_i", "_p")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (col("_i") + 1).cast("int").as("rn"), col("_p.cellid").as("cell"))
+  }
+
   /** The trained coarse quantizer of one index GENERATION: the final
     * (cell, centroid) list after the two Lloyd rounds. Separated from
     * [[ivfCells]] so index MAINTENANCE can reuse the frozen model — in
@@ -1370,6 +1390,122 @@ object SimilarityOps extends OpGroup {
        |GROUP BY b.q_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Recall-vs-nprobe curve: the operating curve an ANN deployment is
+  // tuned from — for query-side probe counts 1..3 against the SAME
+  // stored index (top-[[ivfProbe]] cells per corpus vector), micro-
+  // averaged recall@k vs brute force. sim_recall_report pins one
+  // operating point; this sweeps the dial, so capacity planning reads
+  // "probe 3 buys +X recall for 3× candidate volume" off one artifact
+  // instead of re-running the index per setting.
+  //
+  // Scale shape: queries are ranked against the frozen quantizer once
+  // (broadcast-literal codegen map, rank retained) and each sweep
+  // setting is a FILTER on that rank — no per-setting re-assignment; the
+  // candidate join is the same cell-bucketed equi-join as the index
+  // itself, tripled at most by the sweep; truth is |queries| × corpus,
+  // affordable because the query set is a bounded sample. Recall is
+  // micro-averaged from integer hit/truth sums (order-independent).
+  // ---------------------------------------------------------------------
+  val recallCurveMaxProbe = 3
+
+  def recallCurve(s: SparkSession, dir: String): DataFrame = {
+    val e = Memo.of(s, dir, "embNorms") {
+      emb(s, dir).select(col("vec_id"), col("embedding"),
+        graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()
+    }
+    val q = e.filter(col("vec_id") < lshQueryCount)
+    val qr = probeCellsRanked(q, ivfModel(s, dir), recallCurveMaxProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("rn"), col("cell"))
+    val sweep = qr.withColumn("nprobe",
+      explode(array((1 to recallCurveMaxProbe).map(lit): _*)))
+      .filter(col("rn") <= col("nprobe"))
+    val stored = ivfCells(s, dir).select(col("cell"), col("vec_id"),
+      col("embedding"), col("nrm"))
+    val cand = sweep.join(stored, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("nprobe"), col("q_id"), col("vec_id"),
+        round(graft.functions.TextFns.dotProduct(col("embedding"), col("q_emb"))
+          / (col("nrm") * col("q_nrm")), 6).as("sim"))
+      .distinct() // a candidate reachable via several probed cells counts once
+    val w = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val got = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lshTopK)
+      .select(col("nprobe"), col("q_id"), col("vec_id"), lit(1L).as("_hit"))
+    val wT = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val truth = e.crossJoin(broadcast(
+      q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.TextFns.dotProduct(col("embedding"), col("q_emb"))
+          / (col("nrm") * col("q_nrm")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= lshTopK)
+      .select(col("q_id"), col("vec_id"))
+    truth.crossJoin(
+      broadcast(s.range(1, recallCurveMaxProbe + 1)
+        .select(col("id").cast("int").as("nprobe"))))
+      .join(got, Seq("nprobe", "q_id", "vec_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).cast("long").as("n_truth"),
+        sum(coalesce(col("_hit"), lit(0L))).cast("long").as("n_hit"))
+      .select(col("nprobe"), col("n_truth"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+  }
+
+  private lazy val recallCurveSql =
+    s"""WITH $ivfCellsCtes,
+       |qrank AS (
+       |  SELECT vec_id AS q_id, q_emb, cell, rn FROM (
+       |    SELECT e.vec_id, e.embedding AS q_emb, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(${cosSql("e.embedding", "s.cv")}, 6) DESC, s.cell ASC)
+       |        AS rn
+       |    FROM embeddings e CROSS JOIN centl2 s
+       |    WHERE e.vec_id < $lshQueryCount) t
+       |  WHERE rn <= $recallCurveMaxProbe),
+       |swcand AS (
+       |  SELECT DISTINCT CAST(p.p AS INT) AS nprobe, qr.q_id, c.vec_id,
+       |    round(${cosSql("c.embedding", "qr.q_emb")}, 6) AS sim
+       |  FROM range(1, ${recallCurveMaxProbe + 1}) p(p)
+       |  JOIN qrank qr ON qr.rn <= p.p
+       |  JOIN cells c ON c.cell = qr.cell AND c.vec_id <> qr.q_id),
+       |swtopk AS (
+       |  SELECT nprobe, q_id, vec_id FROM (
+       |    SELECT nprobe, q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+       |        ORDER BY sim DESC, vec_id ASC) AS rank
+       |    FROM swcand) r
+       |  WHERE rank <= $lshTopK),
+       |cbq AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < $lshQueryCount),
+       |cbsims AS (
+       |  SELECT cbq.q_id, e.vec_id,
+       |    round(${cosSql("e.embedding", "cbq.q_emb")}, 6) AS sim
+       |  FROM embeddings e, cbq WHERE e.vec_id <> cbq.q_id),
+       |cbtopk AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, vec_id ASC) AS rank
+       |    FROM cbsims) r
+       |  WHERE rank <= $lshTopK)
+       |SELECT CAST(t.p AS INT) AS nprobe,
+       |  COUNT(*) AS n_truth,
+       |  CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  round(CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM cbtopk b CROSS JOIN range(1, ${recallCurveMaxProbe + 1}) t(p)
+       |LEFT JOIN swtopk s
+       |  ON s.nprobe = t.p AND s.q_id = b.q_id AND s.vec_id = b.vec_id
+       |GROUP BY t.p""".stripMargin
+
+  // ---------------------------------------------------------------------
   // PCA projection — embedding whitening/compression before clustering
   // or semantic dedup. Two halves, split exactly at the scale boundary:
   //
@@ -1784,6 +1920,8 @@ object SimilarityOps extends OpGroup {
       "held-out probe evaluation: fit on the md5 train split only, one-row test SSE/SST report"),
     Op("sim_label_scatter", labelScatter, Some(labelScatterSql),
       "Fisher-style class-scatter report via GROUPED Gram aggregation: labels x 17KB, never N x d"),
+    Op("sim_recall_curve", recallCurve, Some(recallCurveSql),
+      "recall@k vs query-side probe count (1..3) against the fixed IVF index: the ANN operating curve"),
     Op("sim_recall_report", recallReport, Some(recallReportSql),
       "index-quality report: per-query recall@k of IVF retrieval vs brute-force truth"),
     Op("sim_graph_topk", graphTopk, Some(graphTopkSql),

@@ -230,7 +230,50 @@ object TimeSeriesOps extends OpGroup {
        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS census
        |FROM daily_cs""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // OHLC downsample: the irregular event stream resampled to one
+  // (event_type, hour) bar — open/high/low/close plus count and
+  // quantized volume, the standard lossy compaction a dashboard or
+  // long-horizon model reads instead of raw events. Open/close are
+  // deterministic under the (ts, event_id) total order.
+  //
+  // Scale shape: ONE map-side-combinable hash aggregate — open/close
+  // ride min/max over a (ts, event_id, value) struct (lexicographic
+  // struct comparison = the tie rule, combinable like any min/max), so
+  // there is no per-bucket sort or window anywhere; volume sums 1e-6-
+  // quantized integers, order-independent by construction. Output is
+  // |types| × hours — calendar-bounded, never event-bounded.
+  // ---------------------------------------------------------------------
+  def ohlcDownsample(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("ts"), col("event_id"), col("value"))
+    e.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("value"))).as("_o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("_c"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        sum(floor(col("value") * 1000000 + 0.5).cast("long")).cast("long")
+          .as("vol_q"))
+      .select(col("event_type"), col("h"), col("n_events"),
+        col("_o.value").as("open_v"), col("high_v"), col("low_v"),
+        col("_c.value").as("close_v"), col("vol_q"))
+  }
+
+  private val ohlcDownsampleSql =
+    """SELECT event_type, date_trunc('hour', ts) AS h,
+      |  COUNT(*) AS n_events,
+      |  FIRST(value ORDER BY ts ASC, event_id ASC) AS open_v,
+      |  MAX(value) AS high_v, MIN(value) AS low_v,
+      |  LAST(value ORDER BY ts ASC, event_id ASC) AS close_v,
+      |  CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS vol_q
+      |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("ts_downsample", ohlcDownsample, Some(ohlcDownsampleSql),
+      "OHLC hour bars per event type: one combinable hash-agg, struct-ordered open/close, quantized volume"),
     Op("ts_census", censusSweep, Some(censusSweepSql),
       "daily concurrent-stay census via sweep-line deltas + date-domain prefix sum, no interval explode"),
     Op("ts_gap_fill", gapFill, Some(gapFillSql),

@@ -2466,6 +2466,44 @@ class ExtensionsSpec extends AnyFunSuite {
     ss.foreach(r => assert(r._2 <= r._1 && r._3 <= r._1))
   }
 
+  test("recall curve and OHLC downsample: semantics and plan shape") {
+    import spark.implicits._
+    // the curve is monotone: more probed cells can only grow the
+    // candidate set, so micro recall is non-decreasing in nprobe
+    val curve = graft.ops.SimilarityOps.recallCurve(spark, dir)
+      .orderBy("nprobe").select("nprobe", "n_truth", "n_hit")
+      .as[(Int, Long, Long)].collect()
+    assert(curve.map(_._1).toSeq == (1 to
+      graft.ops.SimilarityOps.recallCurveMaxProbe))
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"recall curve not monotone: $a -> $b")
+    }
+    // the nprobe=2 point IS sim_recall_report's operating point: same
+    // stored index, same query probes — micro-averaged sums must agree
+    val rep = graft.ops.SimilarityOps.recallReport(spark, dir)
+      .agg(sum("n_truth"), sum("n_hit")).as[(Long, Long)].head()
+    val p2 = curve.find(_._1 == 2).get
+    assert((p2._2, p2._3) == rep,
+      s"curve@2 ${(p2._2, p2._3)} != recall_report $rep")
+    // OHLC: per-bar bounds hold and counts partition the stream; the
+    // plan is ONE combinable hash-agg — no window, no join of any kind
+    val bars = graft.ops.TimeSeriesOps.ohlcDownsample(spark, dir)
+    val bad = bars.filter(col("high_v") < col("low_v") ||
+      col("open_v") > col("high_v") || col("open_v") < col("low_v") ||
+      col("close_v") > col("high_v") || col("close_v") < col("low_v"))
+      .count()
+    assert(bad == 0, s"$bad OHLC bars violate bounds")
+    val nTotal = Tables.load(spark, dir, "events").count()
+    assert(bars.agg(sum("n_events")).as[Long].head() == nTotal)
+    val oc = Explain.counters(bars)
+    info(s"ts_downsample: $oc")
+    assert(oc("shuffles") == 1 && oc("sortMergeJoins") == 0 &&
+      oc("nestedLoopJoins") == 0 && oc("broadcasts") == 0,
+      s"ts_downsample: $oc")
+    assert(!bars.queryExecution.executedPlan.toString.contains("Window"),
+      "ts_downsample must not window")
+  }
+
   test("plan shapes: round-9 additions pinned; margin semantics hold") {
     def c(name: String) = Explain.counters(SparkEntry.queries(name)(spark, dir))
     // classifier inference: one codegen map + ONE per-doc agg exchange —
