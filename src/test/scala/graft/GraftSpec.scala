@@ -121,6 +121,7 @@ class GraftSpec extends AnyFunSuite {
       "sim_rewritten_cosine_topk" -> 1, // same shape, HOF spelling rewritten
       "sim_mips_topk" -> 3, // max-norm scalar + query sample + rerank
       "sim_recall_report" -> 1, // brute-force truth definition
+      "sim_recall_curve" -> 2, // truth cross + 3-row nprobe sweep cross
       "sim_ivf_balance" -> 1, // single-row (total, k) scalar side
       "text_bm25" -> 1, // corpus-stats scalar row
       "text_hard_negatives" -> 1, // idf/stats side table
