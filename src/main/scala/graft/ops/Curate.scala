@@ -543,6 +543,98 @@ object Curate extends OpGroup {
       |  CAST(FLOOR(SUM(w) / COUNT(*) * 1000000 + 0.5) AS BIGINT) >= 0 AS keep
       |FROM wt GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Release drift report: Population Stability Index between the RAW
+  // crawl and the CURATED release over three bounded stratifications —
+  // source share, language share, and log2 length-bucket share. The
+  // dataset-card question it answers: "what did the gates do to the
+  // corpus mix?" (a curation chain that silently halves a language's
+  // share is a training-distribution change the funnel's scalar counts
+  // don't show). PSI = Σ_b (p_cur − p_raw)·ln(p_cur/p_raw); the standard
+  // monitoring convention reads <0.1 stable, >0.25 shifted.
+  //
+  // Scale shape: the curated side reuses the memoized corpus (a doc_id
+  // semi-join, no gate re-runs); the stack of three features is an
+  // explode of a 3-element literal array (rows ×3, collapsed by the
+  // map-side partial before any exchange), and every key space is
+  // bounded — sources × langs × log2 buckets — so the agg output is
+  // tens of rows at any corpus size. Laplace +1 smoothing over the raw
+  // bucket set keeps empty curated buckets finite (curated ⊆ raw, so
+  // raw's bucket set IS the union). Determinism: shares are exact
+  // integer ratios, each PSI term is floored to nano-units before the
+  // per-feature sum (the klMixture discipline), so partition order
+  // cannot move the reported value.
+  // ---------------------------------------------------------------------
+  def driftReport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val kept = curatedCorpus(s, dir).select(col("doc_id"), lit(1L).as("kept"))
+    val feats = d.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"))
+      .join(kept, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("kept"))
+      .select(col("kept"), explode(array(
+        struct(lit("source").as("feature"), col("source").as("bucket")),
+        struct(lit("lang").as("feature"), col("lang").as("bucket")),
+        struct(lit("len_log2").as("feature"),
+          floor(log2(col("n_chars") + 1)).cast("long").cast("string")
+            .as("bucket")))).as("fb"))
+      .select(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"),
+        col("kept"))
+    val counts = feats.groupBy(col("feature"), col("bucket"))
+      .agg(count(lit(1)).as("c_raw"), sum(col("kept")).as("c_cur"))
+    val tot = counts.groupBy(col("feature"))
+      .agg(sum("c_raw").as("n_raw"), sum("c_cur").as("n_cur"),
+        count(lit(1)).as("n_buckets"))
+    val pRaw = (col("c_raw") + 1).cast("double") /
+      (col("n_raw") + col("n_buckets")).cast("double")
+    val pCur = (col("c_cur") + 1).cast("double") /
+      (col("n_cur") + col("n_buckets")).cast("double")
+    counts.join(broadcast(tot), "feature")
+      .select(col("feature"), col("n_buckets"),
+        floor((pCur - pRaw) * log(pCur / pRaw) * lit(1e9)).cast("long")
+          .as("term_nano"))
+      .groupBy(col("feature"))
+      .agg(max(col("n_buckets")).as("n_buckets"),
+        sum(col("term_nano")).as("psi_nano"))
+      .select(col("feature"), col("n_buckets"),
+        round(col("psi_nano").cast("double") / 1e9, 6).as("psi"))
+  }
+
+  private def driftReportSql: String =
+    s"""$curatedAsCte,
+       |feats AS (
+       |  SELECT 'source' AS feature, d.source AS bucket,
+       |    CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS kept
+       |  FROM documents d LEFT JOIN cur c USING (doc_id)
+       |  UNION ALL
+       |  SELECT 'lang', d.lang,
+       |    CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END
+       |  FROM documents d LEFT JOIN cur c USING (doc_id)
+       |  UNION ALL
+       |  SELECT 'len_log2',
+       |    CAST(CAST(FLOOR(log2(d.n_chars + 1)) AS BIGINT) AS VARCHAR),
+       |    CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END
+       |  FROM documents d LEFT JOIN cur c USING (doc_id)),
+       |cnts AS (
+       |  SELECT feature, bucket, COUNT(*) AS c_raw, SUM(kept) AS c_cur
+       |  FROM feats GROUP BY 1, 2),
+       |tots AS (
+       |  SELECT feature, SUM(c_raw) AS n_raw, SUM(c_cur) AS n_cur,
+       |    COUNT(*) AS n_buckets
+       |  FROM cnts GROUP BY 1),
+       |terms AS (
+       |  SELECT c.feature, t.n_buckets,
+       |    CAST(FLOOR(
+       |      (CAST(c.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + t.n_buckets AS DOUBLE)
+       |       - CAST(c.c_raw + 1 AS DOUBLE) / CAST(t.n_raw + t.n_buckets AS DOUBLE))
+       |      * ln((CAST(c.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + t.n_buckets AS DOUBLE))
+       |          / (CAST(c.c_raw + 1 AS DOUBLE) / CAST(t.n_raw + t.n_buckets AS DOUBLE)))
+       |      * 1000000000) AS BIGINT) AS term_nano
+       |  FROM cnts c JOIN tots t USING (feature))
+       |SELECT feature, MAX(n_buckets) AS n_buckets,
+       |  round(CAST(SUM(term_nano) AS DOUBLE) / 1000000000, 6) AS psi
+       |FROM terms GROUP BY feature""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("curate_classifier_filter", classifierFilter,
       Some(classifierFilterSql),
@@ -577,7 +669,9 @@ object Curate extends OpGroup {
       Some(shardManifestSqlAt(trainingShardsAlt)),
       "the release manifest at the second shard setting: digest stays order-independent across settings"),
     Op("curate_release_diff", releaseDiff, Some(releaseDiffSql),
-      "release diff: 8-shard vs 16-shard layouts rolled to split grain must carry identical counts/volume/digest — re-sharding cannot change a commutative digest"))
+      "release diff: 8-shard vs 16-shard layouts rolled to split grain must carry identical counts/volume/digest — re-sharding cannot change a commutative digest"),
+    Op("curate_drift_report", driftReport, Some(driftReportSql),
+      "raw-vs-curated PSI drift over source/lang/length strata: what the gate chain did to the corpus mix, in bounded aggregate space"))
 
   // ---------------------------------------------------------------------
   // The full training-set materialization in ONE declarative plan — what
@@ -664,17 +758,22 @@ object Curate extends OpGroup {
   /** The training-set CTE chain up to `sharded_ts`, shared by the
     * coordinates query and the release manifest.
     */
-  private def trainingCtes(shards: Int): String = {
-    // wrap curatedCorpusSql's final SELECT into a `cur` CTE and extend;
-    // guard the surgery: if the final SELECT's spelling drifts, fail at
-    // object init with a named error instead of emitting broken SQL the
-    // oracle run would report as a DuckDB parse failure far from here
+  /** curatedCorpusSql with its final SELECT wrapped into a `cur` CTE, for
+    * oracles that extend the curated corpus (training set, drift report).
+    * Guard the surgery: if the final SELECT's spelling drifts, fail at
+    * first use with a named error instead of emitting broken SQL the
+    * oracle run would report as a DuckDB parse failure far from here.
+    */
+  private def curatedAsCte: String = {
     require(curatedCorpusSql.contains("\nSELECT d.doc_id"),
-      "trainingCtes: curatedCorpusSql's final SELECT no longer matches " +
+      "curatedAsCte: curatedCorpusSql's final SELECT no longer matches " +
         "the CTE-wrapping pattern — update both together")
-    val curAsCte = curatedCorpusSql
+    curatedCorpusSql
       .replaceFirst("\\nSELECT d\\.doc_id", ",\ncur AS (SELECT d.doc_id") + ")"
-    s"""$curAsCte,
+  }
+
+  private def trainingCtes(shards: Int): String = {
+    s"""$curatedAsCte,
        |cap_ts AS (
        |  SELECT doc_id, source FROM (
        |    SELECT cur.doc_id, d2.source,

@@ -709,6 +709,109 @@ object SimilarityOps extends OpGroup {
        |FROM pred GROUP BY label""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Out-of-distribution scoring: per-label diagonal Gaussian (mean and
+  // variance per dimension), each vector scored by its dimension-averaged
+  // variance-normalized squared distance to ITS OWN label's prototype —
+  // the classic diagonal-Mahalanobis OOD detector (Lee et al. 2018's
+  // simplification), and the data-curation use is label-noise mining:
+  // the top-k most OOD members of each label are the rows a labeling
+  // audit reads first (a mislabeled embedding is far from its class mean
+  // in its class's own metric, even when it is near SOME class).
+  //
+  // Scale shape: moments come from one posexplode + hash-agg — map-side
+  // partials collapse to labels×64 cells per mapper before the exchange,
+  // so the stats shuffle is model-sized, never corpus-sized; the stats
+  // re-enter as a broadcast join and the score is one map over the
+  // corpus. Per-label top-k is the BoundedTopK AGGREGATE (key = micro-
+  // quantized score), not a label-keyed rank window — `label` is a
+  // bounded stratum, the exact partition-SIZE trap the window audit
+  // rejects. Determinism: micro-quantized BIGINT moments ride exact
+  // decimal sums (a plain LongType Σq² overflows past ~3e7 rows/label —
+  // decimal(38,0) holds every realistic corpus); mean/var/weight are
+  // rounded to 6 dp so both engines fold the identical doubles in
+  // dimension order.
+  // ---------------------------------------------------------------------
+  val oodTopK = 5
+  val oodVarEps = 0.0001
+
+  def oodScore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb(s, dir)
+    val st = e.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        round(col("col").cast("double") * 1000000).cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast(DecimalType(38, 0))).as("sq"),
+        sum((col("q") * col("q")).cast(DecimalType(38, 0))).as("sq2"))
+      .select(col("label"), col("pos"),
+        round(col("sq").cast("double") / (col("n") * lit(1000000.0)), 6)
+          .as("m"),
+        round(col("sq2").cast("double") / (col("n") * lit(1e12)), 6)
+          .as("ex2"))
+      .select(col("label"), col("pos"), col("m"),
+        round(lit(1.0) /
+          (greatest(round(col("ex2") - col("m") * col("m"), 6), lit(0.0))
+            + lit(oodVarEps)), 6).as("w"))
+    // labels × 64 rows: assemble the per-label (mean, weight) arrays in
+    // dimension order — bounded frame, broadcast back onto the corpus
+    val stl = st.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"), col("w"))))
+        .as("a"))
+      .select(col("label"),
+        transform(col("a"), x => x.getField("m")).as("mv"),
+        transform(col("a"), x => x.getField("w")).as("wv"))
+    val diff2w = zip_with(
+      zip_with(col("embedding"), col("mv"), (x, m) => {
+        val d = x.cast("double") - m; d * d
+      }),
+      col("wv"), (d, w) => d * w)
+    val ood = round(
+      aggregate(diff2w, lit(0.0d), (acc, v) => acc + v) / lit(64), 6)
+    e.join(broadcast(stl), "label")
+      .select(col("label"), col("vec_id"),
+        round(ood * lit(1e6)).cast("long").as("key"))
+      .groupBy(col("label"))
+      .agg(graft.expressions.BoundedTopK
+        .topK(col("key"), col("vec_id"), oodTopK).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("label"), col("t.id").as("vec_id"),
+        round(col("t.key").cast("double") / 1e6, 6).as("ood_score"),
+        (col("p") + 1).cast("int").as("rank"))
+  }
+
+  private val oodScoreSql =
+    s"""WITH q AS (
+       |  SELECT e.label, t.i,
+       |    CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+       |  FROM embeddings e, range(1, 65) t(i)),
+       |st AS (
+       |  SELECT label, i,
+       |    round(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS m,
+       |    round(CAST(SUM(q * q) AS DOUBLE) / (COUNT(*) * 1000000000000.0), 6) AS ex2
+       |  FROM q GROUP BY label, i),
+       |stw AS (
+       |  SELECT label, i, m,
+       |    round(1.0 / (greatest(round(ex2 - m * m, 6), 0.0) + $oodVarEps), 6) AS w
+       |  FROM st),
+       |stl AS (
+       |  SELECT label, list(m ORDER BY i) AS mv, list(w ORDER BY i) AS wv
+       |  FROM stw GROUP BY label),
+       |sc AS (
+       |  SELECT e.vec_id, e.label,
+       |    round(list_reduce(list_transform(range(1, 65), i ->
+       |      (CAST(e.embedding[i] AS DOUBLE) - s.mv[i])
+       |        * (CAST(e.embedding[i] AS DOUBLE) - s.mv[i]) * s.wv[i]),
+       |      (acc, v) -> acc + v) / 64, 6) AS ood
+       |  FROM embeddings e JOIN stl s USING (label))
+       |SELECT label, vec_id, ood AS ood_score, rank FROM (
+       |  SELECT label, vec_id, ood,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY ood DESC, vec_id ASC) AS INT) AS rank
+       |  FROM sc) r
+       |WHERE rank <= $oodTopK""".stripMargin
+
+  // ---------------------------------------------------------------------
   // MIPS via the asymmetric augmentation (Bachrach et al. 2014 /
   // Shrivastava & Li 2014): maximum-INNER-PRODUCT search does not reduce
   // to cosine when norms vary, but appending one dimension makes it an
@@ -1940,6 +2043,8 @@ object SimilarityOps extends OpGroup {
       "maximum-inner-product top-k via the asymmetric augmented-L2 reduction"),
     Op("sim_label_centroids", labelCentroids, Some(labelCentroidsSql),
       "class prototypes: per-label centroid + nearest-prototype agreement (separability diagnostic)"),
+    Op("sim_ood_score", oodScore, Some(oodScoreSql),
+      "diagonal-Mahalanobis OOD mining: per-label top-k outliers by variance-normalized distance to own-class mean, BoundedTopK not a label window"),
     Op("sim_cosine_topk", cosineTopK, Some(cosineTopKSql),
       "brute-force cosine top-k vs query vector (baseline)"),
     Op("sim_rewritten_cosine_topk", rewrittenCosineTopK, Some(cosineTopKSql),

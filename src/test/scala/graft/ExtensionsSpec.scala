@@ -2546,6 +2546,103 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ood score equals the diagonal-Gaussian model replay; drift PSI replays exactly") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    // HALF_UP rounding, matching Spark's Round expression and DuckDB round()
+    def rnd(x: Double, scale: Int): Double =
+      new JBD(java.lang.Double.toString(x)).setScale(scale, RM.HALF_UP)
+        .doubleValue()
+    def qLong(x: Double): Long =
+      new JBD(java.lang.Double.toString(x)).setScale(0, RM.HALF_UP).longValue()
+
+    // --- sim_ood_score: replay the full quantized pipeline in plain Scala
+    val embRows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val byLabel = embRows.groupBy(_._2)
+    val expected = byLabel.toSeq.flatMap { case (label, rs) =>
+      val n = rs.length.toDouble
+      val dims = 0 until 64
+      val m = new Array[Double](64)
+      val w = new Array[Double](64)
+      dims.foreach { i =>
+        val qs = rs.map(r => qLong(r._3(i).toDouble * 1e6))
+        val sq = qs.sum // exact at suite scale; the op sums decimal(38,0)
+        val sq2 = qs.map(q => q * q).sum
+        m(i) = rnd(sq.toDouble / (n * 1e6), 6)
+        val ex2 = rnd(sq2.toDouble / (n * 1e12), 6)
+        val v = math.max(rnd(ex2 - m(i) * m(i), 6), 0.0)
+        w(i) = rnd(1.0 / (v + graft.ops.SimilarityOps.oodVarEps), 6)
+      }
+      val scored = rs.map { case (vid, _, x) =>
+        var acc = 0.0
+        dims.foreach { i =>
+          val d = x(i).toDouble - m(i); acc += (d * d) * w(i)
+        }
+        (vid, qLong(rnd(acc / 64, 6) * 1e6))
+      }
+      scored.sortBy { case (vid, key) => (-key, vid) }
+        .take(graft.ops.SimilarityOps.oodTopK)
+        .zipWithIndex
+        .map { case ((vid, key), p) =>
+          (label, vid, rnd(key.toDouble / 1e6, 6), p + 1)
+        }
+    }.toSet
+    val got = SparkEntry.queries("sim_ood_score")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got == expected,
+      s"ood mismatch: extra=${got -- expected}, missing=${expected -- got}")
+    // plan shape: no label-keyed rank window (bounded-stratum trap), no
+    // loop join — the top-k is the BoundedTopK aggregate
+    val oodDf = SparkEntry.queries("sim_ood_score")(spark, dir)
+    assert(WindowAudit.globalWindowCount(oodDf) == 0 &&
+      WindowAudit.violations(oodDf).isEmpty &&
+      Explain.counters(oodDf)("nestedLoopJoins") == 0,
+      "sim_ood_score plan regressed")
+
+    // --- curate_drift_report: replay PSI from the collected corpus
+    val docRows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .collect()
+    val kept = SparkEntry.queries("curate_corpus")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val feats = docRows.flatMap { r =>
+      val id = r.getLong(0)
+      Seq(("source", r.getString(1), id), ("lang", r.getString(2), id),
+        ("len_log2",
+          math.floor(math.log(r.getLong(3).toDouble + 1) / math.log(2.0))
+            .toLong.toString, id))
+    }
+    val expectedDrift = feats.groupBy(_._1).map { case (f, rows) =>
+      val buckets = rows.groupBy(_._2)
+      val b = buckets.size.toLong
+      val nRaw = rows.length.toLong
+      val nCur = rows.count(r => kept.contains(r._3)).toLong
+      val psiNano = buckets.values.map { brs =>
+        val cRaw = brs.length.toLong
+        val cCur = brs.count(r => kept.contains(r._3)).toLong
+        val pr = (cRaw + 1).toDouble / (nRaw + b)
+        val pc = (cCur + 1).toDouble / (nCur + b)
+        math.floor((pc - pr) * math.log(pc / pr) * 1e9).toLong
+      }.sum
+      (f, b, rnd(psiNano.toDouble / 1e9, 6))
+    }.toSet
+    val gotDrift = SparkEntry.queries("curate_drift_report")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(gotDrift == expectedDrift,
+      s"drift mismatch: got=$gotDrift expected=$expectedDrift")
+    // every stratification is present and bounded; PSI terms share the
+    // (p−q)·ln(p/q) ≥ 0 sign, so each feature's PSI is non-negative
+    assert(gotDrift.map(_._1) == Set("source", "lang", "len_log2"))
+    gotDrift.foreach { case (f, b, psi) =>
+      assert(b > 0 && b <= 64, s"$f bucket count $b out of bounds")
+      assert(psi >= 0.0, s"$f PSI $psi negative")
+    }
+  }
+
   test("containment matches set model and explains the jaccard gap") {
     import spark.implicits._
     // driver model: exact shingle-set containment per LSH candidate pair
