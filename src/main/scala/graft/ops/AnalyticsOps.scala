@@ -422,7 +422,109 @@ object AnalyticsOps extends OpGroup {
        |FROM fa FULL OUTER JOIN la USING (channel)
        |FULL OUTER JOIN ln USING (channel)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A20 — experiment readout: the two-proportion z-test every A/B
+  // platform computes. Users are hash-assigned to variants (md5 of a
+  // salted user_id — deterministic, repartition/append/engine-stable,
+  // the text_split_assign discipline; a real platform substitutes its
+  // assignment log and the plan is unchanged), the outcome is per-user
+  // conversion (any purchase) plus exact-cents revenue, and the readout
+  // is one row: counts, per-variant rates, the pooled z statistic, and
+  // the 5% two-sided significance call.
+  //
+  // Scale shape: one user_id hash-agg collapses the event feed to one
+  // row per user (map-side combined), then ONE global aggregate of 0/1
+  // conditional sums folds both variants into a single row — no join, no
+  // window, no second scan. Determinism: every aggregate is an integer
+  // (counts, cents); rates are integer micro-divisions (DIV); z is one
+  // closed-form double formula over those exact integers (the
+  // a15_corr_stats discipline), rounded 6dp BEFORE the significance
+  // compare so the flag derives from the identical double in both
+  // engines.
+  // ---------------------------------------------------------------------
+  // conversion = a purchase of at least 50 (a high-value order): plain
+  // "any purchase" saturates this feed (every user buys → p = 1, zero
+  // pooled variance, z undefined)
+  val abConvMinValue = 50
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val fns = graft.functions.TextFns
+    val perUser = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") >= abConvMinValue, 1L).otherwise(0L))
+        .as("conv"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
+          .as("cents"))
+      .withColumn("in_a",
+        when(substring(fns.fastMd5(
+          concat(lit("exp1|"), col("user_id").cast("string"))), 1, 1) < "8",
+          1L).otherwise(0L))
+    val g = perUser.agg(
+      sum(col("in_a")).as("n_a"),
+      sum(col("in_a") * col("conv")).as("c_a"),
+      sum(col("in_a") * col("cents")).as("cents_a"),
+      sum(lit(1L) - col("in_a")).as("n_b"),
+      sum((lit(1L) - col("in_a")) * col("conv")).as("c_b"),
+      sum((lit(1L) - col("in_a")) * col("cents")).as("cents_b"))
+    def d(c: String) = col(c).cast("double")
+    val pa = d("c_a") / d("n_a")
+    val pb = d("c_b") / d("n_b")
+    val p = (d("c_a") + d("c_b")) / (d("n_a") + d("n_b"))
+    // z is undefined at p ∈ {0, 1} (zero pooled variance — 0/0, which
+    // ANSI mode correctly refuses even for doubles): guard to NULL; the
+    // when() keeps the division off the degenerate branch entirely
+    val z = round(when(
+      col("c_a") + col("c_b") > 0L &&
+        col("c_a") + col("c_b") < col("n_a") + col("n_b"),
+      (pa - pb) / sqrt(p * (lit(1.0d) - p) *
+        (lit(1.0d) / d("n_a") + lit(1.0d) / d("n_b")))), 6)
+    g.select(col("n_a"), col("c_a"), col("cents_a"),
+      col("n_b"), col("c_b"), col("cents_b"),
+      expr("(c_a * 1000000) DIV n_a").as("rate_a_ppm"),
+      expr("(c_b * 1000000) DIV n_b").as("rate_b_ppm"),
+      z.as("z_conv"),
+      coalesce(abs(z) > lit(1.96d), lit(false)).as("significant"))
+  }
+
+  private lazy val abTestSql =
+    s"""WITH pu AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value >= $abConvMinValue
+      |        THEN 1 ELSE 0 END) AS conv,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS cents,
+      |    CASE WHEN substring(md5('exp1|' || CAST(user_id AS VARCHAR)), 1, 1)
+      |           < '8' THEN 1 ELSE 0 END AS in_a
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT
+      |    CAST(SUM(in_a) AS BIGINT) AS n_a,
+      |    CAST(SUM(in_a * conv) AS BIGINT) AS c_a,
+      |    CAST(SUM(in_a * cents) AS BIGINT) AS cents_a,
+      |    CAST(SUM(1 - in_a) AS BIGINT) AS n_b,
+      |    CAST(SUM((1 - in_a) * conv) AS BIGINT) AS c_b,
+      |    CAST(SUM((1 - in_a) * cents) AS BIGINT) AS cents_b
+      |  FROM pu),
+      |zc AS (
+      |  SELECT *,
+      |    CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+      |      round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+      |        / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+      |               * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+      |               * (1.0 / n_a + 1.0 / n_b)), 6)
+      |    END AS z_conv
+      |  FROM g)
+      |SELECT n_a, c_a, cents_a, n_b, c_b, cents_b,
+      |  (c_a * 1000000) // n_a AS rate_a_ppm,
+      |  (c_b * 1000000) // n_b AS rate_b_ppm,
+      |  z_conv,
+      |  COALESCE(abs(z_conv) > 1.96, FALSE) AS significant
+      |FROM zc""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("a20_ab_test", abTest, Some(abTestSql),
+      "experiment readout: hash-assigned variants, exact integer counts/cents, pooled two-proportion z in one closed-form double"),
     Op("a19_attribution", attribution, Some(attributionSql),
       "multi-touch attribution (first/last/linear) over the 7-day lookback, one user-keyed join"),
     Op("a18_interval_overlap", intervalOverlap, Some(intervalOverlapSql),

@@ -635,7 +635,58 @@ object Curate extends OpGroup {
        |  round(CAST(SUM(term_nano) AS DOUBLE) / 1000000000, 6) AS psi
        |FROM terms GROUP BY feature""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Filter calibration: the 2×2 agreement table between the model-based
+  // quality filter (curate_classifier_filter's keep) and the heuristic
+  // quality gate (text_quality_score's good/bad) — the ablation every
+  // filter swap runs BEFORE rebuilding a corpus (the FineWeb-Edu
+  // discipline: a trained classifier that disagrees with the heuristics
+  // on half the corpus is either a big win or a big bug, and this table
+  // is how you find out which). Each cell carries its doc count, exact
+  // summed classifier score (the cell's score mass — low |mean| in
+  // disagreement cells means the classifier is UNSURE there, high means
+  // a genuine verdict flip), and corpus share in integer ppm.
+  //
+  // Scale shape: one doc_id join of two per-doc frames (both one
+  // map-side-combinable pass over the corpus), then a hash-agg to ≤4
+  // rows; the share's denominator is a single-row broadcast cross
+  // (whitelisted, the sim_ivf_balance shape). All cells integer: counts,
+  // summed micro-scores, ppm floor-divisions.
+  // ---------------------------------------------------------------------
+  def filterCalibration(s: SparkSession, dir: String): DataFrame = {
+    val cf = classifierFilter(s, dir)
+      .select(col("doc_id"), col("keep"), col("score_q"))
+    val q = TextOps.qualityScore(s, dir).select(col("doc_id"), col("quality"))
+    val cells = cf.join(q, Seq("doc_id"))
+      .groupBy(col("keep"), col("quality"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("score_q")).cast("long").as("sum_score_q"))
+    val tot = cells.agg(sum(col("n_docs")).as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("keep"), col("quality"), col("n_docs"), col("sum_score_q"),
+        expr("(n_docs * 1000000) DIV n_total").as("share_ppm"),
+        (col("keep") === (col("quality") === "good")).as("agree"))
+  }
+
+  private lazy val filterCalibrationSql =
+    s"""WITH cf AS ($classifierFilterSql),
+       |qg AS (${TextOps.qualityScoreSql}),
+       |cells AS (
+       |  SELECT cf.keep, qg.quality,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(cf.score_q) AS BIGINT) AS sum_score_q
+       |  FROM cf JOIN qg ON qg.doc_id = cf.doc_id
+       |  GROUP BY cf.keep, qg.quality),
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM cells)
+       |SELECT keep, quality, n_docs, sum_score_q,
+       |  (n_docs * 1000000) // n_total AS share_ppm,
+       |  (keep = (quality = 'good')) AS agree
+       |FROM cells, tot""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("curate_filter_calibration", filterCalibration,
+      Some(filterCalibrationSql),
+      "model-vs-heuristic filter agreement: 2x2 confusion cells with exact score mass and integer-ppm corpus share"),
     Op("curate_classifier_filter", classifierFilter,
       Some(classifierFilterSql),
       "model-based quality filter: hashed bag-of-words linear classifier scored as one codegen map + per-doc partial agg (FineWeb-Edu/DCLM recipe)"),

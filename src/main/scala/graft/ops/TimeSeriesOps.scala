@@ -271,7 +271,101 @@ object TimeSeriesOps extends OpGroup {
       |    AS vol_q
       |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // CUSUM changepoint detection over per-type daily volumes — the
+  // level-shift monitor that catches what ts_anomaly_days' single-day
+  // 3σ flag cannot: a sustained small shift (a feed silently dropping
+  // 20%) that never spikes any one day. Textbook CUSUM is a sequential
+  // recursion S_t = max(0, S_{t-1} + (x_t − μ)) — driver-shaped, useless
+  // on a cluster — but it has a closed form over prefix sums:
+  //     S⁺_t = P_t − min_{0≤j≤t} P_j,   S⁻_t = max_{0≤j≤t} P_j − P_t,
+  // with P_t = Σ_{i≤t}(x_i − μ) and P_0 = 0 (the recursion's S_0 = 0,
+  // hence the least/greatest-with-zero clamps): a running sum/min/max and a
+  // subtraction — all window primitives. μ = Sx/n is rational, so
+  // everything rides EXACT INTEGERS via cross-multiplication (the
+  // ts_anomaly_days discipline): P'_t = n·cum_t − t·Sx = n·P_t, and the
+  // 5σ alarm S > 5σ ⟺ S'² > 25·(n·Sxx − Sx²) compares DECIMAL(38,0)
+  // products — zero float accumulation or thresholds anywhere.
+  //
+  // Scale shape: the daily hash-agg collapses the event feed first, so
+  // the per-type windows run over DAY-GRAIN rows — partition size =
+  // observed days per type, bounded by the CALENDAR at any corpus size
+  // (the ts_census argument, keyed); per-type stats join back as a
+  // broadcast (|types| rows).
+  // ---------------------------------------------------------------------
+  def changepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wIdx = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    val pre = daily.join(broadcast(stats), "event_type")
+      .withColumn("p",
+        col("n") * sum(col("x")).over(wRun) -
+          row_number().over(wIdx).cast("long") * col("sx"))
+    // the prefix extrema must include the EMPTY prefix P'_0 = 0 (the
+    // recursion starts at S_0 = 0), hence the least/greatest clamps
+    val scored = pre
+      .withColumn("s_up",
+        col("p") - least(lit(0L), min(col("p")).over(wRun)))
+      .withColumn("s_dn",
+        greatest(lit(0L), max(col("p")).over(wRun)) - col("p"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    // 25·(n·Sxx − Sx²) spelled (25n)·Sxx − (5Sx)² so every product is
+    // DECIMAL(19)×DECIMAL(19) → DECIMAL(38,0), in range in both engines
+    val thresh = dec(col("n") * 25) * dec(col("sxx")) -
+      dec(col("sx") * 5) * dec(col("sx") * 5)
+    scored.select(col("event_type"), col("day"),
+      col("x").cast("long").as("n_events"),
+      col("s_up").cast("long").as("s_up_n"),
+      col("s_dn").cast("long").as("s_dn_n"),
+      (col("s_up") > 0 && dec(col("s_up")) * dec(col("s_up")) > thresh)
+        .as("shift_up"),
+      (col("s_dn") > 0 && dec(col("s_dn")) * dec(col("s_dn")) > thresh)
+        .as("shift_dn"))
+  }
+
+  private lazy val changepointSql =
+    """WITH dly AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      |  FROM dly GROUP BY 1),
+      |pre AS (
+      |  SELECT d.event_type, d.day, d.x, s.n, s.sx, s.sxx,
+      |    s.n * SUM(d.x) OVER w - ROW_NUMBER() OVER wo * s.sx AS p
+      |  FROM dly d JOIN st s USING (event_type)
+      |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day ASC
+      |    ROWS UNBOUNDED PRECEDING),
+      |  wo AS (PARTITION BY d.event_type ORDER BY d.day ASC)),
+      |cs AS (
+      |  SELECT event_type, day, x, n, sx, sxx, p,
+      |    p - LEAST(0, MIN(p) OVER w) AS s_up,
+      |    GREATEST(0, MAX(p) OVER w) - p AS s_dn
+      |  FROM pre
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+      |    ROWS UNBOUNDED PRECEDING))
+      |SELECT event_type, day, CAST(x AS BIGINT) AS n_events,
+      |  CAST(s_up AS BIGINT) AS s_up_n, CAST(s_dn AS BIGINT) AS s_dn_n,
+      |  (s_up > 0 AND CAST(s_up AS DECIMAL(19,0)) * CAST(s_up AS DECIMAL(19,0))
+      |    > CAST(n * 25 AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+      |      - CAST(sx * 5 AS DECIMAL(19,0)) * CAST(sx * 5 AS DECIMAL(19,0)))
+      |    AS shift_up,
+      |  (s_dn > 0 AND CAST(s_dn AS DECIMAL(19,0)) * CAST(s_dn AS DECIMAL(19,0))
+      |    > CAST(n * 25 AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+      |      - CAST(sx * 5 AS DECIMAL(19,0)) * CAST(sx * 5 AS DECIMAL(19,0)))
+      |    AS shift_dn
+      |FROM cs""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("ts_changepoint", changepoint, Some(changepointSql),
+      "CUSUM level-shift detection per event type via the prefix-min closed form: exact-integer cross-multiplied 5-sigma alarms over day-grain windows"),
     Op("ts_downsample", ohlcDownsample, Some(ohlcDownsampleSql),
       "OHLC hour bars per event type: one combinable hash-agg, struct-ordered open/close, quantized volume"),
     Op("ts_census", censusSweep, Some(censusSweepSql),

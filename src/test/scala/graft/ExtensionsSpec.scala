@@ -2769,6 +2769,81 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet == Set((7L, 7L), (9L, 9L)))
   }
 
+  test("ab test readout equals the driver-side two-proportion model") {
+    val out = graft.ops.AnalyticsOps.abTest(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1),
+      r.getLong(3), r.getLong(4))
+    // variant totals tile the user population
+    val users = Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(na + nb == users, s"$na + $nb != $users users")
+    assert(ca <= na && cb <= nb && na > 0 && nb > 0)
+    // z statistic replays from the four counts; degenerate pooled
+    // variance (p at 0 or 1) must surface as NULL, not a crash
+    val zIdx = r.fieldIndex("z_conv")
+    if (ca + cb > 0 && ca + cb < na + nb) {
+      val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+      val p = (ca + cb).toDouble / (na + nb)
+      val z = BigDecimal(
+        (pa - pb) / math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val zGot = r.getDouble(zIdx)
+      assert(math.abs(zGot - z) < 1e-9, s"z got $zGot want $z")
+      assert(r.getBoolean(r.fieldIndex("significant")) ==
+        (math.abs(zGot) > 1.96))
+    } else {
+      assert(r.isNullAt(zIdx))
+      assert(!r.getBoolean(r.fieldIndex("significant")))
+    }
+    // hash assignment populates both arms; exact balance is a law of
+    // large numbers, not an invariant — at 21 users the split can be
+    // 6/15 — so only pin that neither arm degenerates to empty (the
+    // na > 0 && nb > 0 assert above) and that the split is not all-one-arm
+    assert(math.abs(na - nb) < na + nb)
+  }
+
+  test("cusum changepoint equals the sequential-recursion model replay") {
+    // the op computes S via the prefix-min closed form; the textbook
+    // definition is the sequential recursion S_t = max(0, S_{t-1} + dev).
+    // Prove them equal on the real feed, in the op's own n-scaled
+    // integer units (S'_t = n·S_t).
+    val out = graft.ops.TimeSeriesOps.changepoint(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (tp, rows) =>
+      val seq0 = rows.sortBy(_._2)
+      val xs = seq0.map(_._3)
+      val n = xs.length.toLong; val sx = xs.sum
+      var sUp = 0L; var sDn = 0L
+      seq0.zip(xs).foreach { case ((_, d, _, gotUp, gotDn), x) =>
+        val dev = n * x - sx // n·(x − μ)
+        sUp = math.max(0L, sUp + dev)
+        sDn = math.max(0L, sDn - dev)
+        assert(gotUp == sUp, s"$tp day $d: S+ got $gotUp want $sUp")
+        assert(gotDn == sDn, s"$tp day $d: S- got $gotDn want $sDn")
+      }
+    }
+  }
+
+  test("filter calibration cells tile the corpus and agree consistently") {
+    val out = graft.ops.Curate.filterCalibration(spark, dir).cache()
+    val docs = Tables.load(spark, dir, "documents").count()
+    assert(out.agg(sum("n_docs")).head.getLong(0) == docs)
+    assert(out.count() <= 4)
+    // agree is keep == (quality == 'good'), cell by cell
+    assert(out.filter(col("agree") =!=
+      (col("keep") === (col("quality") === "good"))).count() == 0)
+    // shares are floor-ppm of the corpus
+    val bad = out.filter(col("share_ppm") =!=
+      (col("n_docs") * 1000000L) / lit(docs))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
   test("cpu budgets: the top task-second queries stay under 3× measured") {
     // Plan-shape pins can't see a CPU regression with an unchanged plan
     // (an interpreted expression slipping into the hot path, a lost
