@@ -293,11 +293,17 @@ object TimeSeriesOps extends OpGroup {
   // (the ts_census argument, keyed); per-type stats join back as a
   // broadcast (|types| rows).
   // ---------------------------------------------------------------------
-  def changepoint(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val daily = Tables.load(s, dir, "events")
+  def changepoint(s: SparkSession, dir: String): DataFrame =
+    cusumOver(Tables.load(s, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
+
+  /** The CUSUM core over any (event_type, day, x) day-grain count table —
+    * shared with the streaming maintenance twin, whose maintained support
+    * table is exactly this input.
+    */
+  private[graft] def cusumOver(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"))
@@ -330,7 +336,9 @@ object TimeSeriesOps extends OpGroup {
         .as("shift_dn"))
   }
 
-  private lazy val changepointSql =
+  // private[graft]: the streaming maintenance twin shares this oracle
+  // (its fixpoint IS the batch changepoint)
+  private[graft] lazy val changepointSql =
     """WITH dly AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
       |  FROM events GROUP BY 1, 2),

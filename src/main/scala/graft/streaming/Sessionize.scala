@@ -1186,6 +1186,72 @@ object Sessionize extends OpGroup {
       s.read.parquet(postings.reverse: _*))
   }
 
+  /** Incremental MONITORING-statistic maintenance — the IVM family's
+    * operations artifact: the CUSUM changepoint monitor kept current as
+    * event batches arrive. The maintained state is the (event_type, day)
+    * count support table — day-grain, calendar-bounded, merged per batch
+    * with a commutative full-outer add exactly like the rank statistic's
+    * vocabulary table (CUSUM itself is NOT self-maintainable: every new
+    * day moves μ and therefore every prefix deviation, so the alarm
+    * sweep re-derives from the bounded support at read — tens of rows per
+    * type at any corpus size, the cheap part by construction). Per-batch
+    * cost is one map-side-combinable partial count of the BATCH plus a
+    * support-sized merge; the raw feed is never rescanned. Fixpoint = the
+    * batch [[graft.ops.TimeSeriesOps.changepoint]] oracle.
+    */
+  def streamingCusumMaintain(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s, noAqe) {
+      import graft.sources.Warehouse.layerPath
+      val root = layerPath(dir, "cusum_stream")
+      val feedDir = s"$root/feed"
+      if (!new java.io.File(feedDir).exists()) {
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"))
+          .repartitionByRange(4, col("event_id"))
+          .write.mode("overwrite").parquet(feedDir)
+      }
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("counts_"))
+        .foreach(f => freshDir(f.getPath))
+      var cur: Option[String] = None
+      val schema = s.read.parquet(feedDir).schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(feedDir)
+      val q = feed.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty) {
+            val part = batch
+              .groupBy(col("event_type").as("b_type"),
+                to_date(col("ts")).as("b_day"))
+              .agg(count(lit(1)).as("b_x"))
+            val next = cur match {
+              case None => part.select(col("b_type").as("event_type"),
+                col("b_day").as("day"), col("b_x").as("x"))
+              case Some(p) =>
+                val run = s.read.parquet(p)
+                run.join(part,
+                  run("event_type") === part("b_type") &&
+                    run("day") === part("b_day"), "full_outer")
+                  .select(
+                    coalesce(run("event_type"), part("b_type"))
+                      .as("event_type"),
+                    coalesce(run("day"), part("b_day")).as("day"),
+                    (coalesce(col("x"), lit(0L)) +
+                      coalesce(col("b_x"), lit(0L))).as("x"))
+            }
+            val nextPath = s"$root/counts_$id"
+            next.coalesce(1).write.mode("overwrite").parquet(nextPath)
+            cur = Some(nextPath)
+          }
+          ()
+        }
+        .option("checkpointLocation", freshDir(s"$root/ckpt"))
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      graft.ops.TimeSeriesOps.cusumOver(s.read.parquet(cur.get))
+    }
+
   private val streamingTopKMaintainSql =
     s"""SELECT token, COUNT(*) AS n
        |FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
@@ -1201,6 +1267,9 @@ object Sessionize extends OpGroup {
     Op("stream_topk_maintain", streamingTopKMaintain,
       Some(streamingTopKMaintainSql),
       "incremental RANK-statistic maintenance: vocabulary support table merged per batch, top-K extracted at read"),
+    Op("stream_cusum_maintain", streamingCusumMaintain,
+      Some(graft.ops.TimeSeriesOps.changepointSql),
+      "incremental MONITORING-statistic maintenance: day-grain count support merged per batch, CUSUM alarms re-derived at read; fixpoint = batch ts_changepoint"),
     Op("stream_gram_maintain", streamingGramMaintain,
       Some(graft.ops.SimilarityOps.pcaProjectSql),
       "incremental PCA-model maintenance: per-batch Gram partials merged driver-side; fixpoint = batch sim_pca_project"),

@@ -2844,6 +2844,20 @@ class ExtensionsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("cusum maintenance equals the batch changepoint and really merged") {
+    val maintained = Sessionize.streamingCusumMaintain(spark, dir)
+    val batch = graft.ops.TimeSeriesOps.changepoint(spark, dir)
+    assert(maintained.count() == batch.count())
+    assert(maintained.exceptAll(batch).count() == 0,
+      "maintained support must reach the batch fixpoint exactly")
+    // the 4-file feed at maxFilesPerTrigger=2 must have produced >1
+    // micro-batch — the full-outer merge branch, not just the seed
+    val root = new java.io.File(Warehouse.layerPath(dir, "cusum_stream"))
+    val gens = Option(root.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.startsWith("counts_"))
+    assert(gens >= 2, s"expected >=2 support generations, got $gens")
+  }
+
   test("cpu budgets: the top task-second queries stay under 3× measured") {
     // Plan-shape pins can't see a CPU regression with an unchanged plan
     // (an interpreted expression slipping into the hot path, a lost

@@ -163,7 +163,10 @@ class GraftSpec extends AnyFunSuite {
       // two event_type-keyed window nodes over the DAY-GRAIN daily
       // aggregate: partition size = observed days per type — bounded by
       // the calendar at any corpus size (the ts_census argument, keyed)
-      "ts_changepoint" -> 2)
+      "ts_changepoint" -> 2,
+      // same two windows, re-derived at read over the MAINTAINED
+      // day-grain support table (calendar-bounded by construction)
+      "stream_cusum_maintain" -> 2)
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val df = fn(spark, dir)
       val loops = Explain.counters(df)("nestedLoopJoins")
