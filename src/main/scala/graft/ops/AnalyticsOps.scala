@@ -522,7 +522,100 @@ object AnalyticsOps extends OpGroup {
       |  COALESCE(abs(z_conv) > 1.96, FALSE) AS significant
       |FROM zc""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A21 — difference-in-differences: the causal readout for a rollout
+  // where assignment correlates with time — (post − pre) in the
+  // treatment arm minus (post − pre) in control nets out both the
+  // arm-level base difference and the shared time trend. Arms reuse the
+  // a20 hash assignment (one experiment, two readouts); the period
+  // boundary is the feed's timestamp midpoint ((min+max) DIV 2 epoch
+  // micros — exact integers, engine-identical); the outcome is mean
+  // purchase value in exact milli-cents.
+  //
+  // Scale shape: the cutoff is a single-row broadcast cross (the scalar
+  // shape the audit whitelists), then ONE conditional-sum aggregate
+  // folds all four (arm, period) cells into a single row — the event
+  // feed is scanned once, no join, no window. Determinism: cell sums
+  // and counts are integers; each cell mean is one integer DIV
+  // (empty-cell-guarded to NULL, which propagates into the estimate);
+  // the DiD estimate is integer arithmetic on those means.
+  // ---------------------------------------------------------------------
+  def diffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val fns = graft.functions.TextFns
+    val bounds = Tables.load(s, dir, "events")
+      .agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("cutoff"))
+    val p = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(bounds))
+      .select(
+        when(substring(fns.fastMd5(
+          concat(lit("exp1|"), col("user_id").cast("string"))), 1, 1) < "8",
+          1L).otherwise(0L).as("a"),
+        when(unix_micros(col("ts")) >= col("cutoff"), 1L).otherwise(0L)
+          .as("post"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    def cell(f: org.apache.spark.sql.Column, n: String) = Seq(
+      sum(f).as(s"n_$n"), sum(f * col("cents")).as(s"cents_$n"))
+    val cells =
+      cell(col("a") * (lit(1L) - col("post")), "pre_a") ++
+        cell(col("a") * col("post"), "post_a") ++
+        cell((lit(1L) - col("a")) * (lit(1L) - col("post")), "pre_b") ++
+        cell((lit(1L) - col("a")) * col("post"), "post_b")
+    val g = p.agg(cells.head, cells.tail: _*)
+    def mean(n: String) = when(col(s"n_$n") > 0,
+      expr(s"(cents_$n * 1000) DIV n_$n"))
+    g.select(col("n_pre_a"), col("n_post_a"), col("n_pre_b"),
+      col("n_post_b"),
+      mean("pre_a").as("mean_pre_a_mc"), mean("post_a").as("mean_post_a_mc"),
+      mean("pre_b").as("mean_pre_b_mc"), mean("post_b").as("mean_post_b_mc"),
+      ((mean("post_a") - mean("pre_a")) - (mean("post_b") - mean("pre_b")))
+        .as("did_mc"))
+  }
+
+  private lazy val diffInDiffSql =
+    """WITH bounds AS (
+      |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cutoff
+      |  FROM events),
+      |pch AS (
+      |  SELECT
+      |    CASE WHEN substring(md5('exp1|' || CAST(user_id AS VARCHAR)), 1, 1)
+      |           < '8' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN epoch_us(ts) >= b.cutoff THEN 1 ELSE 0 END AS post,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events, bounds b WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT
+      |    CAST(SUM(a * (1 - post)) AS BIGINT) AS n_pre_a,
+      |    CAST(SUM(a * (1 - post) * cents) AS BIGINT) AS cents_pre_a,
+      |    CAST(SUM(a * post) AS BIGINT) AS n_post_a,
+      |    CAST(SUM(a * post * cents) AS BIGINT) AS cents_post_a,
+      |    CAST(SUM((1 - a) * (1 - post)) AS BIGINT) AS n_pre_b,
+      |    CAST(SUM((1 - a) * (1 - post) * cents) AS BIGINT) AS cents_pre_b,
+      |    CAST(SUM((1 - a) * post) AS BIGINT) AS n_post_b,
+      |    CAST(SUM((1 - a) * post * cents) AS BIGINT) AS cents_post_b
+      |  FROM pch),
+      |m AS (
+      |  SELECT n_pre_a, n_post_a, n_pre_b, n_post_b,
+      |    CASE WHEN n_pre_a > 0 THEN (cents_pre_a * 1000) // n_pre_a END
+      |      AS mean_pre_a_mc,
+      |    CASE WHEN n_post_a > 0 THEN (cents_post_a * 1000) // n_post_a END
+      |      AS mean_post_a_mc,
+      |    CASE WHEN n_pre_b > 0 THEN (cents_pre_b * 1000) // n_pre_b END
+      |      AS mean_pre_b_mc,
+      |    CASE WHEN n_post_b > 0 THEN (cents_post_b * 1000) // n_post_b END
+      |      AS mean_post_b_mc
+      |  FROM g)
+      |SELECT n_pre_a, n_post_a, n_pre_b, n_post_b,
+      |  mean_pre_a_mc, mean_post_a_mc, mean_pre_b_mc, mean_post_b_mc,
+      |  (mean_post_a_mc - mean_pre_a_mc) - (mean_post_b_mc - mean_pre_b_mc)
+      |    AS did_mc
+      |FROM m""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("a21_diff_in_diff", diffInDiff, Some(diffInDiffSql),
+      "difference-in-differences over the hash arms and the feed-midpoint period split: exact integer cell means, null-guarded empty cells"),
     Op("a20_ab_test", abTest, Some(abTestSql),
       "experiment readout: hash-assigned variants, exact integer counts/cents, pooled two-proportion z in one closed-form double"),
     Op("a19_attribution", attribution, Some(attributionSql),

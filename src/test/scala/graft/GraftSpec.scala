@@ -112,6 +112,7 @@ class GraftSpec extends AnyFunSuite {
     // a loop join fails here before it ever reaches the bench.
     val allowedNested = Map(
       "a10_sketch_rollup" -> 1, // 1-row sketch-manifest cross
+      "a21_diff_in_diff" -> 1, // single-row period-cutoff cross
       "a4_fact_agg_consistency" -> 1, // two scalar counts crossed
       "curate_curriculum" -> 1, // quartile-boundary scalar row
       "curate_filter_calibration" -> 1, // single-row corpus-total cross
@@ -121,6 +122,7 @@ class GraftSpec extends AnyFunSuite {
       "sim_cosine_topk" -> 1, // bounded query sample × corpus
       "sim_rewritten_cosine_topk" -> 1, // same shape, HOF spelling rewritten
       "sim_mips_topk" -> 3, // max-norm scalar + query sample + rerank
+      "sim_hybrid_rrf" -> 1, // inherits the lexical parent's stats row
       "sim_recall_report" -> 1, // brute-force truth definition
       "sim_recall_curve" -> 2, // truth cross + 3-row nprobe sweep cross
       "sim_ivf_balance" -> 1, // single-row (total, k) scalar side
