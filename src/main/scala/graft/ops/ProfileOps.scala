@@ -200,7 +200,49 @@ object ProfileOps extends OpGroup {
        |UNION ALL SELECT 'near_dup_candidate_pairs', COUNT(*) FROM (
        |  ${DedupOps.minhashLshSqlForCompose.replace("\n", "\n  ")}) nd""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Join-key skew report: the diagnostic that decides WHEN a key needs
+  // the j12 salting treatment or AQE skew handling — per-key exact row
+  // counts over the events join key, reduced to the top heavy hitters
+  // plus each hitter's share and imbalance factor (n / mean). The rule
+  // of thumb it feeds: a key whose imbalance exceeds the AQE skew
+  // threshold ratio will straggle any shuffle join it anchors; run this
+  // BEFORE committing a partition strategy, not after the straggler.
+  //
+  // Scale shape: one map-side-combinable hash-agg to the key's distinct
+  // cardinality, a single-row total broadcast cross (the whitelisted
+  // scalar shape), and a TakeOrdered top-N cut — no window, corpus never
+  // re-shuffled. Shares in integer ppm; imbalance cross-multiplied to
+  // micro-units via integer DIV, so there are no float thresholds.
+  // ---------------------------------------------------------------------
+  val skewTopN = 10
+
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val per = graft.Tables.load(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("t"), count(lit(1)).as("k"))
+    per.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n"),
+        expr("(n * 1000000) DIV t").as("share_ppm"),
+        expr("(n * k * 1000000) DIV t").as("imbalance_micro"))
+      .orderBy(col("n").desc, col("user_id").asc)
+      .limit(skewTopN)
+  }
+
+  private val skewReportSql =
+    s"""WITH per AS (
+       |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+       |tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS t, COUNT(*) AS k FROM per)
+       |SELECT user_id, n,
+       |  (n * 1000000) // t AS share_ppm,
+       |  (n * k * 1000000) // t AS imbalance_micro
+       |FROM per, tot
+       |ORDER BY n DESC, user_id ASC LIMIT $skewTopN""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("s_skew_report", skewReport, Some(skewReportSql),
+      "join-key heavy-hitter report: exact per-key counts, integer-ppm share and imbalance factor — the pre-join salting/AQE-skew decision input"),
     Op("s_dataset_card", datasetCard, Some(datasetCardSql),
       "dataset card: corpus size/diversity/dup metrics in one pass + the dedup index"),
     Op("s_profile_columns", profileColumns, Some(profileColumnsSql),

@@ -32,6 +32,51 @@ object TextOps extends OpGroup {
         .as("mean_token_len"))
   }
 
+  // ---------------------------------------------------------------------
+  // Tokenizer fertility per language: BPE-ish tokens per whitespace word
+  // and characters per token — the per-language efficiency numbers every
+  // tokenizer paper reports (a language whose fertility runs high pays
+  // proportionally more sequence length for the same text, which skews
+  // both its compute share and its effective context window). One
+  // map-side-combinable hash-agg to |langs| rows; ratios are exact
+  // integer milli-divisions (DIV), no float accumulation anywhere.
+  // ---------------------------------------------------------------------
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("lang"),
+      size(tokens(col("text"))).cast("long").as("w"),
+      size(bpeTokens(col("text"))).cast("long").as("b"),
+      length(col("text")).cast("long").as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("b")).as("n_bpe_tokens"), sum(col("c")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        // all-empty-text strata yield NULL, not an ANSI divide error
+        when(col("n_words") > 0,
+          expr("(n_bpe_tokens * 1000) DIV n_words")).as("fertility_milli"),
+        when(col("n_bpe_tokens") > 0,
+          expr("(n_chars * 1000) DIV n_bpe_tokens"))
+          .as("chars_per_token_milli"))
+
+  private lazy val tokenizerFertilitySql =
+    """WITH t AS (
+      |  SELECT lang,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS b,
+      |    CAST(len(text) AS BIGINT) AS c
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_words,
+      |    CAST(SUM(b) AS BIGINT) AS n_bpe_tokens,
+      |    CAST(SUM(c) AS BIGINT) AS n_chars
+      |  FROM t GROUP BY lang)
+      |SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars,
+      |  CASE WHEN n_words > 0
+      |       THEN (n_bpe_tokens * 1000) // n_words END AS fertility_milli,
+      |  CASE WHEN n_bpe_tokens > 0
+      |       THEN (n_chars * 1000) // n_bpe_tokens END AS chars_per_token_milli
+      |FROM g""".stripMargin
+
   private val tokenStatsSql =
     """SELECT doc_id,
       |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
@@ -1280,7 +1325,14 @@ object TextOps extends OpGroup {
   val hnQueryDocs = 3
   val hnTopK = 5
 
-  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+  // Memoized: TWO registered queries consume this list (the op itself
+  // and sim_hybrid_rrf's lexical side); without sharing, the fuse
+  // re-executes the whole tf/df/scoring pipeline. The persisted frame is
+  // queries × hnTopK rows — trivially bounded.
+  def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "hardNegatives")(hardNegativesBuild(s, dir).persist())
+
+  private def hardNegativesBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -1588,6 +1640,9 @@ object TextOps extends OpGroup {
       "inverted index: token -> df/cf + sorted doc:tf posting list, two map-side-combined aggs"),
     Op("text_token_stats", tokenStats, Some(tokenStatsSql),
       "token counting: whitespace + BPE-ish regex + mean token length"),
+    Op("text_tokenizer_fertility", tokenizerFertility,
+      Some(tokenizerFertilitySql),
+      "per-language tokenizer fertility: BPE tokens per word and chars per token in exact integer milli-units"),
     Op("text_char_entropy", charEntropy, Some(charEntropySql),
       "Shannon character entropy per doc: the gibberish/filler quality signal, two distributive aggs"),
     Op("text_quality_score", qualityScore, Some(qualityScoreSql),

@@ -2844,6 +2844,21 @@ class ExtensionsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("skew report ranks true heavy hitters with exact shares") {
+    val out = graft.ops.ProfileOps.skewReport(spark, dir).collect()
+    val ev = Tables.load(spark, dir, "events")
+    val counts = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t = counts.values.sum; val k = counts.size
+    val want = counts.toSeq.sortBy(c => (-c._2, c._1))
+      .take(graft.ops.ProfileOps.skewTopN)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == want)
+    out.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / t)
+      assert(r.getLong(3) == r.getLong(1) * k * 1000000L / t)
+    }
+  }
+
   test("diff-in-diff cells tile the purchases and the estimate replays") {
     val r = graft.ops.AnalyticsOps.diffInDiff(spark, dir).collect().head
     def l(n: String) = r.getLong(r.fieldIndex(n))

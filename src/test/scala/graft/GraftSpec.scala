@@ -119,6 +119,7 @@ class GraftSpec extends AnyFunSuite {
       "curate_epoch_plan" -> 1, // temperature-normalizer scalar row
       "j10_scalar_backfill" -> 1, // THE scalar-subquery operator
       "s_freq_sketch" -> 1, // CMS sketch row broadcast
+      "s_skew_report" -> 1, // single-row key-stats cross
       "sim_cosine_topk" -> 1, // bounded query sample × corpus
       "sim_rewritten_cosine_topk" -> 1, // same shape, HOF spelling rewritten
       "sim_mips_topk" -> 3, // max-norm scalar + query sample + rerank
