@@ -536,6 +536,33 @@ object PropertySpec extends Properties("graft") {
         bits.foldLeft(base)((h, b) => h ^ (1L << b)))))
   } yield hs
 
+  property("cusum closed form equals the sequential recursion on random series") =
+    Prop.forAll(Gen.listOfN(2, Gen.listOfN(30, Gen.choose(0L, 50L)))) { sers =>
+      // generated multi-type day-grain counts (including flat and bursty
+      // series); the op's windowed prefix-extrema S' must equal the
+      // textbook recursion S_t = max(0, S_{t-1} ± n(x_t − μ)) per type
+      val base = java.time.LocalDate.of(2021, 1, 1)
+      val rows = sers.zipWithIndex.flatMap { case (xs, t) =>
+        xs.zipWithIndex.map { case (x, i) =>
+          (s"t$t", java.sql.Date.valueOf(base.plusDays(i)), x)
+        }
+      }
+      val got = ops.TimeSeriesOps.cusumOver(rows.toDF("event_type", "day", "x"))
+        .select("event_type", "day", "s_up_n", "s_dn_n")
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      sers.zipWithIndex.forall { case (xs, t) =>
+        val n = xs.length.toLong; val sx = xs.sum
+        var up = 0L; var dn = 0L
+        xs.zipWithIndex.forall { case (x, i) =>
+          val dev = n * x - sx
+          up = math.max(0L, up + dev); dn = math.max(0L, dn - dev)
+          got((s"t$t", base.plusDays(i).toEpochDay)) == ((up, dn))
+        }
+      }
+    }
+
   property("2x32-band 1-bit probing is lossless for hamming <= threshold") =
     Prop.forAll(hashClusterGen) { hs =>
       val arr = hs.toArray
