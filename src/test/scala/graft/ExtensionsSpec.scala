@@ -2546,6 +2546,39 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("plan shapes: late round-9 additions pinned") {
+    def c(name: String) = Explain.counters(SparkEntry.queries(name)(spark, dir))
+    // a20: one per-user agg exchange + one single-partition global fold —
+    // no join, no window, no broadcast anywhere
+    val ab = c("a20_ab_test")
+    info(s"a20_ab_test: $ab")
+    assert(ab("shuffles") <= 1 && ab("sortMergeJoins") == 0 &&
+      ab("nestedLoopJoins") == 0 && ab("broadcasts") == 0, s"a20_ab_test: $ab")
+    // a21: the single-row cutoff cross is the only non-equi join; one
+    // conditional-sum fold over the purchase scan
+    val dd = c("a21_diff_in_diff")
+    info(s"a21_diff_in_diff: $dd")
+    assert(dd("nestedLoopJoins") <= 1 && dd("sortMergeJoins") == 0,
+      s"a21_diff_in_diff: $dd")
+    // changepoint: day-grain agg + broadcast stats join + two window
+    // passes — the corpus shuffles once (to day grain), never row-grain
+    val cp = c("ts_changepoint")
+    info(s"ts_changepoint: $cp")
+    assert(cp("nestedLoopJoins") == 0 && cp("sortMergeJoins") == 0,
+      s"ts_changepoint: $cp")
+    // skew report: agg + single-row cross + TakeOrdered, no window node
+    val sk = SparkEntry.queries("s_skew_report")(spark, dir)
+    assert(sk.queryExecution.executedPlan.toString.contains("TakeOrdered"),
+      "s_skew_report must cut via TakeOrdered, not a global sort")
+    assert(WindowAudit.globalWindowCount(sk) == 0 &&
+      WindowAudit.violations(sk).isEmpty)
+    // fertility: one hash-agg to |langs| rows, no join
+    val tf = c("text_tokenizer_fertility")
+    info(s"text_tokenizer_fertility: $tf")
+    assert(tf("shuffles") <= 1 && tf("sortMergeJoins") == 0 &&
+      tf("nestedLoopJoins") == 0, s"text_tokenizer_fertility: $tf")
+  }
+
   test("ood score equals the diagonal-Gaussian model replay; drift PSI replays exactly") {
     import java.math.{BigDecimal => JBD, RoundingMode => RM}
     // HALF_UP rounding, matching Spark's Round expression and DuckDB round()
