@@ -215,6 +215,39 @@ object TextOps extends OpGroup {
   }
 
   // ---------------------------------------------------------------------
+  // Language-ID evaluation against ground truth: the confusion table of
+  // predicted vs labeled language, each cell carrying its count and its
+  // share of the TRUE language's documents (recall decomposition in
+  // integer ppm) — the measure-your-classifier discipline applied to the
+  // gate that decides corpus membership first (a lang-ID with poor
+  // recall on a language silently deletes that language from the
+  // corpus; this table is where that shows). One hash-agg to
+  // langs × predictions rows + a broadcast join of |langs| totals.
+  // ---------------------------------------------------------------------
+  def langIdEval(s: SparkSession, dir: String): DataFrame = {
+    val cells = langId(s, dir)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+    cells.join(broadcast(tot), "lang")
+      .select(col("lang"), col("predicted_lang"), col("n_docs"),
+        expr("(n_docs * 1000000) DIV n_lang").as("share_of_lang_ppm"),
+        (col("lang") === col("predicted_lang")).as("correct"))
+  }
+
+  private lazy val langIdEvalSql =
+    s"""WITH li AS ($langIdSql),
+       |cells AS (
+       |  SELECT lang, predicted_lang, COUNT(*) AS n_docs
+       |  FROM li GROUP BY 1, 2),
+       |tl AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+       |       FROM cells GROUP BY 1)
+       |SELECT c.lang, c.predicted_lang, c.n_docs,
+       |  (c.n_docs * 1000000) // t.n_lang AS share_of_lang_ppm,
+       |  c.lang = c.predicted_lang AS correct
+       |FROM cells c JOIN tl t ON t.lang = c.lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Exact length quantiles per language: the cut points a quality filter
   // would threshold on. `percentile` is Spark's EXACT sort-based
   // implementation with linear interpolation — the same definition as
@@ -1649,6 +1682,8 @@ object TextOps extends OpGroup {
       "quality scoring: stopword/punctuation ratios + label"),
     Op("text_lang_id", langId, Some(langIdSql),
       "language-ID stopword heuristic vs dataset label"),
+    Op("text_langid_eval", langIdEval, Some(langIdEvalSql),
+      "language-ID confusion table vs ground truth: per-cell counts and integer-ppm recall decomposition"),
     Op("text_fingerprint", fingerprints, Some(fingerprintsSql),
       "document fingerprinting: md5 over normalized text"),
     Op("text_top_tokens", topTokens, Some(topTokensSql),

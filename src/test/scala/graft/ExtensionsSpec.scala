@@ -2933,6 +2933,55 @@ class ExtensionsSpec extends AnyFunSuite {
       got.nonEmpty, "hybrid produced nothing")
   }
 
+  test("streaming dedup state survives a checkpoint restart") {
+    // The recovery property the harness queries don't exercise: stop a
+    // stateful query mid-feed, start a NEW query over the SAME
+    // checkpoint, and prove the second run resumes from recovered state
+    // — keys deduped in phase 1 must NOT re-emit in phase 2. This is
+    // what makes a 100 TB/day always-on dedup restartable at all.
+    val root = java.nio.file.Files.createTempDirectory("graft_restart")
+      .toFile.getPath
+    try {
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("ts"), col("event_id"), col("user_id"),
+          col("event_type"))
+      val mid = ev.agg(expr("percentile(event_id, 0.5)")).head.getDouble(0)
+      val feed = s"$root/feed"
+      def phase(half: org.apache.spark.sql.DataFrame): Unit = {
+        half.write.mode("append").parquet(feed)
+        val q = spark.readStream.schema(ev.schema).parquet(feed)
+          .withWatermark("ts", "3650 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt") // SHARED across phases
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val h1 = ev.filter(col("event_id") <= mid)
+      val h2 = ev.filter(col("event_id") > mid)
+      // the restart is only a real test if the halves share keys
+      val shared = h1.select("user_id", "event_type").distinct()
+        .intersect(h2.select("user_id", "event_type").distinct()).count()
+      assert(shared > 0, "halves must share dedup keys")
+      phase(h1)
+      phase(h2)
+      val got = spark.read.parquet(s"$root/out")
+      val want = ev.select("user_id", "event_type").distinct()
+      assert(got.count() == want.count(),
+        s"restarted dedup re-emitted ${got.count() - want.count()} rows — " +
+          "state did not recover from the checkpoint")
+      assert(got.exceptAll(want).count() == 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("cusum maintenance equals the batch changepoint and really merged") {
     val maintained = Sessionize.streamingCusumMaintain(spark, dir)
     val batch = graft.ops.TimeSeriesOps.changepoint(spark, dir)
