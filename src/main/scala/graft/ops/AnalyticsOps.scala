@@ -613,7 +613,68 @@ object AnalyticsOps extends OpGroup {
       |    AS did_mc
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A22 — sample-ratio mismatch (SRM): the experiment-health guardrail
+  // that runs BEFORE any readout is believed. Under the 50/50 hash
+  // assignment the arm counts are binomial; the 1-dof chi-square against
+  // the expected split is χ² = (n_a − n_b)²/N, and χ² > 3.84146 (5%)
+  // flags an assignment pipeline bug (biased hashing, lossy logging,
+  // variant-correlated crashes) that silently invalidates a20/a21. A
+  // flagged SRM means "debug the pipeline", not "ship the result".
+  //
+  // Scale shape: one per-user hash-agg + one global fold to a single
+  // row (the a20 plan minus the outcome columns). Determinism: χ² in
+  // exact integer micro-units ((n_a−n_b)²·10⁶ DIV N); the flag is the
+  // cross-multiplied integer compare (n_a−n_b)²·100000 > 384146·N in
+  // DECIMAL(38,0) — no float thresholds anywhere.
+  // ---------------------------------------------------------------------
+  def srmCheck(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val fns = graft.functions.TextFns
+    val perUser = Tables.load(s, dir, "events")
+      .select(col("user_id")).distinct()
+      .select(when(substring(fns.fastMd5(
+        concat(lit("exp1|"), col("user_id").cast("string"))), 1, 1) < "8",
+        1L).otherwise(0L).as("in_a"))
+    val g = perUser.agg(sum(col("in_a")).as("n_a"),
+      sum(lit(1L) - col("in_a")).as("n_b"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    val diff = col("n_a") - col("n_b")
+    // the flag's product is split (diff·100)·(diff·1000) so each factor
+    // stays DECIMAL(19) and the product DECIMAL(38) in BOTH engines
+    // (DuckDB rejects a three-way decimal multiply past width 38);
+    // chi2_micro's BIGINT intermediate diff²·10⁶ is in range for
+    // |diff| ≤ 3·10⁶ — any real SRM long past glaring — while the FLAG
+    // uses the overflow-safe decimal form at any count
+    g.select(col("n_a"), col("n_b"),
+      expr("((n_a - n_b) * (n_a - n_b) * 1000000) DIV (n_a + n_b)")
+        .as("chi2_micro"),
+      (dec(diff * lit(100L)) * dec(diff * lit(1000L)) >
+        dec(lit(384146L)) * dec(col("n_a") + col("n_b"))).as("srm"))
+  }
+
+  private lazy val srmCheckSql =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events),
+      |pu AS (
+      |  SELECT CASE WHEN substring(md5('exp1|' || CAST(user_id AS VARCHAR)),
+      |           1, 1) < '8' THEN 1 ELSE 0 END AS in_a
+      |  FROM u),
+      |g AS (
+      |  SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+      |         CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+      |  FROM pu)
+      |SELECT n_a, n_b,
+      |  ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) AS chi2_micro,
+      |  CAST((n_a - n_b) * 100 AS DECIMAL(19,0))
+      |    * CAST((n_a - n_b) * 1000 AS DECIMAL(19,0))
+      |    > CAST(384146 AS DECIMAL(19,0)) * CAST(n_a + n_b AS DECIMAL(19,0))
+      |    AS srm
+      |FROM g""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("a22_srm_check", srmCheck, Some(srmCheckSql),
+      "sample-ratio-mismatch guardrail: 1-dof chi-square of the arm split in exact integer micro-units, cross-multiplied 5% flag"),
     Op("a21_diff_in_diff", diffInDiff, Some(diffInDiffSql),
       "difference-in-differences over the hash arms and the feed-midpoint period split: exact integer cell means, null-guarded empty cells"),
     Op("a20_ab_test", abTest, Some(abTestSql),

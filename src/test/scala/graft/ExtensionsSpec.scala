@@ -2892,6 +2892,18 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("srm check replays the chi-square from its own counts") {
+    val r = graft.ops.AnalyticsOps.srmCheck(spark, dir).collect().head
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val users = Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(na + nb == users)
+    val diff = na - nb
+    assert(r.getLong(2) == diff * diff * 1000000L / (na + nb))
+    val chi2x1e5 = BigInt(diff) * BigInt(diff) * 100000
+    assert(r.getBoolean(3) == (chi2x1e5 > BigInt(384146) * (na + nb)))
+  }
+
   test("diff-in-diff cells tile the purchases and the estimate replays") {
     val r = graft.ops.AnalyticsOps.diffInDiff(spark, dir).collect().head
     def l(n: String) = r.getLong(r.fieldIndex(n))
