@@ -439,7 +439,84 @@ object Multimodal extends OpGroup {
        |FROM fr
        |WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Keyframe selection: one representative frame per SCENE — the frame a
+  // vision-training sampler or thumbnail pipeline actually keeps (frames
+  // within a shot are near-duplicates; sampling per scene instead of per
+  // frame is the dedup-aware way to subsample video). Scenes are the
+  // cut-segmentation above (scene_id = running cut count); the
+  // representative is the max-energy frame, earliest index on ties.
+  //
+  // Scale shape: like sceneCuts, the WHOLE computation — segmentation
+  // AND per-scene argmax — runs inside the codec flatMap where every
+  // frame of one media is already in hand, so the operator emits one row
+  // per scene with ZERO shuffles at any corpus size (a window/groupBy
+  // formulation would shuffle every frame row; scenes-per-media is
+  // bounded by sceneFrames, so nothing needs the cluster).
+  // ---------------------------------------------------------------------
+  case class KeyFrame(media_id: Long, scene_id: Int, start_idx: Int,
+      end_idx: Int, n_frames: Long, rep_frame_idx: Int, rep_energy: Long)
+
+  def keyframes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).flatMap { m =>
+      val energies = (0 until sceneFrames).map { i =>
+        val off = (i * m.payload.length) / sceneFrames
+        val end = math.min(off + frameLen, m.payload.length)
+        m.payload.slice(off, end).foldLeft(0L)((a, b) => a + (b & 0xff))
+      }
+      val sceneIds = energies.indices.map { i =>
+        energies.indices.take(i + 1).count(j =>
+          j > 0 && math.abs(energies(j) - energies(j - 1)) > sceneCutThreshold)
+      }
+      sceneIds.distinct.map { sc =>
+        val idxs = energies.indices.filter(sceneIds(_) == sc)
+        val rep = idxs.minBy(i => (-energies(i), i))
+        KeyFrame(m.media_id, sc, idxs.min, idxs.max, idxs.size.toLong,
+          rep, energies(rep))
+      }
+    }.toDF()
+  }
+
+  private val keyframesSql =
+    s"""WITH fr AS (
+       |  SELECT doc_id AS media_id, CAST(t.i AS INT) AS frame_idx,
+       |    CAST(list_reduce(list_transform(
+       |      range((t.i*len(text))//$sceneFrames + 1,
+       |            (t.i*len(text))//$sceneFrames + 1
+       |              + least($frameLen, len(text) - (t.i*len(text))//$sceneFrames)),
+       |      j -> ascii(substring(text, j, 1))), (a, c) -> a + c) AS BIGINT)
+       |      AS energy
+       |  FROM documents, range(0, $sceneFrames) t(i)),
+       |cutf AS (
+       |  SELECT media_id, frame_idx, energy,
+       |    CASE WHEN frame_idx > 0 AND
+       |        abs(energy - lag(energy) OVER w) > $sceneCutThreshold
+       |      THEN 1 ELSE 0 END AS cut
+       |  FROM fr
+       |  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+       |sc AS (
+       |  SELECT media_id, frame_idx, energy,
+       |    CAST(SUM(cut) OVER (PARTITION BY media_id
+       |        ORDER BY frame_idx ROWS UNBOUNDED PRECEDING) AS INT)
+       |      AS scene_id
+       |  FROM cutf)
+       |SELECT media_id, scene_id,
+       |  CAST(MIN(frame_idx) AS INT) AS start_idx,
+       |  CAST(MAX(frame_idx) AS INT) AS end_idx,
+       |  COUNT(*) AS n_frames,
+       |  CAST(MIN(CASE WHEN rn = 1 THEN frame_idx END) AS INT)
+       |    AS rep_frame_idx,
+       |  CAST(MIN(CASE WHEN rn = 1 THEN energy END) AS BIGINT) AS rep_energy
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id, scene_id
+       |    ORDER BY energy DESC, frame_idx ASC) AS rn
+       |  FROM sc) r
+       |GROUP BY media_id, scene_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("mm_keyframes", keyframes, Some(keyframesSql),
+      "per-scene representative keyframe: segmentation + argmax inside the codec flatMap, zero shuffle"),
     Op("mm_scene_cuts", sceneCuts, Some(sceneCutsSql),
       "scene-cut detection: inter-frame energy deltas inside the codec flatMap, zero shuffle"),
     Op("mm_phash_neardup", phashNearDup, Some(phashNearDupSql),

@@ -2892,6 +2892,34 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("keyframes tile the sampled frames and pick true per-scene argmax") {
+    val frames = Multimodal.sceneCuts(spark, dir)
+      .select("media_id", "frame_idx", "energy", "is_cut").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val kf = Multimodal.keyframes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getInt(5), r.getLong(6)))
+    // per media: scene sizes tile sceneFrames, rep is the max-energy
+    // frame of its scene (earliest on ties), scenes are contiguous
+    kf.groupBy(_._1).foreach { case (m, scenes) =>
+      assert(scenes.map(_._5).sum == Multimodal.sceneFrames.toLong)
+      val fs = frames.filter(_._1 == m).sortBy(_._2)
+      var scene = 0
+      val want = fs.map { case (_, i, _, cut) =>
+        if (cut) scene += 1; (i, scene)
+      }.toMap
+      scenes.foreach { case (_, sc, s0, s1, n, rep, re) =>
+        assert((s0 to s1).count(want(_) == sc) == n && want(rep) == sc)
+        val inScene = fs.filter(f => want(f._2) == sc)
+        val best = inScene.minBy(f => (-f._3, f._2))
+        assert(rep == best._2 && re == best._3,
+          s"media $m scene $sc: rep $rep/$re want ${best._2}/${best._3}")
+      }
+    }
+    // non-vacuous: some media must have >1 scene
+    assert(kf.exists(_._2 > 0), "no media segmented into multiple scenes")
+  }
+
   test("srm check replays the chi-square from its own counts") {
     val r = graft.ops.AnalyticsOps.srmCheck(spark, dir).collect().head
     val (na, nb) = (r.getLong(0), r.getLong(1))
