@@ -683,7 +683,56 @@ object Curate extends OpGroup {
        |  (keep = (quality = 'good')) AS agree
        |FROM cells, tot""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Classifier threshold sweep: the operating curve for choosing the
+  // quality-filter cut — at each candidate threshold, how many documents
+  // survive, what corpus share that is, and how much score mass the kept
+  // set carries (the FineWeb-Edu ablation table: "keep score ≥ X" is a
+  // data-volume-vs-quality trade someone must pick with numbers). The
+  // shipped curate_classifier_filter pins threshold 0; this is the sweep
+  // that justifies (or moves) that pin.
+  //
+  // Scale shape: the per-doc score frame is computed once (one explode +
+  // per-doc partial agg, the classifier's own plan), each doc row fans
+  // out ×|thresholds| via a literal-array explode and collapses in the
+  // map-side partial — the exchange carries |thresholds| rows total. No
+  // window, no second corpus pass. All integers.
+  // ---------------------------------------------------------------------
+  final val sweepThresholds = Seq(-50000L, -20000L, 0L, 20000L, 50000L)
+
+  def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val scored = classifierFilter(s, dir).select(col("doc_id"), col("score_q"))
+    val th = array(sweepThresholds.map(lit): _*)
+    val tot = scored.agg(count(lit(1)).as("n_total"))
+    scored.select(col("score_q"), explode(th).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("score_q") >= col("threshold"), 1L).otherwise(0L))
+        .as("n_keep"),
+        sum(when(col("score_q") >= col("threshold"), col("score_q"))
+          .otherwise(0L)).as("kept_score_q"))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n_keep"), col("kept_score_q"),
+        expr("(n_keep * 1000000) DIV n_total").as("keep_ppm"))
+  }
+
+  private lazy val thresholdSweepSql =
+    s"""WITH cfs AS ($classifierFilterSql),
+       |th(threshold) AS (VALUES ${sweepThresholds.map(t => s"($t)").mkString(", ")}),
+       |tot AS (SELECT COUNT(*) AS n_total FROM cfs),
+       |sw AS (
+       |  SELECT th.threshold,
+       |    CAST(SUM(CASE WHEN c.score_q >= th.threshold THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_keep,
+       |    CAST(SUM(CASE WHEN c.score_q >= th.threshold THEN c.score_q
+       |      ELSE 0 END) AS BIGINT) AS kept_score_q
+       |  FROM cfs c, th GROUP BY th.threshold)
+       |SELECT CAST(threshold AS BIGINT) AS threshold, n_keep, kept_score_q,
+       |  (n_keep * 1000000) // n_total AS keep_ppm
+       |FROM sw, tot""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("curate_threshold_sweep", thresholdSweep, Some(thresholdSweepSql),
+      "classifier-threshold operating curve: survivors, corpus share, kept score mass per candidate cut — the number the filter pin is chosen by"),
     Op("curate_filter_calibration", filterCalibration,
       Some(filterCalibrationSql),
       "model-vs-heuristic filter agreement: 2x2 confusion cells with exact score mass and integer-ppm corpus share"),

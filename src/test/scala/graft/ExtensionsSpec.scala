@@ -2862,6 +2862,24 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("threshold sweep is monotone and consistent with the pinned filter") {
+    val c = graft.ops.Curate
+    val sweep = c.thresholdSweep(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(sweep.keySet == c.sweepThresholds.toSet)
+    // keep count is non-increasing in the threshold
+    val ordered = c.sweepThresholds.map(t => sweep(t)._1)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b },
+      s"keep counts not monotone: $ordered")
+    // the threshold-0 row IS the shipped filter's keep count
+    val pinned = c.classifierFilter(spark, dir)
+      .filter(col("keep")).count()
+    assert(sweep(0L)._1 == pinned)
+    // the sweep must separate: not all thresholds keep the same set
+    assert(ordered.distinct.size > 1, "sweep is flat — thresholds don't bite")
+  }
+
   test("filter calibration cells tile the corpus and agree consistently") {
     val out = graft.ops.Curate.filterCalibration(spark, dir).cache()
     val docs = Tables.load(spark, dir, "documents").count()

@@ -116,6 +116,7 @@ class GraftSpec extends AnyFunSuite {
       "a4_fact_agg_consistency" -> 1, // two scalar counts crossed
       "curate_curriculum" -> 1, // quartile-boundary scalar row
       "curate_filter_calibration" -> 1, // single-row corpus-total cross
+      "curate_threshold_sweep" -> 1, // single-row corpus-total cross
       "curate_epoch_plan" -> 1, // temperature-normalizer scalar row
       "j10_scalar_backfill" -> 1, // THE scalar-subquery operator
       "s_freq_sketch" -> 1, // CMS sketch row broadcast
