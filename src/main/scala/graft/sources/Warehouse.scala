@@ -638,7 +638,116 @@ object Warehouse extends OpGroup {
       |UNION ALL
       |SELECT CAST(3 AS INT), COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v3""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Snapshot expiration (Delta VACUUM / Iceberg expire_snapshots): the
+  // other half of time travel — retention. Builds its OWN copy of the
+  // four-commit versioned table (never the shared s_time_travel layer:
+  // that one must keep all versions readable), then expires every
+  // version below the retention floor: the manifest is republished with
+  // only retained versions FIRST (readers pinning via the manifest can
+  // no longer reach an expired version), and only then are data
+  // directories unreferenced by any retained version deleted — the
+  // two-phase order that makes vacuum safe under concurrent readers
+  // (metadata unpublish, then physical delete). Reads of retained
+  // versions are bit-identical before and after (pinned in the suite).
+  //
+  // Scale shape: the manifest is versions-sized (metadata plane); the
+  // reference-set difference is set arithmetic over directory names,
+  // never a data scan; deletes are O(expired files). At 100 TB with
+  // file-sharing commits the same reference-counting runs over the
+  // per-version FILE lists — unreferenced-by-any-retained is the
+  // identical rule, one more indirection deep.
+  // ---------------------------------------------------------------------
+  val vacuumRetainFrom = 2
+
+  def vacuum(s: SparkSession, dir: String): DataFrame = {
+    val root = layerPath(dir, "vacuum_tt")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    // deterministic start state every run: vacuum is only testable from
+    // a known pre-vacuum table
+    rm(new java.io.File(root))
+    val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents")
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), cents)
+      .write.mode("overwrite").parquet(s"$root/v0")
+    s.read.parquet(s"$root/v0")
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 10 === 0, col("cents") + 1000L)
+          .otherwise(col("cents")).as("cents"))
+      .write.mode("overwrite").parquet(s"$root/v1")
+    s.read.parquet(s"$root/v1")
+      .filter(col("c_custkey") % 97 =!= 0)
+      .write.mode("overwrite").parquet(s"$root/v2")
+    s.read.parquet(s"$root/v2")
+      .filter(col("c_custkey") % 31 === 0).select(col("c_custkey"))
+      .write.mode("overwrite").parquet(s"$root/d3")
+    val manifest = Seq((0, "v0", ""), (1, "v1", ""), (2, "v2", ""),
+      (3, "v2", "d3"))
+    // phase 1 — metadata unpublish: republish the manifest with only
+    // retained versions, so no reader can pin an expired one
+    val retained = manifest.filter(_._1 >= vacuumRetainFrom)
+    s.createDataFrame(retained).toDF("version", "rel", "del")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_manifest")
+    // phase 2 — physical delete: directories unreferenced by ANY
+    // retained version (set arithmetic over names, no data scan)
+    val referenced = retained.flatMap(r => Seq(r._2, r._3)).filter(_.nonEmpty)
+      .toSet
+    val expiredDirs = manifest.flatMap(r => Seq(r._2, r._3))
+      .filter(_.nonEmpty).toSet -- referenced
+    expiredDirs.foreach(d => rm(new java.io.File(s"$root/$d")))
+    // the report: retained versions re-read THROUGH the republished
+    // manifest (proving the post-vacuum read path), expired as tombstones
+    val live = s.read.parquet(s"$root/_manifest")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val liveRows = live.map { case (v, rel, del) =>
+      val base = s.read.parquet(s"$root/$rel")
+      val resolved =
+        if (del.isEmpty) base
+        else base.join(s.read.parquet(s"$root/$del"),
+          Seq("c_custkey"), "left_anti")
+      resolved.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_total"))
+        .select(lit(v).as("version"), lit("retained").as("status"),
+          col("n_rows"), col("cents_total"))
+    }.reduce(_.unionByName(_))
+    val gone = manifest.map(_._1).filter(_ < vacuumRetainFrom)
+    val goneRows = s.createDataFrame(gone.map(v => Tuple1(v)))
+      .toDF("version")
+      .select(col("version"), lit("expired").as("status"),
+        lit(null).cast("long").as("n_rows"),
+        lit(null).cast("long").as("cents_total"))
+    liveRows.unionByName(goneRows)
+  }
+
+  private val vacuumSql =
+    s"""WITH v0v AS (
+       |  SELECT c_custkey,
+       |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM customer),
+       |v1v AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 10 = 0 THEN cents + 1000 ELSE cents END AS cents
+       |  FROM v0v),
+       |v2v AS (SELECT c_custkey, cents FROM v1v WHERE c_custkey % 97 <> 0),
+       |v3v AS (SELECT c_custkey, cents FROM v2v WHERE c_custkey % 31 <> 0)
+       |SELECT CAST(2 AS INT) AS version, 'retained' AS status,
+       |       COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS cents_total
+       |FROM v2v
+       |UNION ALL
+       |SELECT CAST(3 AS INT), 'retained', COUNT(*),
+       |       CAST(SUM(cents) AS BIGINT) FROM v3v
+       |UNION ALL
+       |SELECT CAST(0 AS INT), 'expired', CAST(NULL AS BIGINT),
+       |       CAST(NULL AS BIGINT)
+       |UNION ALL
+       |SELECT CAST(1 AS INT), 'expired', CAST(NULL AS BIGINT),
+       |       CAST(NULL AS BIGINT)""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("s_vacuum", vacuum, Some(vacuumSql),
+      "snapshot expiration: manifest republished with retained versions first, unreferenced directories deleted second; retained reads unchanged"),
     Op("s_time_travel", timeTravel, Some(timeTravelSql),
       "snapshot time travel: manifest-pinned versioned reads over immutable parquet commits"),
     Op("s_sql_functions", sqlFunctions, Some(sqlFunctionsSql),

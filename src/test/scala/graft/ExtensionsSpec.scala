@@ -2991,6 +2991,31 @@ class ExtensionsSpec extends AnyFunSuite {
       got.nonEmpty, "hybrid produced nothing")
   }
 
+  test("vacuum: retained reads unchanged, expired dirs physically gone") {
+    // the safety contract: retained versions read identically through
+    // the republished manifest, and expired directories no longer exist
+    val pre = Warehouse.timeTravel(spark, dir)
+      .filter(col("version") >= Warehouse.vacuumRetainFrom)
+      .select("version", "n_rows", "cents_total")
+    val post = Warehouse.vacuum(spark, dir)
+    val postRetained = post.filter(col("status") === "retained")
+      .select("version", "n_rows", "cents_total")
+    assert(postRetained.exceptAll(pre).count() == 0 &&
+      pre.exceptAll(postRetained).count() == 0,
+      "retained version reads changed across vacuum")
+    val root = new java.io.File(Warehouse.layerPath(dir, "vacuum_tt"))
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSet
+    assert(!dirs.contains("v0") && !dirs.contains("v1"),
+      s"expired dirs still present: $dirs")
+    assert(dirs.contains("v2") && dirs.contains("d3") &&
+      dirs.contains("_manifest"), s"retained dirs missing: $dirs")
+    // the republished manifest holds only retained versions
+    val vs = spark.read.parquet(s"${root.getPath}/_manifest")
+      .select("version").collect().map(_.getInt(0)).toSet
+    assert(vs == Set(2, 3), s"manifest versions: $vs")
+  }
+
   test("streaming dedup state survives a checkpoint restart") {
     // The recovery property the harness queries don't exercise: stop a
     // stateful query mid-feed, start a NEW query over the SAME
