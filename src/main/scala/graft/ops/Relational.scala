@@ -579,6 +579,39 @@ object Relational extends OpGroup {
       |FROM orders GROUP BY CUBE(priority, status)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A23 — GROUP BY GROUPING SETS: the general form ROLLUP and CUBE are
+  // sugar for — an EXPLICIT set list, here (priority, status), (status),
+  // and () but NOT (priority): the report that wants per-cell detail,
+  // the status margin, and the grand total without paying for margins
+  // nobody reads (CUBE's 2^dims expand). Same single ExpandExec +
+  // one-hash-agg plan family; the expand factor is |sets|, chosen, not
+  // combinatorial. GROUPING() disambiguates a NULL data value from a
+  // rolled-up level in both engines.
+  // ---------------------------------------------------------------------
+  def groupingSetsReport(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"), col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("priority"), col("status")), Seq(col("status")),
+          Seq.empty),
+        col("priority"), col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"),
+        grouping(col("priority")).cast("int").as("g_priority"),
+        grouping(col("status")).cast("int").as("g_status"))
+
+  private val groupingSetsReportSql =
+    """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+      |FROM orders
+      |GROUP BY GROUPING SETS ((priority, status), (status), ())""".stripMargin
+
+  // ---------------------------------------------------------------------
   // P9 — semi-structured extraction: the JSON payload column parsed with
   // an explicit schema (`from_json`), not regex. Schema-on-read is the
   // warehouse norm for event payloads: ONE typed parse per row inside
@@ -834,6 +867,8 @@ object Relational extends OpGroup {
       "GROUP BY ROLLUP subtotals via grouping-set expand, one pass"),
     Op("a9_cube_report", cubeReport, Some(cubeReportSql),
       "GROUP BY CUBE cross-margins via grouping-set expand, one pass"),
+    Op("a23_grouping_sets", groupingSetsReport, Some(groupingSetsReportSql),
+      "explicit GROUPING SETS with GROUPING() level markers: chosen margins only, one expand + one hash-agg"),
     Op("w4_window_suite", windowSuite, Some(windowSuiteSql),
       "ntile/percent_rank/cume_dist/lag in ONE window pass over a total order"),
     Op("p9_json_extract", jsonExtract, Some(jsonExtractSql),
