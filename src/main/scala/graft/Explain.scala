@@ -24,32 +24,48 @@ object Explain {
     def distinctIds(kind: String): Int =
       (kind + "[^\\n]*?\\[plan_id=(\\d+)\\]").r
         .findAllMatchIn(plan).map(_.group(1)).toSet.size
-    // Nested-loop/cartesian joins are counted on the plan TREE, not the
-    // string: a cached subtree's plan reprints at every InMemoryTableScan
-    // reference, and BNLJ lines carry no plan_id to dedupe on — a raw
-    // substring count therefore depends on which shared frames happen to
-    // be cached when the query plans (suite flakiness, r9). The walk
-    // descends through AQE's wrapper and subquery plans but stops at
-    // cached scans, so a warm cache can only LOWER the count (the cached
-    // subtree does not re-execute); whitelists calibrate the fresh max.
-    def nestedLoops(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-      val self =
-        if (p.nodeName.startsWith("BroadcastNestedLoopJoin") ||
-          p.nodeName.startsWith("CartesianProduct")) 1 else 0
-      val kids = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.inputPlan)
-        case _ if p.nodeName.startsWith("InMemoryTableScan") => Nil
-        case _ => p.children
+    // Join nodes are counted on the plan TREE, not the string: a cached
+    // subtree's plan reprints at every InMemoryTableScan reference, and
+    // BNLJ/SMJ lines carry no plan_id to dedupe on — a raw substring
+    // count therefore depends on which shared frames happen to be cached
+    // when the query plans (suite flakiness, r9). The walk descends
+    // through AQE's wrapper, subquery plans, AND into each cached
+    // relation's ORIGINAL plan (a Memo-persisted frame otherwise makes
+    // the audit permanently blind to a loop join inside its builder —
+    // the r9 review finding); each distinct cached plan is counted ONCE
+    // no matter how many scans reference it, so warm caches change
+    // nothing and whitelists stay stable.
+    def treeCount(root: org.apache.spark.sql.execution.SparkPlan,
+        isHit: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
+      val seenCached = new java.util.IdentityHashMap[
+        org.apache.spark.sql.execution.SparkPlan, Unit]()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val self = if (isHit(p)) 1 else 0
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => Seq(a.inputPlan)
+          case s: org.apache.spark.sql.execution.columnar
+              .InMemoryTableScanExec =>
+            val cached = s.relation.cachedPlan
+            if (seenCached.containsKey(cached)) Nil
+            else { seenCached.put(cached, ()); Seq(cached) }
+          case _ => p.children
+        }
+        self + (kids ++ p.subqueries).map(walk).sum
       }
-      self + (kids ++ p.subqueries).map(nestedLoops).sum
+      walk(root)
     }
+    def hits(prefixes: String*)(
+        p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      prefixes.exists(p.nodeName.startsWith)
+    val exec = df.queryExecution.executedPlan
     Map(
       "shuffles" -> distinctIds("Exchange hashpartitioning"),
       "broadcasts" -> distinctIds("BroadcastExchange"),
-      "sortMergeJoins" -> "SortMergeJoin".r.findAllIn(plan).size,
+      "sortMergeJoins" -> treeCount(exec, hits("SortMergeJoin")),
       // the two non-equi scale-killers: O(N·M) row-compare joins
-      "nestedLoopJoins" -> nestedLoops(df.queryExecution.executedPlan),
+      "nestedLoopJoins" ->
+        treeCount(exec, hits("BroadcastNestedLoopJoin", "CartesianProduct")),
       // toString marks codegen stages as "*(n)" prefixes, not the word
       // "WholeStageCodegen"; distinct ids = number of codegen spans.
       "codegenSpans" -> "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)

@@ -54,7 +54,8 @@ object ProfCc {
       println(f"CCPROF $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2fs  " +
         f"task=${(taskMs.get - m0) / 1e3}%8.2fs  labels=$n")
     }
-    Seq("cold", "warm").take(reps).foreach { rep =>
+    // rep 1 = cold (first-touch builds), reps 2+ = warm; honor ANY count
+    (1 to reps).map(i => if (i == 1) "cold" else s"warm$i").foreach { rep =>
       if (mode != "prop")
         t(s"star $rep")(graft.ops.DedupOps.connectedComponents(edges).count())
       if (mode != "star")

@@ -508,7 +508,15 @@ object Curate extends OpGroup {
   // magnitudes fit the double mantissa, so the sum is order-independent
   // and the 1e-6-quantized score is engine-identical.
   // ---------------------------------------------------------------------
-  def classifierFilter(s: SparkSession, dir: String): DataFrame = {
+  // Memoized: THREE registered queries consume the scored frame (the
+  // filter itself, the calibration table, the threshold sweep) — without
+  // sharing, each re-runs the corpus token explode + hashing. The
+  // persisted frame is one row per document (id, count, score, keep).
+  def classifierFilter(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "classifierFilter")(
+      classifierFilterBuild(s, dir).persist())
+
+  private def classifierFilterBuild(s: SparkSession, dir: String): DataFrame = {
     val fns = graft.functions.TextFns
     val tok = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(fns.tokens(col("text"))).as("t"))
@@ -883,9 +891,7 @@ object Curate extends OpGroup {
        |  WHERE rk <= $trainingDomainCap),
        |coords_ts AS (
        |  SELECT doc_id, source,
-       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-       |           < '${TextOps.evalHexCeiling}'
-       |         THEN 'eval' ELSE 'train' END AS split,
+       |    ${splitSqlFor("doc_id")} AS split,
        |    md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h
        |  FROM cap_ts),
        |sharded_ts AS (
@@ -946,10 +952,25 @@ object Curate extends OpGroup {
   // object body) forces at init — a plain val here interpolates as null.
   // Single concatenated line: a stripMargin'd block interpolated into a
   // stripMargin'd outer template loses the first `|` of line-leading `||`.
-  private lazy val manifestRowHashSql =
-    "CAST('0x' || substring(md5('man|' || CAST(d.doc_id AS VARCHAR) " +
-      "|| ':' || md5(regexp_replace(regexp_replace(lower(trim(d.text)), " +
+  // The *For variants are shared with the STREAMING manifest oracle
+  // (streamingManifestMaintainSql) so the digest, split, and shard
+  // routing stay definitionally identical across the batch and
+  // maintained manifests — a change here updates both or neither.
+  private[graft] def manifestRowHashSqlFor(id: String, text: String): String =
+    s"CAST('0x' || substring(md5('man|' || CAST($id AS VARCHAR) " +
+      s"|| ':' || md5(regexp_replace(regexp_replace(lower(trim($text)), " +
       "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))), 1, 8) AS BIGINT)"
+
+  private[graft] def splitSqlFor(id: String): String =
+    s"CASE WHEN substring(md5(CAST($id AS VARCHAR)), 1, 2) " +
+      s"< '${TextOps.evalHexCeiling}' THEN 'eval' ELSE 'train' END"
+
+  private[graft] def shardSqlFor(id: String, shards: Int): String =
+    s"CAST(CAST('0x' || substring(md5('shuf|' || CAST($id AS VARCHAR)), " +
+      s"1, 4) AS BIGINT) % $shards AS INT)"
+
+  private lazy val manifestRowHashSql =
+    manifestRowHashSqlFor("d.doc_id", "d.text")
 
   private def shardManifestSqlAt(shards: Int): String =
     s"""${trainingCtes(shards)}

@@ -192,20 +192,10 @@ object SimilarityOps extends OpGroup {
     * (sim DESC, cell ASC) order as the oracle's ROW_NUMBER.
     */
   private def probeCells(e: DataFrame,
-      cents: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
-    val entries = cents.map { case (c, v) =>
-      val cn = math.sqrt(v.map(x => x * x).sum) // index-order fold, = oracle
-      struct(
-        (-round(graft.functions.TextFns.dotProduct(col("embedding"),
-          typedLit(v.toSeq)) / (col("nrm") * lit(cn)), 6)).as("negsim"),
-        lit(c).as("cellid"))
-    }
-    e.withColumn("_probe", slice(array_sort(array(entries: _*)), 1, nProbe))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(col("_probe")).as("_p"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("_p.cellid").as("cell"))
-  }
+      cents: Seq[(Int, Array[Double])], nProbe: Int): DataFrame =
+    // delegate: ONE copy of the negsim/sort/slice ranking expression must
+    // stay in lockstep with the oracle's ROW_NUMBER ordering
+    probeCellsRanked(e, cents, nProbe).drop("rn")
 
   /** [[probeCells]] with the probe RANK retained (1 = best cell) — the
     * recall-curve sweep filters `rn <= nprobe` per setting instead of
@@ -214,7 +204,7 @@ object SimilarityOps extends OpGroup {
   private def probeCellsRanked(e: DataFrame,
       cents: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
     val entries = cents.map { case (c, v) =>
-      val cn = math.sqrt(v.map(x => x * x).sum)
+      val cn = math.sqrt(v.map(x => x * x).sum) // index-order fold, = oracle
       struct(
         (-round(graft.functions.TextFns.dotProduct(col("embedding"),
           typedLit(v.toSeq)) / (col("nrm") * lit(cn)), 6)).as("negsim"),

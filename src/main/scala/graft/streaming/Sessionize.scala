@@ -479,6 +479,25 @@ object Sessionize extends OpGroup {
     * reprocesses the whole feed (these are fixpoint-verification runs —
     * a deployment keeps the checkpoint and resumes instead).
     */
+  /** Generation ledger for the merge-shaped IVM maintains (topk, cusum,
+    * manifest): batch id → the support-table path that batch PRODUCED.
+    * foreachBatch is at-least-once, so a replayed batch must merge
+    * against its PREDECESSOR generation (largest id' < id), never
+    * against its own previous output — deriving the merge input from
+    * the ledger makes the overwrite of gen_$id idempotent and removes
+    * the self-read-while-overwriting a replay would otherwise attempt
+    * (the streamingIvfMaintain idempotency discipline applied to the
+    * merge shape; a `var cur` pointer merges a replayed batch TWICE).
+    */
+  private final class GenLedger {
+    private var gens = scala.collection.immutable.TreeMap.empty[Long, String]
+    def predecessor(id: Long): Option[String] =
+      gens.rangeUntil(id).lastOption.map(_._2)
+    def record(id: Long, path: String): Unit = gens += id -> path
+    def latest: String = gens.last._2
+    def latestOption: Option[String] = gens.lastOption.map(_._2)
+  }
+
   private def freshDir(path: String): String = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -668,7 +687,10 @@ object Sessionize extends OpGroup {
           lit(Long.MinValue).as("_vts"), lit(Long.MinValue).as("_vid"),
           lit(false).as("_del"))
         .write.mode("overwrite").parquet(snap0)
-      var cur = snap0
+      // ledger, not a `var cur` pointer: a replayed batch must merge
+      // against its PREDECESSOR snapshot, not read-while-overwriting its
+      // own snap_$id (the GenLedger idempotency discipline)
+      val gens = new GenLedger
       val schema = s.read.parquet(feedDir).schema
       val feed = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2).parquet(feedDir)
@@ -682,7 +704,7 @@ object Sessionize extends OpGroup {
               .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
               .select(col("user_id"), unix_micros(col("ts")).as("_bts"),
                 col("event_id").as("_bid"), col("event_type"), col("value"))
-            val snap = s.read.parquet(cur)
+            val snap = s.read.parquet(gens.predecessor(id).getOrElse(snap0))
             val j = snap.join(latest, snap("c_custkey") === latest("user_id"),
               "full_outer")
             val newer = latest("user_id").isNotNull &&
@@ -703,7 +725,7 @@ object Sessionize extends OpGroup {
             // coalesced: the snapshot is dimension-sized; per-trigger
             // multi-part writes are the small-files problem
             next.coalesce(1).write.mode("overwrite").parquet(nextPath)
-            cur = nextPath
+            gens.record(id, nextPath)
           }
           ()
         }
@@ -711,7 +733,8 @@ object Sessionize extends OpGroup {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-      s.read.parquet(cur).filter(!col("_del"))
+      s.read.parquet(gens.latestOption.getOrElse(snap0))
+        .filter(!col("_del"))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     }
 
@@ -840,7 +863,7 @@ object Sessionize extends OpGroup {
       Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("agg_"))
         .foreach(f => freshDir(f.getPath))
-      var cur: Option[String] = None
+      val gens = new GenLedger
       val schema = s.read.parquet(feedDir).schema
       val feed = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2).parquet(feedDir)
@@ -850,7 +873,7 @@ object Sessionize extends OpGroup {
             val part = batch.groupBy(col("user_id"))
               .agg(count(lit(1)).as("b_n"),
                 sum(col("value").cast(DecimalType(18, 2))).as("b_sum"))
-            val next = cur match {
+            val next = gens.predecessor(id) match {
               case None => part.select(col("user_id"), col("b_n").as("n_events"),
                 col("b_sum").as("sum_value"))
               case Some(p) =>
@@ -866,7 +889,7 @@ object Sessionize extends OpGroup {
             }
             val nextPath = s"$root/agg_$id"
             next.coalesce(1).write.mode("overwrite").parquet(nextPath)
-            cur = Some(nextPath)
+            gens.record(id, nextPath)
           }
           ()
         }
@@ -874,7 +897,7 @@ object Sessionize extends OpGroup {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-      s.read.parquet(cur.get)
+      s.read.parquet(gens.latest)
         .select(col("user_id"), col("n_events"),
           col("sum_value").cast(DoubleType).as("sum_value"))
     }
@@ -916,7 +939,7 @@ object Sessionize extends OpGroup {
       Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("man_"))
         .foreach(f => freshDir(f.getPath))
-      var cur: Option[String] = None
+      val gens = new GenLedger
       val schema = s.read.parquet(feedDir).schema
       val feed = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2).parquet(feedDir)
@@ -941,7 +964,7 @@ object Sessionize extends OpGroup {
                 sum(col("rh")).cast("long").as("b_digest"),
                 min(col("doc_id")).as("b_min"),
                 max(col("doc_id")).as("b_max"))
-            val next = cur match {
+            val next = gens.predecessor(id) match {
               case None => part.select(col("split"), col("shard"),
                 col("b_n").as("n_docs"), col("b_chars").as("n_chars"),
                 col("b_digest").as("digest"), col("b_min").as("min_doc"),
@@ -967,7 +990,7 @@ object Sessionize extends OpGroup {
             }
             val nextPath = s"$root/man_$id"
             next.coalesce(1).write.mode("overwrite").parquet(nextPath)
-            cur = Some(nextPath)
+            gens.record(id, nextPath)
           }
           ()
         }
@@ -975,22 +998,19 @@ object Sessionize extends OpGroup {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-      s.read.parquet(cur.get)
+      s.read.parquet(gens.latest)
     }
 
+  // the split / shard / row-hash fragments come from Curate so the
+  // maintained manifest and the batch release manifest are
+  // DEFINITIONALLY the same digest — drift in one place is impossible
   private val streamingManifestMaintainSql =
     s"""WITH r AS (
        |  SELECT doc_id, n_chars,
-       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-       |           < '${graft.ops.TextOps.evalHexCeiling}'
-       |         THEN 'eval' ELSE 'train' END AS split,
-       |    CAST(CAST('0x' || substring(md5('shuf|' ||
-       |      CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
-       |      % ${graft.ops.Curate.trainingShards} AS INT) AS shard,
-       |    CAST('0x' || substring(md5('man|' || CAST(doc_id AS VARCHAR)
-       |      || ':' || md5(regexp_replace(regexp_replace(lower(trim(text)),
-       |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))), 1, 8)
-       |      AS BIGINT) AS rh
+       |    ${graft.ops.Curate.splitSqlFor("doc_id")} AS split,
+       |    ${graft.ops.Curate
+            .shardSqlFor("doc_id", graft.ops.Curate.trainingShards)} AS shard,
+       |    ${graft.ops.Curate.manifestRowHashSqlFor("doc_id", "text")} AS rh
        |  FROM documents)
        |SELECT split, shard, COUNT(*) AS n_docs,
        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
@@ -1091,7 +1111,7 @@ object Sessionize extends OpGroup {
       Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("counts_"))
         .foreach(f => freshDir(f.getPath))
-      var cur: Option[String] = None
+      val gens = new GenLedger
       val schema = s.read.parquet(feedDir).schema
       val feed = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2).parquet(feedDir)
@@ -1102,7 +1122,7 @@ object Sessionize extends OpGroup {
               .select(explode(graft.functions.TextFns.tokens(col("text")))
                 .as("token"))
               .groupBy(col("token")).agg(count(lit(1)).as("b_n"))
-            val next = cur match {
+            val next = gens.predecessor(id) match {
               case None => part.select(col("token"), col("b_n").as("n"))
               case Some(p) =>
                 val run = s.read.parquet(p)
@@ -1114,7 +1134,7 @@ object Sessionize extends OpGroup {
             }
             val nextPath = s"$root/counts_$id"
             next.coalesce(1).write.mode("overwrite").parquet(nextPath)
-            cur = Some(nextPath)
+            gens.record(id, nextPath)
           }
           ()
         }
@@ -1122,7 +1142,7 @@ object Sessionize extends OpGroup {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-      s.read.parquet(cur.get)
+      s.read.parquet(gens.latest)
         .orderBy(col("n").desc, col("token").asc)
         .limit(graft.ops.TextOps.topTokenK)
     }
@@ -1213,7 +1233,7 @@ object Sessionize extends OpGroup {
       Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("counts_"))
         .foreach(f => freshDir(f.getPath))
-      var cur: Option[String] = None
+      val gens = new GenLedger
       val schema = s.read.parquet(feedDir).schema
       val feed = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2).parquet(feedDir)
@@ -1224,7 +1244,7 @@ object Sessionize extends OpGroup {
               .groupBy(col("event_type").as("b_type"),
                 to_date(col("ts")).as("b_day"))
               .agg(count(lit(1)).as("b_x"))
-            val next = cur match {
+            val next = gens.predecessor(id) match {
               case None => part.select(col("b_type").as("event_type"),
                 col("b_day").as("day"), col("b_x").as("x"))
               case Some(p) =>
@@ -1241,7 +1261,7 @@ object Sessionize extends OpGroup {
             }
             val nextPath = s"$root/counts_$id"
             next.coalesce(1).write.mode("overwrite").parquet(nextPath)
-            cur = Some(nextPath)
+            gens.record(id, nextPath)
           }
           ()
         }
@@ -1249,7 +1269,7 @@ object Sessionize extends OpGroup {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-      graft.ops.TimeSeriesOps.cusumOver(s.read.parquet(cur.get))
+      graft.ops.TimeSeriesOps.cusumOver(s.read.parquet(gens.latest))
     }
 
   private val streamingTopKMaintainSql =
