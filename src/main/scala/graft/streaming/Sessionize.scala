@@ -489,7 +489,7 @@ object Sessionize extends OpGroup {
     * (the streamingIvfMaintain idempotency discipline applied to the
     * merge shape; a `var cur` pointer merges a replayed batch TWICE).
     */
-  private final class GenLedger {
+  private[graft] final class GenLedger {
     private var gens = scala.collection.immutable.TreeMap.empty[Long, String]
     def predecessor(id: Long): Option[String] =
       gens.rangeUntil(id).lastOption.map(_._2)

@@ -3069,6 +3069,25 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("generation ledger is replay-idempotent by construction") {
+    // the at-least-once property the maintains rely on: a batch's merge
+    // input is its PREDECESSOR generation, and recording the batch's own
+    // output does not change what a replay of that batch would read
+    val g = new Sessionize.GenLedger
+    assert(g.predecessor(0L).isEmpty && g.latestOption.isEmpty)
+    g.record(0L, "gen0")
+    assert(g.predecessor(0L).isEmpty, "batch 0 replay must re-seed, not self-read")
+    assert(g.predecessor(1L).contains("gen0"))
+    g.record(1L, "gen1")
+    assert(g.predecessor(1L).contains("gen0"),
+      "batch 1 replay must merge from gen0 again, not from its own gen1")
+    assert(g.predecessor(2L).contains("gen1") && g.latest == "gen1")
+    // a replayed record overwrites in place — the ledger never grows a
+    // duplicate generation for the same batch id
+    g.record(1L, "gen1")
+    assert(g.latest == "gen1" && g.predecessor(2L).contains("gen1"))
+  }
+
   test("cusum maintenance equals the batch changepoint and really merged") {
     val maintained = Sessionize.streamingCusumMaintain(spark, dir)
     val batch = graft.ops.TimeSeriesOps.changepoint(spark, dir)
