@@ -672,7 +672,139 @@ object AnalyticsOps extends OpGroup {
       |    AS srm
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A24 — CUPED variance reduction (Deng et al. 2013, "Improving the
+  // Sensitivity of Online Controlled Experiments"): adjust each user's
+  // experiment-period metric by their PRE-period metric,
+  //   Y'_i = Y_i − θ(X_i − mean(X)),  θ = cov(X,Y)/var(X),
+  // which preserves the treatment-effect estimate (assignment is
+  // independent of X) while cutting metric variance by exactly
+  // corr(X,Y)² — the standard way an A/B platform reaches significance
+  // with weeks less data. Periods reuse a21's feed-midpoint cutoff and
+  // the arms reuse the a20 hash assignment.
+  //
+  // Scale shape: ONE per-user hash-agg (pre/post cents as conditional
+  // sums) then ONE global conditional-moment fold — nine integer sums in
+  // a single row; no join, no window, the corpus read once. Every moment
+  // is exact (cents in DECIMAL(38) cross-products, the a15_corr_stats
+  // discipline); θ, the adjusted means, and the variance reduction are
+  // closed-form doubles over those integers, rounded 6dp, with
+  // zero-variance denominators when()-guarded to NULL (ANSI discipline).
+  // Arm-level adjusted means need only arm-level sums:
+  //   mean(Y'_arm) = meanY_arm − θ·(meanX_arm − meanX_all).
+  // ---------------------------------------------------------------------
+  def cuped(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val fns = graft.functions.TextFns
+    val bounds = Tables.load(s, dir, "events")
+      .agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("cutoff"))
+    val perUser = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(unix_micros(col("ts")) < col("cutoff"),
+          floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L)).as("x"),
+        sum(when(unix_micros(col("ts")) >= col("cutoff"),
+          floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L)).as("y"))
+      .withColumn("in_a",
+        when(substring(fns.fastMd5(
+          concat(lit("exp1|"), col("user_id").cast("string"))), 1, 1) < "8",
+          1L).otherwise(0L))
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    val g = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"),
+      sum(col("in_a")).as("n_a"),
+      sum(col("in_a") * col("x")).as("sx_a"),
+      sum(col("in_a") * col("y")).as("sy_a"))
+    def d(c: String) = col(c).cast("double")
+    val covN = d("n") * d("sxy") - d("sx") * d("sy") // n²·cov
+    val varXN = d("n") * d("sxx") - d("sx") * d("sx") // n²·var(X)
+    val varYN = d("n") * d("syy") - d("sy") * d("sy")
+    // guard compares the SAME doubles both engines divide by — a decimal
+    // guard could disagree with the double division at the rounding edge
+    val theta = when(d("sxx") * d("n") =!= d("sx") * d("sx"), covN / varXN)
+    val nB = d("n") - d("n_a")
+    val meanYa = d("sy_a") / d("n_a")
+    val meanYb = (d("sy") - d("sy_a")) / nB
+    val meanXall = d("sx") / d("n")
+    val adjA = meanYa - theta * (d("sx_a") / d("n_a") - meanXall)
+    val adjB = meanYb - theta * ((d("sx") - d("sx_a")) / nB - meanXall)
+    g.select(col("n").cast("long").as("n_users"),
+      col("n_a").cast("long").as("n_a"),
+      round(theta, 6).as("theta"),
+      round(when(varYN > 0, covN * covN / (varXN * varYN)), 6)
+        .as("var_reduction"),
+      round(meanYa, 6).as("mean_y_a_cents"),
+      round(meanYb, 6).as("mean_y_b_cents"),
+      round(adjA, 6).as("adj_y_a_cents"),
+      round(adjB, 6).as("adj_y_b_cents"),
+      round(adjA - adjB, 6).as("adj_effect_cents"))
+  }
+
+  private lazy val cupedSql = {
+    val covN = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val varXN = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val varYN = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val theta = s"CASE WHEN CAST(sxx AS DOUBLE) * n <> CAST(sx AS DOUBLE) * sx THEN $covN / $varXN END"
+    s"""WITH bounds AS (
+       |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cutoff
+       |  FROM events),
+       |pu AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN epoch_us(ts) < b.cutoff
+       |      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN epoch_us(ts) >= b.cutoff
+       |      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS y,
+       |    CASE WHEN substring(md5('exp1|' || CAST(user_id AS VARCHAR)), 1, 1)
+       |           < '8' THEN 1 ELSE 0 END AS in_a
+       |  FROM events, bounds b WHERE event_type = 'purchase'
+       |  GROUP BY user_id),
+       |g AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+       |    SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+       |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+       |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+       |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+       |    CAST(SUM(in_a) AS BIGINT) AS n_a,
+       |    CAST(SUM(in_a * x) AS BIGINT) AS sx_a,
+       |    CAST(SUM(in_a * y) AS BIGINT) AS sy_a
+       |  FROM pu)
+       |SELECT CAST(n AS BIGINT) AS n_users, n_a,
+       |  round($theta, 6) AS theta,
+       |  round(CASE WHEN $varYN > 0
+       |    THEN $covN * $covN / ($varXN * $varYN) END, 6) AS var_reduction,
+       |  round(CAST(sy_a AS DOUBLE) / n_a, 6) AS mean_y_a_cents,
+       |  round((CAST(sy AS DOUBLE) - sy_a) / (CAST(n AS DOUBLE) - n_a), 6)
+       |    AS mean_y_b_cents,
+       |  round(CAST(sy_a AS DOUBLE) / n_a - ($theta)
+       |    * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n), 6)
+       |    AS adj_y_a_cents,
+       |  round((CAST(sy AS DOUBLE) - sy_a) / (CAST(n AS DOUBLE) - n_a)
+       |    - ($theta) * ((CAST(sx AS DOUBLE) - sx_a)
+       |        / (CAST(n AS DOUBLE) - n_a) - CAST(sx AS DOUBLE) / n), 6)
+       |    AS adj_y_b_cents,
+       |  round((CAST(sy_a AS DOUBLE) / n_a - ($theta)
+       |      * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n))
+       |    - ((CAST(sy AS DOUBLE) - sy_a) / (CAST(n AS DOUBLE) - n_a)
+       |      - ($theta) * ((CAST(sx AS DOUBLE) - sx_a)
+       |          / (CAST(n AS DOUBLE) - n_a) - CAST(sx AS DOUBLE) / n)), 6)
+       |    AS adj_effect_cents
+       |FROM g""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
+    Op("a24_cuped", cuped, Some(cupedSql),
+      "CUPED variance reduction: pre-period covariate adjustment from one conditional-moment row; theta/adjusted means closed-form over exact decimal moments"),
     Op("a22_srm_check", srmCheck, Some(srmCheckSql),
       "sample-ratio-mismatch guardrail: 1-dof chi-square of the arm split in exact integer micro-units, cross-multiplied 5% flag"),
     Op("a21_diff_in_diff", diffInDiff, Some(diffInDiffSql),

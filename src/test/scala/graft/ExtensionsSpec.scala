@@ -2942,6 +2942,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(kf.exists(_._2 > 0), "no media segmented into multiple scenes")
   }
 
+  test("cuped replays from raw purchases and reduces variance by corr^2") {
+    val r = graft.ops.AnalyticsOps.cuped(spark, dir).collect().head
+    // independent driver-side replay from the raw feed
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val span = Tables.load(spark, dir, "events")
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head
+    val cutoff = (span.getLong(0) + span.getLong(1)) / 2
+    val per = ev.groupBy(_._1).map { case (_, rows) =>
+      (rows.filter(_._2 < cutoff).map(_._3).sum,
+        rows.filter(_._2 >= cutoff).map(_._3).sum)
+    }.toSeq
+    val n = per.size.toDouble
+    def mean(f: ((Long, Long)) => Long) = per.map(f).sum / n
+    val (mx, my) = (mean(_._1), mean(_._2))
+    val cov = per.map { case (x, y) => (x - mx) * (y - my) }.sum / n
+    val varX = per.map { case (x, _) => (x - mx) * (x - mx) }.sum / n
+    val varY = per.map { case (_, y) => (y - my) * (y - my) }.sum / n
+    val theta = r.getDouble(r.fieldIndex("theta"))
+    assert(math.abs(theta - cov / varX) < 1e-4, s"theta $theta vs ${cov / varX}")
+    val vr = r.getDouble(r.fieldIndex("var_reduction"))
+    assert(math.abs(vr - cov * cov / (varX * varY)) < 1e-4)
+    assert(vr > 0 && vr < 1, s"degenerate variance reduction $vr")
+    // the adjustment must not move the OVERALL mean (CUPED's unbiasedness
+    // at the pooled level): n_a·adjA + n_b·adjB ≈ n·meanY
+    val na = r.getLong(r.fieldIndex("n_a")).toDouble
+    val pooled = na * r.getDouble(r.fieldIndex("adj_y_a_cents")) +
+      (n - na) * r.getDouble(r.fieldIndex("adj_y_b_cents"))
+    assert(math.abs(pooled / n - my) < 1e-3,
+      s"adjustment moved the pooled mean: ${pooled / n} vs $my")
+  }
+
   test("srm check replays the chi-square from its own counts") {
     val r = graft.ops.AnalyticsOps.srmCheck(spark, dir).collect().head
     val (na, nb) = (r.getLong(0), r.getLong(1))

@@ -113,6 +113,7 @@ class GraftSpec extends AnyFunSuite {
     val allowedNested = Map(
       "a10_sketch_rollup" -> 1, // 1-row sketch-manifest cross
       "a21_diff_in_diff" -> 1, // single-row period-cutoff cross
+      "a24_cuped" -> 1, // single-row period-cutoff cross
       "a4_fact_agg_consistency" -> 1, // two scalar counts crossed
       "curate_curriculum" -> 1, // quartile-boundary scalar row
       "curate_filter_calibration" -> 1, // single-row corpus-total cross
