@@ -371,7 +371,63 @@ object TimeSeriesOps extends OpGroup {
       |    AS shift_dn
       |FROM cs""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Forecast-baseline backtest: the MAE of the two baselines every
+  // forecasting effort must beat before it earns compute — naive-1
+  // (tomorrow = today) and seasonal-naive (tomorrow = same weekday last
+  // week) — scored per event type over the feed's own history. The
+  // published-forecasting discipline (M-competitions): a model that
+  // can't beat seasonal-naive on MAE is worse than free.
+  //
+  // Scale shape: forecasts are CALENDAR-ALIGNED self-joins of the
+  // day-grain table (day = day−1 / day−7 as equi keys — no window, no
+  // lag over observed rows, which would silently skip gap days); the
+  // day-grain frames are calendar-bounded, so both joins are
+  // broadcast-sized at any corpus volume. MAE in exact integer
+  // milli-units (DIV), scored only where the lagged day exists.
+  // ---------------------------------------------------------------------
+  def forecastBaseline(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    def scored(lagDays: Int, n: String, mae: String) =
+      daily.join(
+        daily.select(col("event_type"),
+          date_add(col("day"), lagDays).as("day"), col("x").as("f")),
+        Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as(n),
+          expr("(SUM(ABS(x - f)) * 1000) DIV COUNT(*)").as(mae))
+    scored(1, "n_scored_1", "mae1_milli")
+      .join(scored(7, "n_scored_7", "mae7_milli"), Seq("event_type"))
+      .withColumn("seasonal_wins", col("mae7_milli") < col("mae1_milli"))
+  }
+
+  private lazy val forecastBaselineSql =
+    """WITH dly AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |s1 AS (
+      |  SELECT d.event_type, COUNT(*) AS n_scored_1,
+      |    (SUM(ABS(d.x - f.x)) * 1000) // COUNT(*) AS mae1_milli
+      |  FROM dly d JOIN dly f
+      |    ON f.event_type = d.event_type AND d.day = f.day + INTERVAL 1 DAY
+      |  GROUP BY d.event_type),
+      |s7 AS (
+      |  SELECT d.event_type, COUNT(*) AS n_scored_7,
+      |    (SUM(ABS(d.x - f.x)) * 1000) // COUNT(*) AS mae7_milli
+      |  FROM dly d JOIN dly f
+      |    ON f.event_type = d.event_type AND d.day = f.day + INTERVAL 7 DAY
+      |  GROUP BY d.event_type)
+      |SELECT event_type, n_scored_1, CAST(mae1_milli AS BIGINT) AS mae1_milli,
+      |  n_scored_7, CAST(mae7_milli AS BIGINT) AS mae7_milli,
+      |  CAST(mae7_milli AS BIGINT) < CAST(mae1_milli AS BIGINT)
+      |    AS seasonal_wins
+      |FROM s1 JOIN s7 USING (event_type)""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("ts_forecast_baseline", forecastBaseline, Some(forecastBaselineSql),
+      "naive-1 vs seasonal-naive MAE backtest per event type: calendar-aligned day-grain self-joins, integer milli-MAE"),
     Op("ts_changepoint", changepoint, Some(changepointSql),
       "CUSUM level-shift detection per event type via the prefix-min closed form: exact-integer cross-multiplied 5-sigma alarms over day-grain windows"),
     Op("ts_downsample", ohlcDownsample, Some(ohlcDownsampleSql),

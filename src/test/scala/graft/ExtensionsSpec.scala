@@ -2942,6 +2942,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(kf.exists(_._2 > 0), "no media segmented into multiple scenes")
   }
 
+  test("forecast baseline replays the calendar-aligned MAE") {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val out = graft.ops.TimeSeriesOps.forecastBaseline(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rows = byType(r.getString(0)).map(t => t._2 -> t._3).toMap
+      def mae(lag: Int): (Long, Long) = {
+        val sc = rows.toSeq.flatMap { case (d, x) =>
+          rows.get(d - lag).map(f => math.abs(x - f))
+        }
+        (sc.size.toLong, if (sc.isEmpty) 0L else sc.sum * 1000 / sc.size)
+      }
+      val (n1, m1) = mae(1); val (n7, m7) = mae(7)
+      assert(r.getLong(r.fieldIndex("n_scored_1")) == n1 &&
+        r.getLong(r.fieldIndex("mae1_milli")) == m1, s"lag1: $r")
+      assert(r.getLong(r.fieldIndex("n_scored_7")) == n7 &&
+        r.getLong(r.fieldIndex("mae7_milli")) == m7, s"lag7: $r")
+      assert(r.getBoolean(r.fieldIndex("seasonal_wins")) == (m7 < m1))
+    }
+  }
+
   test("cuped replays from raw purchases and reduces variance by corr^2") {
     val r = graft.ops.AnalyticsOps.cuped(spark, dir).collect().head
     // independent driver-side replay from the raw feed
