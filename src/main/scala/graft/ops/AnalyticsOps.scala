@@ -802,7 +802,72 @@ object AnalyticsOps extends OpGroup {
        |FROM g""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // A25 — power analysis / sample-size planning: BEFORE an experiment
+  // runs, how many users per arm does each minimum-detectable-effect
+  // need at α = 5% (two-sided) and 80% power? The standard two-
+  // proportion approximation n = 2(z_{α/2}+z_β)²·p̄(1−p̄)/δ² over the
+  // corpus's OWN baseline rate (the same high-value-purchase conversion
+  // a20 reads out), swept over a relative-MDE grid. `feasible` answers
+  // the planning question directly: can THIS population power THAT
+  // effect at all.
+  //
+  // Scale shape: one per-user hash-agg + one global fold to a single
+  // (converted, users) row, then a literal-grid explode — pure
+  // arithmetic on one row, |grid| output rows at any corpus size.
+  // Determinism: p̂ from exact integers; z constants are shared
+  // literals; n_per_arm = ceil of one closed-form double both engines
+  // evaluate identically; δ = 0 guards to NULL.
+  // ---------------------------------------------------------------------
+  final val powerMdeGrid = Seq(0.01, 0.02, 0.05, 0.10, 0.20)
+  final val powerZAlpha = 1.959964 // two-sided 5%
+  final val powerZBeta = 0.841621 // 80% power
+
+  def powerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val fns = graft.functions.TextFns
+    val base = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") >= abConvMinValue, 1L).otherwise(0L)).as("conv"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    val delta = p * col("mde_rel")
+    val zsum = lit(powerZAlpha + powerZBeta)
+    val nArm = ceil(lit(2.0d) * zsum * zsum * p * (lit(1.0d) - p) /
+      (delta * delta)).cast("long")
+    base.select(col("n"), col("c"),
+        explode(array(powerMdeGrid.map(lit): _*)).as("mde_rel"))
+      .select(col("n").as("n_users"), col("c").as("n_converted"),
+        col("mde_rel"),
+        round(delta, 6).as("delta_abs"),
+        when(delta > 0, nArm).as("n_per_arm"),
+        when(delta > 0, nArm * 2 <= col("n")).as("feasible"))
+  }
+
+  private lazy val powerAnalysisSql = {
+    val zsum = powerZAlpha + powerZBeta
+    val p = "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    val delta = s"($p * mde_rel)"
+    val nArm = s"CAST(ceil(2.0 * $zsum * $zsum * $p * (1.0 - $p) / ($delta * $delta)) AS BIGINT)"
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase' AND value >= $abConvMinValue
+       |        THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY user_id),
+       |b AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c FROM pu),
+       |grid(mde_rel) AS (VALUES ${
+             powerMdeGrid.map(m => s"(CAST($m AS DOUBLE))").mkString(", ")})
+       |SELECT b.n AS n_users, b.c AS n_converted, g.mde_rel,
+       |  round($delta, 6) AS delta_abs,
+       |  CASE WHEN $delta > 0 THEN $nArm END AS n_per_arm,
+       |  CASE WHEN $delta > 0 THEN $nArm * 2 <= b.n END AS feasible
+       |FROM b, grid g""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
+    Op("a25_power_analysis", powerAnalysis, Some(powerAnalysisSql),
+      "sample-size planning: users-per-arm for a relative-MDE grid from the corpus's own baseline rate, one closed-form ceil per row"),
     Op("a24_cuped", cuped, Some(cupedSql),
       "CUPED variance reduction: pre-period covariate adjustment from one conditional-moment row; theta/adjusted means closed-form over exact decimal moments"),
     Op("a22_srm_check", srmCheck, Some(srmCheckSql),

@@ -2968,6 +2968,30 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("power analysis replays the sample-size formula and orders sanely") {
+    val a = graft.ops.AnalyticsOps
+    val out = a.powerAnalysis(spark, dir).collect()
+      .map(r => r.getDouble(r.fieldIndex("mde_rel")) ->
+        r.getLong(r.fieldIndex("n_per_arm"))).toMap
+    assert(out.keySet == a.powerMdeGrid.toSet)
+    // replay from the raw per-user conversion rate
+    val users = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") >= a.abConvMinValue, 1L).otherwise(0L)).as("c"))
+      .agg(count(lit(1)), sum("c")).head
+    val p = users.getLong(1).toDouble / users.getLong(0)
+    val z = a.powerZAlpha + a.powerZBeta
+    a.powerMdeGrid.foreach { m =>
+      val d = p * m
+      val want = math.ceil(2 * z * z * p * (1 - p) / (d * d)).toLong
+      assert(out(m) == want, s"mde $m: got ${out(m)} want $want")
+    }
+    // a smaller effect always needs more users
+    val sorted = a.powerMdeGrid.sorted.map(out)
+    assert(sorted.zip(sorted.tail).forall { case (big, small) => big >= small })
+  }
+
   test("cuped replays from raw purchases and reduces variance by corr^2") {
     val r = graft.ops.AnalyticsOps.cuped(spark, dir).collect().head
     // independent driver-side replay from the raw feed
