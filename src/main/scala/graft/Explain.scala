@@ -42,8 +42,13 @@ object Explain {
       def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
         val self = if (isHit(p)) 1 else 0
         val kids = p match {
+          // initialPlan, not inputPlan: inputPlan is pre-EnsureRequirements
+          // and so contains NO exchange nodes at all — join counts are
+          // identical on either (join strategy is chosen at planning),
+          // but the exchange counter needs the plan AQE actually starts
+          // from, where shuffles exist as ShuffleExchangeExec nodes
           case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => Seq(a.inputPlan)
+              .AdaptiveSparkPlanExec => Seq(a.initialPlan)
           case s: org.apache.spark.sql.execution.columnar
               .InMemoryTableScanExec =>
             val cached = s.relation.cachedPlan
@@ -61,6 +66,20 @@ object Explain {
     val exec = df.queryExecution.executedPlan
     Map(
       "shuffles" -> distinctIds("Exchange hashpartitioning"),
+      // tree-walked, cache-deduped exchange count (the join-node
+      // discipline extended to Exchange): the plan-STRING reprint of a
+      // Memo-cached subtree can show ONE physical exchange under two
+      // plan_ids, which forced pins to a loose <=; this counter walks
+      // the tree, counts each distinct cached plan once, and so supports
+      // exact == pins regardless of cache-reprint timing. ReusedExchange
+      // nodes are a different class and correctly don't count.
+      "shufflesTree" -> treeCount(exec, {
+        case se: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec =>
+          se.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        case _ => false
+      }),
       "broadcasts" -> distinctIds("BroadcastExchange"),
       "sortMergeJoins" -> treeCount(exec, hits("SortMergeJoin")),
       // the two non-equi scale-killers: O(N·M) row-compare joins

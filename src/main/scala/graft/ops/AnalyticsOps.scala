@@ -472,17 +472,24 @@ object AnalyticsOps extends OpGroup {
     val pb = d("c_b") / d("n_b")
     val p = (d("c_a") + d("c_b")) / (d("n_a") + d("n_b"))
     // z is undefined at p ∈ {0, 1} (zero pooled variance — 0/0, which
-    // ANSI mode correctly refuses even for doubles): guard to NULL; the
-    // when() keeps the division off the degenerate branch entirely
+    // ANSI mode correctly refuses even for doubles) AND for an empty
+    // arm (n_a or n_b = 0: pa/pb divide by zero): guard both to NULL;
+    // the when() keeps the division off the degenerate branch entirely
     val z = round(when(
-      col("c_a") + col("c_b") > 0L &&
+      col("n_a") > 0L && col("n_b") > 0L &&
+        col("c_a") + col("c_b") > 0L &&
         col("c_a") + col("c_b") < col("n_a") + col("n_b"),
       (pa - pb) / sqrt(p * (lit(1.0d) - p) *
         (lit(1.0d) / d("n_a") + lit(1.0d) / d("n_b")))), 6)
     g.select(col("n_a"), col("c_a"), col("cents_a"),
       col("n_b"), col("c_b"), col("cents_b"),
-      expr("(c_a * 1000000) DIV n_a").as("rate_a_ppm"),
-      expr("(c_b * 1000000) DIV n_b").as("rate_b_ppm"),
+      // per-arm rates NULL-guard the empty-arm edge: ANSI DIV-by-zero
+      // throws while DuckDB `//` yields NULL — NULL in both is the
+      // engine-agreeing readout for "no users hashed into this arm"
+      expr("CASE WHEN n_a > 0 THEN (c_a * 1000000) DIV n_a END")
+        .as("rate_a_ppm"),
+      expr("CASE WHEN n_b > 0 THEN (c_b * 1000000) DIV n_b END")
+        .as("rate_b_ppm"),
       z.as("z_conv"),
       coalesce(abs(z) > lit(1.96d), lit(false)).as("significant"))
   }
@@ -508,7 +515,8 @@ object AnalyticsOps extends OpGroup {
       |  FROM pu),
       |zc AS (
       |  SELECT *,
-      |    CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+      |    CASE WHEN n_a > 0 AND n_b > 0
+      |          AND c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
       |      round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
       |        / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
       |               * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
@@ -516,8 +524,8 @@ object AnalyticsOps extends OpGroup {
       |    END AS z_conv
       |  FROM g)
       |SELECT n_a, c_a, cents_a, n_b, c_b, cents_b,
-      |  (c_a * 1000000) // n_a AS rate_a_ppm,
-      |  (c_b * 1000000) // n_b AS rate_b_ppm,
+      |  CASE WHEN n_a > 0 THEN (c_a * 1000000) // n_a END AS rate_a_ppm,
+      |  CASE WHEN n_b > 0 THEN (c_b * 1000000) // n_b END AS rate_b_ppm,
       |  z_conv,
       |  COALESCE(abs(z_conv) > 1.96, FALSE) AS significant
       |FROM zc""".stripMargin
@@ -731,11 +739,18 @@ object AnalyticsOps extends OpGroup {
     // guard could disagree with the double division at the rounding edge
     val theta = when(d("sxx") * d("n") =!= d("sx") * d("sx"), covN / varXN)
     val nB = d("n") - d("n_a")
-    val meanYa = d("sy_a") / d("n_a")
-    val meanYb = (d("sy") - d("sy_a")) / nB
+    // empty-arm guards (n_a = 0 or n_a = n): the arm means divide by a
+    // zero double, which ANSI Spark throws on while DuckDB returns NULL
+    // — when()-guard so both engines emit NULL for the missing arm
+    val aOk = col("n_a") > 0L
+    val bOk = col("n") > col("n_a")
+    val meanYa = when(aOk, d("sy_a") / d("n_a"))
+    val meanYb = when(bOk, (d("sy") - d("sy_a")) / nB)
     val meanXall = d("sx") / d("n")
-    val adjA = meanYa - theta * (d("sx_a") / d("n_a") - meanXall)
-    val adjB = meanYb - theta * ((d("sx") - d("sx_a")) / nB - meanXall)
+    val adjA = when(aOk, d("sy_a") / d("n_a") -
+      theta * (d("sx_a") / d("n_a") - meanXall))
+    val adjB = when(bOk, (d("sy") - d("sy_a")) / nB -
+      theta * ((d("sx") - d("sx_a")) / nB - meanXall))
     g.select(col("n").cast("long").as("n_users"),
       col("n_a").cast("long").as("n_a"),
       round(theta, 6).as("theta"),
@@ -753,6 +768,10 @@ object AnalyticsOps extends OpGroup {
     val varXN = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
     val varYN = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
     val theta = s"CASE WHEN CAST(sxx AS DOUBLE) * n <> CAST(sx AS DOUBLE) * sx THEN $covN / $varXN END"
+    // empty-arm CASE guards mirror the Spark when(): arm means are NULL
+    // (not a zero-division) when n_a = 0 or n_a = n
+    val adjA = s"CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / n_a - ($theta) * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n) END"
+    val adjB = s"CASE WHEN n > n_a THEN (CAST(sy AS DOUBLE) - sy_a) / (CAST(n AS DOUBLE) - n_a) - ($theta) * ((CAST(sx AS DOUBLE) - sx_a) / (CAST(n AS DOUBLE) - n_a) - CAST(sx AS DOUBLE) / n) END"
     s"""WITH bounds AS (
        |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cutoff
        |  FROM events),
@@ -783,21 +802,17 @@ object AnalyticsOps extends OpGroup {
        |  round($theta, 6) AS theta,
        |  round(CASE WHEN $varYN > 0
        |    THEN $covN * $covN / ($varXN * $varYN) END, 6) AS var_reduction,
-       |  round(CAST(sy_a AS DOUBLE) / n_a, 6) AS mean_y_a_cents,
-       |  round((CAST(sy AS DOUBLE) - sy_a) / (CAST(n AS DOUBLE) - n_a), 6)
+       |  round(CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / n_a END, 6)
+       |    AS mean_y_a_cents,
+       |  round(CASE WHEN n > n_a THEN (CAST(sy AS DOUBLE) - sy_a)
+       |      / (CAST(n AS DOUBLE) - n_a) END, 6)
        |    AS mean_y_b_cents,
-       |  round(CAST(sy_a AS DOUBLE) / n_a - ($theta)
-       |    * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n), 6)
+       |  round($adjA, 6)
        |    AS adj_y_a_cents,
-       |  round((CAST(sy AS DOUBLE) - sy_a) / (CAST(n AS DOUBLE) - n_a)
-       |    - ($theta) * ((CAST(sx AS DOUBLE) - sx_a)
-       |        / (CAST(n AS DOUBLE) - n_a) - CAST(sx AS DOUBLE) / n), 6)
+       |  round($adjB, 6)
        |    AS adj_y_b_cents,
-       |  round((CAST(sy_a AS DOUBLE) / n_a - ($theta)
-       |      * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n))
-       |    - ((CAST(sy AS DOUBLE) - sy_a) / (CAST(n AS DOUBLE) - n_a)
-       |      - ($theta) * ((CAST(sx AS DOUBLE) - sx_a)
-       |          / (CAST(n AS DOUBLE) - n_a) - CAST(sx AS DOUBLE) / n)), 6)
+       |  round(($adjA)
+       |    - ($adjB), 6)
        |    AS adj_effect_cents
        |FROM g""".stripMargin
   }

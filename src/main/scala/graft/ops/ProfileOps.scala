@@ -224,7 +224,13 @@ object ProfileOps extends OpGroup {
     per.crossJoin(broadcast(tot))
       .select(col("user_id"), col("n"),
         expr("(n * 1000000) DIV t").as("share_ppm"),
-        expr("(n * k * 1000000) DIV t").as("imbalance_micro"))
+        // n·k·10⁶ overflows a BIGINT intermediate once hitter-count ×
+        // distinct-key-count exceeds ~9.2e12 — split the constant across
+        // two DECIMAL(19,0) factors (the a22_srm_check discipline) so
+        // the product is DECIMAL(38) in both engines at any corpus size
+        expr("CAST((CAST(n * 1000 AS DECIMAL(19,0))" +
+          " * CAST(k * 1000 AS DECIMAL(19,0))) DIV t AS BIGINT)")
+          .as("imbalance_micro"))
       .orderBy(col("n").desc, col("user_id").asc)
       .limit(skewTopN)
   }
@@ -236,7 +242,9 @@ object ProfileOps extends OpGroup {
        |  SELECT CAST(SUM(n) AS BIGINT) AS t, COUNT(*) AS k FROM per)
        |SELECT user_id, n,
        |  (n * 1000000) // t AS share_ppm,
-       |  (n * k * 1000000) // t AS imbalance_micro
+       |  CAST((CAST(n * 1000 AS DECIMAL(19,0))
+       |        * CAST(k * 1000 AS DECIMAL(19,0))) // t AS BIGINT)
+       |    AS imbalance_micro
        |FROM per, tot
        |ORDER BY n DESC, user_id ASC LIMIT $skewTopN""".stripMargin
 

@@ -2509,12 +2509,13 @@ class ExtensionsSpec extends AnyFunSuite {
     // classifier inference: one codegen map + ONE per-doc agg exchange —
     // token rows never shuffle (map-side partial), no join of any kind.
     // The frame is Memo-persisted (three consumers) so the plan STRING
-    // reprints the cached subtree per reference — the exchange's plan_id
-    // can appear under two ids; ceiling 2 covers the reprint, the join
-    // counts (tree-walked, cache-deduped) stay exact.
+    // can reprint the cached subtree's exchange under two plan_ids —
+    // shufflesTree (tree-walked, cache-deduped, same discipline as the
+    // join counters) is immune to the reprint, so the pin is exact: a
+    // genuine second exchange fails here instead of hiding under a <=.
     val cf = c("curate_classifier_filter")
     info(s"curate_classifier_filter: $cf")
-    assert(cf("shuffles") <= 2 && cf("sortMergeJoins") == 0 &&
+    assert(cf("shufflesTree") == 1 && cf("sortMergeJoins") == 0 &&
       cf("nestedLoopJoins") == 0 && cf("broadcasts") == 0,
       s"curate_classifier_filter: $cf")
     // seasonal index: two agg exchanges over one scan + a types-row join
