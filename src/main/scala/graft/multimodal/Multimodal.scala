@@ -264,12 +264,22 @@ object Multimodal extends OpGroup {
     mediaTable(s, dir).toDF().unionByName(twins).as[MediaRow]
   }
 
+  /** Per-media band hashes — Memo-routed (not a bare cache call) so the
+    * shared artifact (the pair scan below probes it three times, and
+    * mm_dedup_survivors' closure re-enters through phashNearDup) falls
+    * under Memo's bounded retention instead of living until clearCache.
+    */
+  private def mediaHashBands(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.of(s, dir, "mediaHashBands") {
+      import s.implicits._
+      mediaWithTwins(s, dir).map { m =>
+        val (b0, b1, b2, b3) = aHashBands(m.payload)
+        MediaHash(m.media_id, b0, b1, b2, b3)
+      }.toDF().cache()
+    }
+
   def phashNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val h = mediaWithTwins(s, dir).map { m =>
-      val (b0, b1, b2, b3) = aHashBands(m.payload)
-      MediaHash(m.media_id, b0, b1, b2, b3)
-    }.toDF().cache()
+    val h = mediaHashBands(s, dir)
     val bandCols = Seq("b0", "b1", "b2", "b3")
     // two 32-bit super-bands (b0‖b1, b2‖b3) as Longs
     val wide = h.select(col("media_id"), explode(array(

@@ -928,14 +928,30 @@ object Curate extends OpGroup {
   def shardManifest(s: SparkSession, dir: String): DataFrame =
     shardManifestAt(s, dir, trainingShards)
 
+  /** Per-doc manifest digest term `(doc_id, n_chars, rh)` — the
+    * md5-over-normalized-text pass, which is the expensive part of every
+    * manifest and is LAYOUT-INDEPENDENT: the 8-shard manifest, the
+    * 16-shard manifest, and the release diff (which consumes both) all
+    * reuse this one frame instead of re-reading and re-hashing the
+    * corpus once per shard layout. Persisted via Memo: three narrow
+    * columns (two longs + a long hash), a per-release build artifact at
+    * 100 TB — the same class of scheduled job as the dedup cluster
+    * table, with none of the text retained.
+    */
+  private def manifestDocDigest(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "manifestDocDigest") {
+      val fns = graft.functions.TextFns
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          conv(substring(fns.fastMd5(concat(lit("man|"),
+            col("doc_id").cast("string"), lit(":"),
+            fns.fingerprint(col("text")))), 1, 8), 16, 10)
+            .cast("long").as("rh"))
+        .persist()
+    }
+
   def shardManifestAt(s: SparkSession, dir: String, shards: Int): DataFrame = {
-    val fns = graft.functions.TextFns
-    val d = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("n_chars"),
-        conv(substring(fns.fastMd5(concat(lit("man|"),
-          col("doc_id").cast("string"), lit(":"),
-          fns.fingerprint(col("text")))), 1, 8), 16, 10)
-          .cast("long").as("rh"))
+    val d = manifestDocDigest(s, dir)
     shardedTrainingSet(s, dir, shards).join(d, Seq("doc_id"))
       .groupBy(col("split"), col("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),

@@ -1422,8 +1422,10 @@ object SimilarityOps extends OpGroup {
     beamSearch(e, edges, lshQueryCount, graphEntryCount)
   }
 
-  /** One unrolled beam round: hop expansion ∪ current beam → re-rank. */
-  private def graphRoundSql(k: Int): String =
+  /** One unrolled beam round over corpus table/CTE `tbl`: hop expansion
+    * ∪ current beam → re-rank.
+    */
+  private def graphRoundSql(k: Int, tbl: String): String =
     s"""cand$k AS (
        |  SELECT DISTINCT q_id, vec_id FROM (
        |    SELECT b.q_id, g.dst AS vec_id
@@ -1437,19 +1439,18 @@ object SimilarityOps extends OpGroup {
        |      ROW_NUMBER() OVER (PARTITION BY c.q_id
        |        ORDER BY round(${cosSql("x.embedding", "qq.q_emb")}, 6) DESC,
        |                 c.vec_id ASC) AS rnk
-       |    FROM cand$k c JOIN embeddings x ON x.vec_id = c.vec_id
+       |    FROM cand$k c JOIN $tbl x ON x.vec_id = c.vec_id
        |    JOIN gq qq ON qq.q_id = c.q_id) t
        |  WHERE rnk <= $graphBeam)""".stripMargin
 
-  private lazy val graphTopkSql =
-    s"""WITH $ivfCellsCtes,
-       |$knnEdgesCtes,
-       |knn_und AS (
-       |  SELECT src, dst FROM knn_e
-       |  UNION ALL
-       |  SELECT dst AS src, src AS dst FROM knn_e),
-       |gq AS (
-       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  /** The full unrolled beam chain (query set, entry beam, every round)
+    * over corpus `tbl` — requires an undirected `knn_und` edge CTE in
+    * scope. Shared by the structureless and clustered twins so the two
+    * oracles are definitionally the same search.
+    */
+  private def beamChainSql(tbl: String): String =
+    s"""gq AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM $tbl
        |  WHERE vec_id < $lshQueryCount),
        |beam0 AS (
        |  SELECT q_id, vec_id FROM (
@@ -1458,20 +1459,118 @@ object SimilarityOps extends OpGroup {
        |        ORDER BY round(${cosSql("x.embedding", "qq.q_emb")}, 6) DESC,
        |                 x.vec_id ASC) AS rnk
        |    FROM gq qq CROSS JOIN (
-       |      SELECT vec_id, embedding FROM embeddings
+       |      SELECT vec_id, embedding FROM $tbl
        |      WHERE vec_id >= $lshQueryCount
        |        AND vec_id < ${lshQueryCount + graphEntryCount}) x) t
        |  WHERE rnk <= $graphBeam),
-       |${(1 to graphRounds).map(graphRoundSql).mkString(",\n")}
-       |SELECT q_id, vec_id, sim, rank FROM (
+       |${(1 to graphRounds).map(k => graphRoundSql(k, tbl)).mkString(",\n")}""".stripMargin
+
+  private def beamFinalSql(tbl: String): String =
+    s"""SELECT q_id, vec_id, sim, rank FROM (
        |  SELECT c.q_id, c.vec_id,
        |    round(${cosSql("x.embedding", "qq.q_emb")}, 6) AS sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY c.q_id
        |      ORDER BY round(${cosSql("x.embedding", "qq.q_emb")}, 6) DESC,
        |               c.vec_id ASC) AS INT) AS rank
-       |  FROM beam$graphRounds c JOIN embeddings x ON x.vec_id = c.vec_id
+       |  FROM beam$graphRounds c JOIN $tbl x ON x.vec_id = c.vec_id
        |  JOIN gq qq ON qq.q_id = c.q_id) t
        |WHERE rank <= $lshTopK""".stripMargin
+
+  private lazy val graphTopkSql =
+    s"""WITH $ivfCellsCtes,
+       |$knnEdgesCtes,
+       |knn_und AS (
+       |  SELECT src, dst FROM knn_e
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM knn_e),
+       |${beamChainSql("embeddings")}
+       |${beamFinalSql("embeddings")}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Clustered-corpus graph ANN: the SAME beam search over a corpus with
+  // real cluster structure — the regime NSW graphs exist for. The
+  // harness embeddings are structureless (uniform directions), so
+  // sim_graph_topk's honest recall there is ~0.5 and the operator's
+  // value is invisible in the correctness artifact; this twin derives a
+  // clustered fixture FROM the same table ($clusterCount well-separated
+  // one-hot centers keyed on vec_id % $clusterCount, the base embedding
+  // scaled to ±2% as deterministic jitter — engine-identical double
+  // arithmetic cast to float) and runs the identical search. In-suite
+  // recall on this shape is ~1.0 vs 0.52 structureless.
+  //
+  // Edges are CELL-restricted kNN exactly like knnJoin, with the cluster
+  // key as the cell — the IVF-graph hybrid build. Scale shape: fixture
+  // map is one narrow projection; the edge build is a per-cell self-join
+  // + per-src rank window (src is k-bounded AFTER the rank cut; per-src
+  // candidate volume is the cell size — here the fixture's 4 clusters,
+  // in a deployment ivfCells' ~√N cells, the knnJoin bound); beam rounds
+  // never shuffle the corpus (driver-held beam × broadcast probes).
+  // ---------------------------------------------------------------------
+  val clusterCount = 4
+
+  private def clusteredEmb(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "clusteredEmbNorms") {
+      val center = (col("vec_id") % clusterCount) * 16 + 1
+      val emb2 = transform(sequence(lit(1), lit(64)), i =>
+        (when(i === center, lit(1.0d)).otherwise(lit(0.0d)) +
+          element_at(col("embedding"), i).cast("double") / lit(50.0d))
+          .cast("float"))
+      emb(s, dir).select(col("vec_id"), emb2.as("embedding"))
+        .withColumn("nrm",
+          graft.functions.TextFns.l2norm(col("embedding")))
+        .cache()
+    }
+
+  def graphTopkClustered(s: SparkSession, dir: String): DataFrame = {
+    val e = clusteredEmb(s, dir)
+    val cell = (col("vec_id") % clusterCount).as("cell")
+    val a = e.select(cell, col("vec_id").as("src"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(cell, col("vec_id").as("dst"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    val fwd = a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(graft.functions.TextFns.dotProduct(col("ea"), col("eb"))
+          / (col("na") * col("nb")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= knnK)
+      .select(col("src"), col("dst"))
+    val edges = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    beamSearch(e, edges, lshQueryCount, graphEntryCount)
+  }
+
+  private lazy val graphTopkClusteredSql =
+    s"""WITH cemb AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, 65), i ->
+       |      CAST(CASE WHEN i = CAST(vec_id % $clusterCount AS BIGINT) * 16 + 1
+       |             THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+       |           + CAST(embedding[i] AS DOUBLE) / 50.0 AS FLOAT))
+       |      AS embedding
+       |  FROM embeddings),
+       |cpairs AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM cemb a JOIN cemb b
+       |    ON a.vec_id % $clusterCount = b.vec_id % $clusterCount
+       |   AND a.vec_id <> b.vec_id),
+       |knn_e AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src
+       |        ORDER BY sim DESC, dst ASC) AS rk
+       |    FROM cpairs) t
+       |  WHERE rk <= $knnK),
+       |knn_und AS (
+       |  SELECT src, dst FROM knn_e
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM knn_e),
+       |${beamChainSql("cemb")}
+       |${beamFinalSql("cemb")}""".stripMargin
 
   // ---------------------------------------------------------------------
   // Index-quality report: recall@k of the IVF retrieval path against the
@@ -2087,6 +2186,9 @@ object SimilarityOps extends OpGroup {
       "index-quality report: per-query recall@k of IVF retrieval vs brute-force truth"),
     Op("sim_graph_topk", graphTopk, Some(graphTopkSql),
       "graph ANN retrieval: NSW-style beam search over the memoized kNN edge index"),
+    Op("sim_graph_topk_clustered", graphTopkClustered,
+      Some(graphTopkClusteredSql),
+      "the SAME beam search over a clustered fixture derived from the embeddings (cell-restricted kNN edges) — the corpus shape where NSW navigation wins (in-suite recall ~1.0 vs 0.52 structureless)"),
     Op("sim_label_propagation", labelPropagation, Some(labelPropagationSql),
       "semi-supervised label spreading over the kNN graph (hash-chosen seeds, majority votes)"),
     Op("sim_rand_projection", randProjection, Some(randProjectionSql),

@@ -2584,6 +2584,55 @@ class ExtensionsSpec extends AnyFunSuite {
       tf("nestedLoopJoins") == 0, s"text_tokenizer_fertility: $tf")
   }
 
+  test("clustered graph twin: near-perfect recall where NSW wins, neighbors in-cluster") {
+    import org.apache.spark.sql.expressions.Window
+    val so = graft.ops.SimilarityOps
+    val got = SparkEntry.queries("sim_graph_topk_clustered")(spark, dir)
+      .select(col("q_id"), col("vec_id")).cache()
+    // truth: brute-force top-k per query over an INLINE re-derivation of
+    // the clustered fixture (same formula, independent code path)
+    val center = (col("vec_id") % so.clusterCount) * 16 + 1
+    val emb2 = transform(sequence(lit(1), lit(64)), i =>
+      (when(i === center, lit(1.0d)).otherwise(lit(0.0d)) +
+        element_at(col("embedding"), i).cast("double") / lit(50.0d))
+        .cast("float"))
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), emb2.as("embedding"))
+      .withColumn("nrm", graft.functions.TextFns.l2norm(col("embedding")))
+    val q = e.filter(col("vec_id") < so.lshQueryCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.TextFns.dotProduct(col("embedding"), col("qe"))
+          / (col("nrm") * col("qn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= so.lshTopK)
+      .select("q_id", "vec_id")
+    val nTruth = truth.count().toDouble
+    val hit = truth.join(got, Seq("q_id", "vec_id")).count().toDouble
+    info(f"clustered twin recall@${so.lshTopK}: ${hit / nTruth}%.3f")
+    // the registered twin exists to exercise the regime where graph
+    // navigation WINS — recall must decisively beat the ~0.52 the
+    // structureless corpus yields for the same search. Measured 0.88 at
+    // sf0.001 (22/25): WITHIN a cluster the fixture is structureless
+    // again (ranking among in-cluster neighbors rides the ±2% jitter),
+    // so the last point of recall is the same regime the 0.52 figure
+    // measures — the clusters are what the graph navigates, and it
+    // finds them every time (zero cross-cluster rows below).
+    assert(hit / nTruth >= 0.8,
+      s"clustered recall ${hit / nTruth} < 0.8 — twin lost its point")
+    // cluster coherence: on well-separated clusters every returned
+    // neighbor shares the query's cluster
+    val cross = got.filter(col("vec_id") % so.clusterCount
+      =!= col("q_id") % so.clusterCount).count()
+    assert(cross == 0, s"$cross cross-cluster neighbors returned")
+    got.unpersist()
+  }
+
   test("ood score equals the diagonal-Gaussian model replay; drift PSI replays exactly") {
     import java.math.{BigDecimal => JBD, RoundingMode => RM}
     // HALF_UP rounding, matching Spark's Round expression and DuckDB round()

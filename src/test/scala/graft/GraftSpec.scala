@@ -213,6 +213,75 @@ class GraftSpec extends AnyFunSuite {
       "stratum + size-bounded composite must pass")
   }
 
+  test("cache-retention sweep: every persist/cache site is classified") {
+    // Memo's bounded retention releases only frames it OWNS (the
+    // top-level DataFrame of a Memo.of builder); a bare `.persist()` /
+    // `.cache()` anywhere else lives until clearCache — the r8
+    // AnalyticsOps leak pattern. This sweep pins the exact per-file
+    // site count against the classification below, so a NEW site fails
+    // until it is either routed through Memo, released by its builder
+    // (try/finally), or classified here with its release story — the
+    // window audit's discipline applied to executor storage.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val pat = java.util.regex.Pattern.compile("\\.persist\\(|\\.cache\\(\\)")
+    val found = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map { p =>
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val m = pat.matcher(txt)
+        var n = 0
+        while (m.find()) n += 1
+        root.relativize(p).toString.replace('\\', '/') -> n
+      }.filter(_._2 > 0).toMap
+    val classified: Map[String, (Int, String)] = Map(
+      "ops/SimilarityOps.scala" -> ((9,
+        "8 Memo-owned top frames (ivfCells input+probe table, mipsAug, " +
+          "knnGraph, embNorms x3 one shared key, clusteredEmbNorms) + " +
+          "ivfModel's k-means input, released in its own try/finally")),
+      "ops/TextOps.scala" -> ((2,
+        "Memo-owned: bpe_words, hardNegatives")),
+      "ops/Curate.scala" -> ((4,
+        "Memo-owned: curatedCorpus, classifierFilter, " +
+          "shardedTrainingSet, manifestDocDigest")),
+      "ops/Memo.scala" -> ((1, "doc-comment text, not a call site")),
+      "ops/PqOps.scala" -> ((1, "Memo-owned: pqCodes")),
+      "ops/DedupOps.scala" -> ((6,
+        "Memo-owned: shingleRows, bandTable, cappedBands, shingles, " +
+          "clusters, contamShingleRows")),
+      "ops/AnalyticsOps.scala" -> ((2,
+        "Memo-owned: attributionJoined, attributionPer (the r8 leak, " +
+          "fixed by routing through Memo)")),
+      "multimodal/Multimodal.scala" -> ((1,
+        "Memo-owned: mediaHashBands")),
+      "etl/Dwh.scala" -> ((2,
+        "one-shot layer-build caches (guarded fact + its pre-agg " +
+          "input); consumers read the materialized parquet after the " +
+          "boundary, and repeat builds share one plan-canonicalized " +
+          "entry")),
+      "etl/Stage.scala" -> ((8,
+        "7 Memo-owned top frames (5 dims, dimJunk, dimDate, " +
+          "factEnriched's returned frame) + f4, an intermediate the " +
+          "final Memo-owned plan references (shared via plan " +
+          "canonicalization; boundary consumers read parquet)")),
+      "sources/Warehouse.scala" -> ((1,
+        "corrupt-feed parsed JSON: a bounded quarantine file, one " +
+          "plan-canonicalized entry, required by Spark's " +
+          "corrupt-column-aggregation restriction")))
+    val diffs = (found.keySet ++ classified.keySet).toSeq.sorted.flatMap {
+      f =>
+        val got = found.getOrElse(f, 0)
+        val want = classified.get(f).map(_._1).getOrElse(0)
+        if (got != want)
+          Seq(s"$f: $got persist/cache sites, classified $want") else Nil
+    }
+    assert(diffs.isEmpty,
+      "unclassified persist/cache sites — route shared frames through " +
+        "Memo.of (bounded retention), release intermediates in the " +
+        "builder, or classify here with the release story:\n  " +
+        diffs.mkString("\n  "))
+  }
+
   test("every query has an oracle or documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Non-SQL-expressible ops are allowed to omit; list them explicitly.
