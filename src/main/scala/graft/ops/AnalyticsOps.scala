@@ -446,16 +446,30 @@ object AnalyticsOps extends OpGroup {
   // "any purchase" saturates this feed (every user buys → p = 1, zero
   // pooled variance, z undefined)
   val abConvMinValue = 50
-  def abTest(s: SparkSession, dir: String): DataFrame = {
-    val fns = graft.functions.TextFns
-    val perUser = Tables.load(s, dir, "events")
-      .groupBy(col("user_id"))
+
+  /** Per-batch partial of the per-user support: conv is a MAX, cents a
+    * SUM — both abelian merges, which is what makes the readout
+    * incrementally maintainable (stream_ab_maintain merges these per
+    * micro-batch with greatest/+ and the fixpoint equals this whole-feed
+    * aggregate by commutativity).
+    */
+  private[graft] def abUserPartial(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
       .agg(max(when(col("event_type") === "purchase" &&
         col("value") >= abConvMinValue, 1L).otherwise(0L))
         .as("conv"),
         sum(when(col("event_type") === "purchase",
           floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
           .as("cents"))
+
+  /** The one-row experiment readout from a per-user (user_id, conv,
+    * cents) support frame — shared by the batch query and the streaming
+    * maintain so the two readouts are definitionally identical (arm
+    * assignment is a stateless hash of user_id, so it needs no state).
+    */
+  private[graft] def abReadout(support: DataFrame): DataFrame = {
+    val fns = graft.functions.TextFns
+    val perUser = support
       .withColumn("in_a",
         when(substring(fns.fastMd5(
           concat(lit("exp1|"), col("user_id").cast("string"))), 1, 1) < "8",
@@ -494,7 +508,10 @@ object AnalyticsOps extends OpGroup {
       coalesce(abs(z) > lit(1.96d), lit(false)).as("significant"))
   }
 
-  private lazy val abTestSql =
+  def abTest(s: SparkSession, dir: String): DataFrame =
+    abReadout(abUserPartial(Tables.load(s, dir, "events")))
+
+  private[graft] lazy val abTestSql =
     s"""WITH pu AS (
       |  SELECT user_id,
       |    MAX(CASE WHEN event_type = 'purchase' AND value >= $abConvMinValue

@@ -1147,6 +1147,77 @@ object Sessionize extends OpGroup {
         .limit(graft.ops.TextOps.topTokenK)
     }
 
+  /** Incremental EXPERIMENT-readout maintenance — the IVM family's
+    * experimentation artifact: the a20 two-proportion readout kept
+    * current as event batches arrive, the always-on A/B dashboard every
+    * platform runs. The maintained state is the per-user (conv, cents)
+    * support table — conv merges by MAX (greatest), cents by SUM, both
+    * abelian, so any batch arrival order reaches the same support (the
+    * z statistic itself is NOT self-maintainable: a new conversion moves
+    * the pooled variance, so the one-row readout re-derives from the
+    * user-grain support at read — one fold over |users| rows, the cheap
+    * part by construction; arm assignment is a stateless user_id hash
+    * and needs no state at all). Per-batch cost is one
+    * map-side-combinable partial over the BATCH plus a support-sized
+    * merge; the event feed is never rescanned. Fixpoint = the batch
+    * [[graft.ops.AnalyticsOps.abTest]] oracle, via the SHARED
+    * [[graft.ops.AnalyticsOps.abReadout]] final stage.
+    *
+    * foreachBatch is at-least-once: a replayed batch overwrites its own
+    * `users_$id` generation (idempotent per batch id), the GenLedger
+    * merge chain always extends the latest predecessor.
+    */
+  def streamingAbMaintain(s: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(s, noAqe) {
+      import graft.sources.Warehouse.layerPath
+      val root = layerPath(dir, "ab_stream")
+      val feedDir = s"$root/feed"
+      if (!new java.io.File(feedDir).exists()) {
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("value"))
+          .repartitionByRange(4, col("user_id"))
+          .write.mode("overwrite").parquet(feedDir)
+      }
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("users_"))
+        .foreach(f => freshDir(f.getPath))
+      val gens = new GenLedger
+      val schema = s.read.parquet(feedDir).schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(feedDir)
+      val q = feed.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty) {
+            val part = graft.ops.AnalyticsOps.abUserPartial(batch.toDF())
+              .select(col("user_id").as("b_user"), col("conv").as("b_conv"),
+                col("cents").as("b_cents"))
+            val next = gens.predecessor(id) match {
+              case None => part.select(col("b_user").as("user_id"),
+                col("b_conv").as("conv"), col("b_cents").as("cents"))
+              case Some(p) =>
+                val run = s.read.parquet(p)
+                run.join(part, run("user_id") === part("b_user"),
+                    "full_outer")
+                  .select(
+                    coalesce(run("user_id"), part("b_user")).as("user_id"),
+                    greatest(coalesce(col("conv"), lit(0L)),
+                      coalesce(col("b_conv"), lit(0L))).as("conv"),
+                    (coalesce(col("cents"), lit(0L)) +
+                      coalesce(col("b_cents"), lit(0L))).as("cents"))
+            }
+            val nextPath = s"$root/users_$id"
+            next.coalesce(1).write.mode("overwrite").parquet(nextPath)
+            gens.record(id, nextPath)
+          }
+          ()
+        }
+        .option("checkpointLocation", freshDir(s"$root/ckpt"))
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      graft.ops.AnalyticsOps.abReadout(s.read.parquet(gens.latest))
+    }
+
   /** Incremental ANN-INDEX maintenance — the missing member of the IVM
     * family (aggregate, join, rank statistic, model statistic, CDC; this
     * one maintains an INDEX artifact). Embedding arrivals are assigned
@@ -1287,6 +1358,9 @@ object Sessionize extends OpGroup {
     Op("stream_topk_maintain", streamingTopKMaintain,
       Some(streamingTopKMaintainSql),
       "incremental RANK-statistic maintenance: vocabulary support table merged per batch, top-K extracted at read"),
+    Op("stream_ab_maintain", streamingAbMaintain,
+      Some(graft.ops.AnalyticsOps.abTestSql),
+      "incremental EXPERIMENT-readout maintenance: per-user (conv, cents) support merged per batch (max/+, abelian), one-row z readout re-derived at read; fixpoint = batch a20_ab_test"),
     Op("stream_cusum_maintain", streamingCusumMaintain,
       Some(graft.ops.TimeSeriesOps.changepointSql),
       "incremental MONITORING-statistic maintenance: day-grain count support merged per batch, CUSUM alarms re-derived at read; fixpoint = batch ts_changepoint"),

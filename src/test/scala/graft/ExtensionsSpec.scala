@@ -3238,6 +3238,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(gens >= 2, s"expected >=2 support generations, got $gens")
   }
 
+  test("ab-readout maintenance equals the batch readout and really merged") {
+    val maintained = Sessionize.streamingAbMaintain(spark, dir)
+    val batch = graft.ops.AnalyticsOps.abTest(spark, dir)
+    assert(maintained.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(maintained).count() == 0,
+      "maintained readout must equal the batch a20 readout exactly")
+    // the 4-file feed at maxFilesPerTrigger=2 must have produced >1
+    // micro-batch — the greatest/+ merge branch, not just the seed —
+    // and the support holds exactly the distinct users of the feed
+    val root = new java.io.File(Warehouse.layerPath(dir, "ab_stream"))
+    val gens = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("users_")).sortBy(_.getName)
+    assert(gens.length >= 2, s"expected >=2 support generations, got " +
+      gens.length)
+    val support = spark.read.parquet(gens.last.getPath)
+    val users = Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(support.count() == users,
+      s"support rows ${support.count()} != distinct users $users")
+    // conv is a 0/1 max, cents a non-negative sum — merge invariants
+    assert(support.filter(!col("conv").isin(0L, 1L) ||
+      col("cents") < 0L).count() == 0)
+  }
+
   test("cpu budgets: the top task-second queries stay under 3× measured") {
     // Plan-shape pins can't see a CPU regression with an unchanged plan
     // (an interpreted expression slipping into the hot path, a lost
