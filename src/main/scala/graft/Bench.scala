@@ -164,7 +164,13 @@ object Bench {
           // chain (its own token explode), consumed by three curate_*
           // queries — safe to build concurrently
           Future(timed("classifier_scores")(
-            graft.ops.Curate.classifierFilter(spark, sfDir).count())))),
+            graft.ops.Curate.classifierFilter(spark, sfDir).count())),
+          // entity-resolution linkage table: candidates → verify →
+          // closure over the customer registry — the master-record
+          // artifact, a scheduled build like the dedup cluster table;
+          // independent of every other chain (customer table only)
+          Future(timed("er_resolved")(
+            graft.ops.Joins.entityResolve(spark, sfDir).count())))),
           Duration.Inf)
       } finally pool.shutdown()
     } catch { case _: Throwable => }

@@ -252,6 +252,8 @@ class GraftSpec extends AnyFunSuite {
       "ops/AnalyticsOps.scala" -> ((2,
         "Memo-owned: attributionJoined, attributionPer (the r8 leak, " +
           "fixed by routing through Memo)")),
+      "ops/Joins.scala" -> ((1,
+        "Memo-owned: erResolved (the linkage artifact, layer-warmed)")),
       "multimodal/Multimodal.scala" -> ((1,
         "Memo-owned: mediaHashBands")),
       "etl/Dwh.scala" -> ((2,
