@@ -1349,6 +1349,23 @@ object SimilarityOps extends OpGroup {
     */
   private[graft] def beamSearch(e: DataFrame, edges: DataFrame,
       qCount: Int, entryCount: Int): DataFrame = {
+    val init = for {
+      qi <- 0L until qCount.toLong
+      ei <- qCount.toLong until (qCount + entryCount).toLong
+    } yield (qi, ei)
+    beamFrom(e, Seq.fill(graphRounds)(edges), qCount, init)
+  }
+
+  /** The beam engine under [[beamSearch]] and [[hnswTopk]]: arbitrary
+    * initial (q_id, vec_id) candidates and a PER-ROUND edge set — a flat
+    * search passes the same edges every round, the hierarchical search
+    * passes coarse-layer edges first and the full graph after (HNSW's
+    * descent, two layers). All invariants of the flat form hold
+    * unchanged: beams driver-held, candidates broadcast, one scoring
+    * action per round, zero corpus shuffles.
+    */
+  private def beamFrom(e: DataFrame, roundEdges: Seq[DataFrame],
+      qCount: Int, init: Seq[(Long, Long)]): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val q = e.filter(col("vec_id") < qCount)
@@ -1385,12 +1402,8 @@ object SimilarityOps extends OpGroup {
     // candidates are id arithmetic (q × [qCount, qCount+entryCount));
     // ids absent from the corpus fall out of the scoring join exactly as
     // the old corpus-side filter dropped them.
-    val init = for {
-      qi <- 0L until qCount.toLong
-      ei <- qCount.toLong until (qCount + entryCount).toLong
-    } yield (qi, ei)
     var beam = topK(score(init.toDF("q_id", "vec_id")), graphBeam)
-    (1 to graphRounds).foreach { _ =>
+    roundEdges.foreach { edges =>
       val bdf = beam.map(t => (t._1, t._2)).toSeq.toDF("q_id", "vec_id")
       val expand = edges.join(
           broadcast(bdf.withColumnRenamed("vec_id", "src")), Seq("src"))
@@ -1422,14 +1435,15 @@ object SimilarityOps extends OpGroup {
     beamSearch(e, edges, lshQueryCount, graphEntryCount)
   }
 
-  /** One unrolled beam round over corpus table/CTE `tbl`: hop expansion
-    * ∪ current beam → re-rank.
+  /** One unrolled beam round over corpus table/CTE `tbl`, hopping along
+    * edge CTE `edges`: hop expansion ∪ current beam → re-rank.
     */
-  private def graphRoundSql(k: Int, tbl: String): String =
+  private def graphRoundSql(k: Int, tbl: String,
+      edges: String = "knn_und"): String =
     s"""cand$k AS (
        |  SELECT DISTINCT q_id, vec_id FROM (
        |    SELECT b.q_id, g.dst AS vec_id
-       |    FROM beam${k - 1} b JOIN knn_und g ON g.src = b.vec_id
+       |    FROM beam${k - 1} b JOIN $edges g ON g.src = b.vec_id
        |    UNION ALL
        |    SELECT q_id, vec_id FROM beam${k - 1}) u
        |  WHERE vec_id <> q_id),
@@ -1443,12 +1457,17 @@ object SimilarityOps extends OpGroup {
        |    JOIN gq qq ON qq.q_id = c.q_id) t
        |  WHERE rnk <= $graphBeam)""".stripMargin
 
-  /** The full unrolled beam chain (query set, entry beam, every round)
-    * over corpus `tbl` — requires an undirected `knn_und` edge CTE in
-    * scope. Shared by the structureless and clustered twins so the two
-    * oracles are definitionally the same search.
+  /** The full unrolled beam chain (query set, entry beam, one CTE per
+    * round) over corpus `tbl` — `roundEdges` names the edge CTE each
+    * round hops along (all `knn_und` for the flat search; coarse-layer
+    * then full-graph for the hierarchical one), `entryPred` selects the
+    * fixed entry rows. Shared by the structureless, clustered, and HNSW
+    * twins so every oracle is definitionally the same search.
     */
-  private def beamChainSql(tbl: String): String =
+  private def beamChainSql(tbl: String,
+      roundEdges: Seq[String] = Seq.fill(graphRounds)("knn_und"),
+      entryPred: String = s"vec_id >= $lshQueryCount" +
+        s" AND vec_id < ${lshQueryCount + graphEntryCount}"): String =
     s"""gq AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb FROM $tbl
        |  WHERE vec_id < $lshQueryCount),
@@ -1460,19 +1479,20 @@ object SimilarityOps extends OpGroup {
        |                 x.vec_id ASC) AS rnk
        |    FROM gq qq CROSS JOIN (
        |      SELECT vec_id, embedding FROM $tbl
-       |      WHERE vec_id >= $lshQueryCount
-       |        AND vec_id < ${lshQueryCount + graphEntryCount}) x) t
+       |      WHERE $entryPred) x) t
        |  WHERE rnk <= $graphBeam),
-       |${(1 to graphRounds).map(k => graphRoundSql(k, tbl)).mkString(",\n")}""".stripMargin
+       |${roundEdges.zipWithIndex.map { case (ed, i) =>
+          graphRoundSql(i + 1, tbl, ed) }.mkString(",\n")}""".stripMargin
 
-  private def beamFinalSql(tbl: String): String =
+  private def beamFinalSql(tbl: String,
+      lastRound: Int = graphRounds): String =
     s"""SELECT q_id, vec_id, sim, rank FROM (
        |  SELECT c.q_id, c.vec_id,
        |    round(${cosSql("x.embedding", "qq.q_emb")}, 6) AS sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY c.q_id
        |      ORDER BY round(${cosSql("x.embedding", "qq.q_emb")}, 6) DESC,
        |               c.vec_id ASC) AS INT) AS rank
-       |  FROM beam$graphRounds c JOIN $tbl x ON x.vec_id = c.vec_id
+       |  FROM beam$lastRound c JOIN $tbl x ON x.vec_id = c.vec_id
        |  JOIN gq qq ON qq.q_id = c.q_id) t
        |WHERE rank <= $lshTopK""".stripMargin
 
@@ -1571,6 +1591,113 @@ object SimilarityOps extends OpGroup {
        |  SELECT dst AS src, src AS dst FROM knn_e),
        |${beamChainSql("cemb")}
        |${beamFinalSql("cemb")}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Hierarchical (HNSW-style) graph ANN: sim_graph_topk with the one
+  // piece flat NSW lacks at extreme scale — LAYERED ENTRY DISCOVERY
+  // (Malkov & Yashunin 2016, the upper layers). A fixed global entry
+  // set must navigate the whole graph from wherever those entries
+  // happen to sit; as the corpus grows, either the round count grows
+  // with the graph diameter or recall decays. HNSW's answer: search a
+  // SAMPLED coarse layer first (here vec_id % hnswLayerMod — 1/8th of
+  // the corpus, its own cell-restricted kNN edges), whose best beam
+  // becomes the fine search's per-query entry set; coarse rounds cost
+  // O(beam·deg) over an 8×-smaller graph, and the fine search starts
+  // near the answer instead of at a fixed node. Same beam engine, same
+  // invariants (driver-held beams, broadcast candidates, zero corpus
+  // shuffles) — only the per-round edge set changes, so the oracle is
+  // the identical chain with the first hnswCoarseRounds rounds hopping
+  // the layer-1 CTE.
+  //
+  // Scale shape: the layer-1 edge build is the knnJoin self-join
+  // restricted to the sample (sum(cell²)/64 candidate pairs); search
+  // cost per query is (coarse + fine) · O(beam·deg) — corpus-
+  // independent once the two edge artifacts exist. At 100 TB the layer
+  // count grows logarithmically (sample the sample); two layers are the
+  // harness-honest demonstration.
+  // ---------------------------------------------------------------------
+  val hnswLayerMod = 8
+  val hnswCoarseRounds = 2
+
+  /** Layer-1 kNN edges: the knnJoin build over the sampled sub-graph,
+    * undirected. Memoized like the full graph — the coarse layer is the
+    * second half of the persisted index artifact.
+    */
+  private def hnswL1Edges(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "hnswL1Edges") {
+      val cells = ivfCells(s, dir)
+        .filter(col("vec_id") % hnswLayerMod === 0)
+      val a = cells.select(col("cell"), col("vec_id").as("src"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = cells.select(col("cell"), col("vec_id").as("dst"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(graft.functions.TextFns.dotProduct(col("ea"), col("eb"))
+            / (col("na") * col("nb")), 6).as("sim"))
+        .distinct()
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("sim").desc, col("dst").asc)
+      val fwd = pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= knnK)
+        .select(col("src"), col("dst"))
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .cache()
+    }
+
+  def hnswTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Memo.of(s, dir, "embNorms") {
+      emb(s, dir).select(col("vec_id"), col("embedding"),
+        graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()
+    }
+    val fwd = knnEdges(s, dir)
+    val l0 = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val l1 = hnswL1Edges(s, dir)
+    // entries = the first graphEntryCount layer-1 nodes: pure id
+    // arithmetic, deterministic, mirrored literally in the oracle
+    val init = for {
+      qi <- 0L until lshQueryCount.toLong
+      k <- 1 to graphEntryCount
+    } yield (qi, k.toLong * hnswLayerMod)
+    beamFrom(e,
+      Seq.fill(hnswCoarseRounds)(l1) ++ Seq.fill(graphRounds)(l0),
+      lshQueryCount, init)
+  }
+
+  private lazy val hnswTopkSql = {
+    val entries = (1 to graphEntryCount).map(_ * hnswLayerMod)
+    s"""WITH $ivfCellsCtes,
+       |$knnEdgesCtes,
+       |knn_und AS (
+       |  SELECT src, dst FROM knn_e
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM knn_e),
+       |l1p AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % $hnswLayerMod = 0
+       |    AND b.vec_id % $hnswLayerMod = 0),
+       |l1knn AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src
+       |        ORDER BY sim DESC, dst ASC) AS rk
+       |    FROM l1p) t
+       |  WHERE rk <= $knnK),
+       |l1und AS (
+       |  SELECT src, dst FROM l1knn
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM l1knn),
+       |${beamChainSql("embeddings",
+          Seq.fill(hnswCoarseRounds)("l1und") ++
+            Seq.fill(graphRounds)("knn_und"),
+          s"vec_id IN (${entries.mkString(", ")})")}
+       |${beamFinalSql("embeddings", hnswCoarseRounds + graphRounds)}""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // Index-quality report: recall@k of the IVF retrieval path against the
@@ -2186,6 +2313,8 @@ object SimilarityOps extends OpGroup {
       "index-quality report: per-query recall@k of IVF retrieval vs brute-force truth"),
     Op("sim_graph_topk", graphTopk, Some(graphTopkSql),
       "graph ANN retrieval: NSW-style beam search over the memoized kNN edge index"),
+    Op("sim_hnsw_topk", hnswTopk, Some(hnswTopkSql),
+      "hierarchical (HNSW-style) graph ANN: coarse beam over a sampled layer-1 kNN graph discovers per-query entries, the full-graph beam finishes — layered entry discovery, the flat search's missing piece at extreme scale"),
     Op("sim_graph_topk_clustered", graphTopkClustered,
       Some(graphTopkClusteredSql),
       "the SAME beam search over a clustered fixture derived from the embeddings (cell-restricted kNN edges) — the corpus shape where NSW navigation wins (in-suite recall ~1.0 vs 0.52 structureless)"),

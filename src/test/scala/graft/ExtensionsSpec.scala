@@ -2584,6 +2584,48 @@ class ExtensionsSpec extends AnyFunSuite {
       tf("nestedLoopJoins") == 0, s"text_tokenizer_fertility: $tf")
   }
 
+  test("hnsw layered search: well-formed top-k, recall comparable to the flat beam") {
+    import org.apache.spark.sql.expressions.Window
+    val so = graft.ops.SimilarityOps
+    val hnsw = SparkEntry.queries("sim_hnsw_topk")(spark, dir).cache()
+    // shape: every query has a contiguous 1..k rank list, k-bounded
+    val byQ = hnsw.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"),
+        min(col("rank")).as("mn"))
+    assert(byQ.filter(col("n") > so.lshTopK || col("mx") =!= col("n") ||
+      col("mn") =!= 1).count() == 0, "malformed rank lists")
+    assert(byQ.count() == so.lshQueryCount)
+    // recall vs brute force, reported next to the flat beam's: layered
+    // entry discovery must not LOSE recall against the same fine search
+    // from fixed entries (it starts nearer the answer by construction)
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", graft.functions.TextFns.l2norm(col("embedding")))
+    val q = e.filter(col("vec_id") < so.lshQueryCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.TextFns.dotProduct(col("embedding"), col("qe"))
+          / (col("nrm") * col("qn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= so.lshTopK)
+      .select("q_id", "vec_id")
+    val nTruth = truth.count().toDouble
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      truth.join(df.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+        .count().toDouble / nTruth
+    val rH = recallOf(hnsw)
+    val rG = recallOf(SparkEntry.queries("sim_graph_topk")(spark, dir))
+    info(f"hnsw recall@${so.lshTopK}: $rH%.3f  flat beam: $rG%.3f")
+    assert(rH >= rG - 0.11,
+      f"layered entries lost recall: hnsw $rH%.3f vs flat $rG%.3f")
+    hnsw.unpersist()
+  }
+
   test("clustered graph twin: near-perfect recall where NSW wins, neighbors in-cluster") {
     import org.apache.spark.sql.expressions.Window
     val so = graft.ops.SimilarityOps
