@@ -1541,27 +1541,36 @@ object SimilarityOps extends OpGroup {
         .cache()
     }
 
-  def graphTopkClustered(s: SparkSession, dir: String): DataFrame = {
-    val e = clusteredEmb(s, dir)
-    val cell = (col("vec_id") % clusterCount).as("cell")
-    val a = e.select(cell, col("vec_id").as("src"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(cell, col("vec_id").as("dst"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("sim").desc, col("dst").asc)
-    val fwd = a.join(b, Seq("cell"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        round(graft.functions.TextFns.dotProduct(col("ea"), col("eb"))
-          / (col("na") * col("nb")), 6).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= knnK)
-      .select(col("src"), col("dst"))
-    val edges = fwd.union(
-      fwd.select(col("dst").as("src"), col("src").as("dst")))
-    beamSearch(e, edges, lshQueryCount, graphEntryCount)
-  }
+  /** The clustered twin's kNN edge table — Memoized + layer-warmed like
+    * knnGraph and hnswL1Edges: the per-cell self-join (N/4-row cells ×
+    * 64-dim cosines) is the twin's one-time INDEX build, not per-query
+    * work, and un-memoized it re-ran per bench rep (5.5 s/rep at sf0.1).
+    */
+  private def clusteredEdges(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "clusteredEdges") {
+      val e = clusteredEmb(s, dir)
+      val cell = (col("vec_id") % clusterCount).as("cell")
+      val a = e.select(cell, col("vec_id").as("src"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(cell, col("vec_id").as("dst"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("sim").desc, col("dst").asc)
+      val fwd = a.join(b, Seq("cell"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(graft.functions.TextFns.dotProduct(col("ea"), col("eb"))
+            / (col("na") * col("nb")), 6).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= knnK)
+        .select(col("src"), col("dst"))
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .cache()
+    }
+
+  def graphTopkClustered(s: SparkSession, dir: String): DataFrame =
+    beamSearch(clusteredEmb(s, dir), clusteredEdges(s, dir),
+      lshQueryCount, graphEntryCount)
 
   private lazy val graphTopkClusteredSql =
     s"""WITH cemb AS (
@@ -1645,6 +1654,17 @@ object SimilarityOps extends OpGroup {
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
         .cache()
     }
+
+  /** Bench layer-build hook: force the two sibling edge artifacts the
+    * graph-search twins probe (the sampled layer-1 graph and the
+    * clustered fixture's graph) so their one-time builds land in
+    * `layer_build`, not in whichever query touches them first.
+    */
+  def graphLayerBuilds(s: SparkSession, dir: String): Unit = {
+    hnswL1Edges(s, dir).count()
+    clusteredEdges(s, dir).count()
+    ()
+  }
 
   def hnswTopk(s: SparkSession, dir: String): DataFrame = {
     val e = Memo.of(s, dir, "embNorms") {

@@ -235,11 +235,11 @@ class GraftSpec extends AnyFunSuite {
         root.relativize(p).toString.replace('\\', '/') -> n
       }.filter(_._2 > 0).toMap
     val classified: Map[String, (Int, String)] = Map(
-      "ops/SimilarityOps.scala" -> ((11,
-        "10 Memo-owned top frames (ivfCells input+probe table, mipsAug, " +
+      "ops/SimilarityOps.scala" -> ((12,
+        "11 Memo-owned top frames (ivfCells input+probe table, mipsAug, " +
           "knnGraph, embNorms x4 one shared key, clusteredEmbNorms, " +
-          "hnswL1Edges) + ivfModel's k-means input, released in its " +
-          "own try/finally")),
+          "clusteredEdges, hnswL1Edges) + ivfModel's k-means input, " +
+          "released in its own try/finally")),
       "ops/TextOps.scala" -> ((2,
         "Memo-owned: bpe_words, hardNegatives")),
       "ops/Curate.scala" -> ((4,
