@@ -467,20 +467,28 @@ object AnalyticsOps extends OpGroup {
     * maintain so the two readouts are definitionally identical (arm
     * assignment is a stateless hash of user_id, so it needs no state).
     */
-  private[graft] def abReadout(support: DataFrame): DataFrame = {
+  /** Arm-level exact-integer sums from the per-user support — the stage
+    * every experiment readout (fixed-horizon z, the sequential e-value,
+    * the maintained dashboard) folds through.
+    */
+  private def abArmSums(support: DataFrame): DataFrame = {
     val fns = graft.functions.TextFns
-    val perUser = support
+    support
       .withColumn("in_a",
         when(substring(fns.fastMd5(
           concat(lit("exp1|"), col("user_id").cast("string"))), 1, 1) < "8",
           1L).otherwise(0L))
-    val g = perUser.agg(
-      sum(col("in_a")).as("n_a"),
-      sum(col("in_a") * col("conv")).as("c_a"),
-      sum(col("in_a") * col("cents")).as("cents_a"),
-      sum(lit(1L) - col("in_a")).as("n_b"),
-      sum((lit(1L) - col("in_a")) * col("conv")).as("c_b"),
-      sum((lit(1L) - col("in_a")) * col("cents")).as("cents_b"))
+      .agg(
+        sum(col("in_a")).as("n_a"),
+        sum(col("in_a") * col("conv")).as("c_a"),
+        sum(col("in_a") * col("cents")).as("cents_a"),
+        sum(lit(1L) - col("in_a")).as("n_b"),
+        sum((lit(1L) - col("in_a")) * col("conv")).as("c_b"),
+        sum((lit(1L) - col("in_a")) * col("cents")).as("cents_b"))
+  }
+
+  private[graft] def abReadout(support: DataFrame): DataFrame = {
+    val g = abArmSums(support)
     def d(c: String) = col(c).cast("double")
     val pa = d("c_a") / d("n_a")
     val pb = d("c_b") / d("n_b")
@@ -511,8 +519,97 @@ object AnalyticsOps extends OpGroup {
   def abTest(s: SparkSession, dir: String): DataFrame =
     abReadout(abUserPartial(Tables.load(s, dir, "events")))
 
-  private[graft] lazy val abTestSql =
-    s"""WITH pu AS (
+  // ---------------------------------------------------------------------
+  // A26 — always-valid sequential test (mSPRT, Johari et al. 2017
+  // "Peeking at A/B Tests"): the fixed-horizon z of a20 is only valid
+  // at ONE pre-committed look; an experimenter who peeks per day (or
+  // per trigger, via stream_ab_maintain's support) inflates false
+  // positives severalfold. The mixture SPRT fixes this with an e-value:
+  //   Λ_n = sqrt(V_n/(V_n+τ²)) · exp(δ̂²τ² / (2·V_n·(V_n+τ²)))
+  // (normal-approximation likelihood ratio mixed over a N(0, τ²) prior
+  // on the effect), whose 1/Λ is a p-value valid at EVERY n
+  // simultaneously — reject whenever Λ > 1/α, no α-spending schedule.
+  // This is the readout a platform recomputes at every interim without
+  // statistical debt; paired with the maintained per-user support it is
+  // the always-on monitor done right.
+  //
+  // Scale shape: identical to a20 — one per-user hash-agg + one global
+  // fold to a single row; no join, no window. Determinism: all inputs
+  // are exact integers; log Λ is ONE closed-form double chain floored
+  // to integer MICRO-units (the lm-score ln() discipline — transcendental
+  // then quantize), and the reject flag compares that integer against a
+  // precomputed literal threshold, so no float threshold can disagree
+  // across engines. Degenerate cases (empty arm, p̄ ∈ {0,1} ⇒ V_n = 0)
+  // guard to NULL exactly as a20's z does.
+  // ---------------------------------------------------------------------
+  /** Mixture prior scale τ² = (1%)² — the effect-size prior a
+    * conversion-rate platform defaults to; a deployment tunes it to its
+    * historical effect distribution.
+    */
+  final val msprtTau2 = "0.0001"
+  /** floor(ln(1/0.05)·1e6): Λ > 20 ⇔ always-valid p < 0.05. */
+  final val msprtRejectMicro = 2995732L
+
+  def sequentialTest(s: SparkSession, dir: String): DataFrame = {
+    val g = abArmSums(abUserPartial(Tables.load(s, dir, "events")))
+    def d(c: String) = col(c).cast("double")
+    val pa = d("c_a") / d("n_a")
+    val pb = d("c_b") / d("n_b")
+    val p = (d("c_a") + d("c_b")) / (d("n_a") + d("n_b"))
+    val t2 = lit(0.0001d)
+    val vn = p * (lit(1.0d) - p) *
+      (lit(1.0d) / d("n_a") + lit(1.0d) / d("n_b"))
+    val delta = pa - pb
+    val logl = when(
+      col("n_a") > 0L && col("n_b") > 0L &&
+        col("c_a") + col("c_b") > 0L &&
+        col("c_a") + col("c_b") < col("n_a") + col("n_b"),
+      lit(0.5d) * log(vn / (vn + t2)) +
+        delta * delta * t2 / (lit(2.0d) * vn * (vn + t2)))
+    g.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      expr("CASE WHEN n_a > 0 THEN (c_a * 1000000) DIV n_a END")
+        .as("rate_a_ppm"),
+      expr("CASE WHEN n_b > 0 THEN (c_b * 1000000) DIV n_b END")
+        .as("rate_b_ppm"),
+      floor(logl * lit(1e6)).cast("long").as("log_e_value_micro"))
+      .withColumn("reject_always_valid",
+        coalesce(col("log_e_value_micro") >= msprtRejectMicro,
+          lit(false)))
+  }
+
+  private lazy val sequentialTestSql = {
+    val vn = s"(pbar * (1.0 - pbar) * (1.0 / n_a + 1.0 / n_b))"
+    s"""WITH $abArmCtes,
+       |pb AS (
+       |  SELECT g.*,
+       |    (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+       |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pbar
+       |  FROM g),
+       |lm AS (
+       |  SELECT pb.*,
+       |    CASE WHEN n_a > 0 AND n_b > 0
+       |          AND c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+       |      CAST(FLOOR((0.5 * ln($vn / ($vn + $msprtTau2))
+       |        + (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+       |          * (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+       |          * $msprtTau2 / (2.0 * $vn * ($vn + $msprtTau2))) * 1000000.0)
+       |        AS BIGINT)
+       |    END AS log_e_value_micro
+       |  FROM pb)
+       |SELECT n_a, c_a, n_b, c_b,
+       |  CASE WHEN n_a > 0 THEN (c_a * 1000000) // n_a END AS rate_a_ppm,
+       |  CASE WHEN n_b > 0 THEN (c_b * 1000000) // n_b END AS rate_b_ppm,
+       |  log_e_value_micro,
+       |  COALESCE(log_e_value_micro >= $msprtRejectMicro, FALSE)
+       |    AS reject_always_valid
+       |FROM lm""".stripMargin
+  }
+
+  /** The per-user + arm-sum CTEs shared by the fixed-horizon readout
+    * and the sequential e-value — one definition, two oracles.
+    */
+  private lazy val abArmCtes =
+    s"""pu AS (
       |  SELECT user_id,
       |    MAX(CASE WHEN event_type = 'purchase' AND value >= $abConvMinValue
       |        THEN 1 ELSE 0 END) AS conv,
@@ -529,7 +626,10 @@ object AnalyticsOps extends OpGroup {
       |    CAST(SUM(1 - in_a) AS BIGINT) AS n_b,
       |    CAST(SUM((1 - in_a) * conv) AS BIGINT) AS c_b,
       |    CAST(SUM((1 - in_a) * cents) AS BIGINT) AS cents_b
-      |  FROM pu),
+      |  FROM pu)""".stripMargin
+
+  private[graft] lazy val abTestSql =
+    s"""WITH $abArmCtes,
       |zc AS (
       |  SELECT *,
       |    CASE WHEN n_a > 0 AND n_b > 0
@@ -908,6 +1008,8 @@ object AnalyticsOps extends OpGroup {
       "difference-in-differences over the hash arms and the feed-midpoint period split: exact integer cell means, null-guarded empty cells"),
     Op("a20_ab_test", abTest, Some(abTestSql),
       "experiment readout: hash-assigned variants, exact integer counts/cents, pooled two-proportion z in one closed-form double"),
+    Op("a26_sequential_test", sequentialTest, Some(sequentialTestSql),
+      "always-valid sequential test (mSPRT e-value): log-Lambda in integer micro-units over the same arm sums as a20 - peek at every interim with no alpha-spending; reject vs a precomputed integer threshold"),
     Op("a19_attribution", attribution, Some(attributionSql),
       "multi-touch attribution (first/last/linear) over the 7-day lookback, one user-keyed join"),
     Op("a18_interval_overlap", intervalOverlap, Some(intervalOverlapSql),

@@ -1231,6 +1231,66 @@ object DedupOps extends OpGroup {
         round(col("n_near_dups").cast("double") / col("n_docs"), 6))
   }
 
+  // ---------------------------------------------------------------------
+  // Cross-source duplication matrix: how much does each PAIR of sources
+  // duplicate each other — candidate count, verified near-dup count, and
+  // mean Jaccard per unordered source pair. dedup_source_stats answers
+  // "how much of source X is duplicate mass"; this answers the sourcing
+  // question behind it: WHICH two crawls overlap (a mirror, a re-crawl,
+  // a syndication feed), i.e. which acquisition to drop rather than
+  // dedup. Pairs are the banded, hot-bucket-capped LSH candidates with
+  // the n-gram Jaccard verify — the same memoized surface every other
+  // verify rides, so this is a re-aggregation, not a new pairwise scan.
+  //
+  // Scale shape: two doc_id equi joins against the narrow (doc_id,
+  // source) projection + ONE hash-agg to |sources|² rows at most —
+  // candidates never re-derived, nothing quadratic beyond the capped
+  // candidate set itself. Determinism: counts are integers; the mean is
+  // a pure integer floor-division in micro-units — NOT round(sum/n, 4):
+  // q4-quantized sums over small groups land on exact .xxxx5 boundaries
+  // routinely, where Spark's HALF_UP (on the decimal string) and
+  // DuckDB's binary-double rounding disagree (caught at sf0.1:
+  // 215/2 → 0.0108 vs 0.0107).
+  // ---------------------------------------------------------------------
+  def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val j = ngramJaccard(s, dir)
+    j.join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("long").as("n_candidates"),
+        sum(when(col("jaccard") >= jaccardThreshold, 1L).otherwise(0L))
+          .cast("long").as("n_near_dups"),
+        sum(floor(col("jaccard") * 10000 + 0.5).cast("long")).cast("long")
+          .as("sum_jaccard_q4"))
+      .withColumn("mean_jaccard_micro",
+        expr("(sum_jaccard_q4 * 100) DIV n_candidates"))
+  }
+
+  private lazy val crossSourceOverlapSql =
+    s"""WITH $jaccardCtes,
+       |srcmap AS (SELECT doc_id, source FROM documents),
+       |m AS (
+       |  SELECT LEAST(sa.source, sb.source) AS source_a,
+       |    GREATEST(sa.source, sb.source) AS source_b,
+       |    COUNT(*) AS n_candidates,
+       |    CAST(SUM(CASE WHEN j.jaccard >= $jaccardThreshold
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+       |    CAST(SUM(CAST(FLOOR(j.jaccard * 10000 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS sum_jaccard_q4
+       |  FROM jaccard j
+       |  JOIN srcmap sa ON sa.doc_id = j.doc_a
+       |  JOIN srcmap sb ON sb.doc_id = j.doc_b
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_candidates, n_near_dups,
+       |  sum_jaccard_q4,
+       |  (sum_jaccard_q4 * 100) // n_candidates AS mean_jaccard_micro
+       |FROM m""".stripMargin
+
   private val sourceStatsSql =
     s"""WITH RECURSIVE $clusterCtes,
        |ek_src AS (
@@ -1255,6 +1315,9 @@ object DedupOps extends OpGroup {
       "LSH sensitivity curve: candidate volume and verified-jaccard mass per collided-band count (the r,b tuning artifact)"),
     Op("dedup_source_stats", sourceStats, Some(sourceStatsSql),
       "per-source duplication report: exact-copy and near-dup counts plus wasted char mass"),
+    Op("dedup_cross_source", crossSourceOverlap,
+      Some(crossSourceOverlapSql),
+      "cross-source duplication matrix: candidate/verified near-dup counts and mean Jaccard per unordered source pair over the capped LSH candidates — the which-crawl-to-drop sourcing readout"),
     Op("dedup_incremental", incrementalDedup, Some(incrementalDedupSql),
       "incremental batch-vs-corpus dedup against persisted fingerprint + band indexes"),
     Op("dedup_segments", segmentDedup, Some(segmentDedupSql),
