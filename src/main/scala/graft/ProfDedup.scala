@@ -29,6 +29,20 @@ object ProfDedup {
     t("minhash lsh(2)")(graft.ops.DedupOps.minhashLsh(spark, sfDir).count())
     t("ngram jaccard")(graft.ops.DedupOps.ngramJaccard(spark, sfDir).count())
     t("survivors")(graft.ops.DedupOps.nearDupSurvivors(spark, sfDir).count())
+    // fixed-batch incremental-dedup stress (ARCHITECTURE scale table):
+    // cap the simulated arrival to the base-corpus slice while the
+    // probed index scales — set SPARK_GRAFT_INCR_MAX_SRC to the base
+    // doc count when profiling a gen_scale corpus. Profiling-main only:
+    // the registered query never reads this, so correctness runs can't
+    // be skewed by leftover shell state.
+    sys.env.get("SPARK_GRAFT_INCR_MAX_SRC").foreach { b =>
+      t("incremental fixed-batch")(
+        graft.ops.DedupOps.incrementalDedupAt(spark, sfDir, b.toLong)
+          .count())
+      t("incremental fixed-batch(2)")(
+        graft.ops.DedupOps.incrementalDedupAt(spark, sfDir, b.toLong)
+          .count())
+    }
     spark.stop()
   }
 }

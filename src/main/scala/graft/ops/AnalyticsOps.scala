@@ -462,11 +462,6 @@ object AnalyticsOps extends OpGroup {
           floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
           .as("cents"))
 
-  /** The one-row experiment readout from a per-user (user_id, conv,
-    * cents) support frame — shared by the batch query and the streaming
-    * maintain so the two readouts are definitionally identical (arm
-    * assignment is a stateless hash of user_id, so it needs no state).
-    */
   /** Arm-level exact-integer sums from the per-user support — the stage
     * every experiment readout (fixed-horizon z, the sequential e-value,
     * the maintained dashboard) folds through.
@@ -487,6 +482,11 @@ object AnalyticsOps extends OpGroup {
         sum((lit(1L) - col("in_a")) * col("cents")).as("cents_b"))
   }
 
+  /** The one-row experiment readout from a per-user (user_id, conv,
+    * cents) support frame — shared by the batch query and the streaming
+    * maintain so the two readouts are definitionally identical (arm
+    * assignment is a stateless hash of user_id, so it needs no state).
+    */
   private[graft] def abReadout(support: DataFrame): DataFrame = {
     val g = abArmSums(support)
     def d(c: String) = col(c).cast("double")

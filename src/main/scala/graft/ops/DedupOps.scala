@@ -1051,22 +1051,23 @@ object DedupOps extends OpGroup {
   val recrawlMod = 7
   val recrawlIdOffset = 2000000L
 
-  /** Fixed-batch control knob for the scale stress (ARCHITECTURE's
-    * dedup_incremental fixed-batch row): bounds the simulated arrival
-    * to source ids below the given value, so on a gen_scale 10× corpus
-    * the BATCH stays the base-corpus slice (replica ids sit at
-    * rep·n + id) while the probed index scales with the corpus — the
-    * production question "does per-batch cost track the batch or the
-    * corpus" measured directly. Unset (the registered query, every
-    * correctness run) = no bound.
-    */
-  private def incrMaxSrcId: Long =
-    sys.env.get("SPARK_GRAFT_INCR_MAX_SRC").map(_.toLong)
-      .getOrElse(Long.MaxValue)
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame =
+    incrementalDedupAt(s, dir, Long.MaxValue)
 
-  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Fixed-batch control for the scale stress (ARCHITECTURE's
+    * dedup_incremental fixed-batch row): `bound` caps the simulated
+    * arrival to source ids below it, so on a gen_scale 10× corpus the
+    * BATCH stays the base-corpus slice (replica ids sit at rep·n + id)
+    * while the probed index scales with the corpus — the production
+    * question "does per-batch cost track the batch or the corpus"
+    * measured directly. Reached ONLY from the profiling main
+    * (ProfDedup's env knob) — the registered query is the unbounded
+    * form, so no environment state can make the Spark result diverge
+    * from its oracle.
+    */
+  private[graft] def incrementalDedupAt(s: SparkSession, dir: String,
+      bound: Long): DataFrame = {
     val d = docs(s, dir)
-    val bound = incrMaxSrcId
     val batch = d.filter(col("doc_id") % incrBatchMod === 0
         && col("doc_id") < bound)
       .select(col("doc_id").as("batch_id"), col("doc_id").as("src_id"))

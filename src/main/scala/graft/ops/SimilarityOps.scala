@@ -1749,23 +1749,32 @@ object SimilarityOps extends OpGroup {
   // paths reuse the memoized edge artifacts.
   // ---------------------------------------------------------------------
   def graphRecallReport(s: SparkSession, dir: String): DataFrame = {
-    val e = Memo.of(s, dir, "embNorms") {
-      emb(s, dir).select(col("vec_id"), col("embedding"),
-        graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()
+    // the brute-force truth is the expensive part (|queries| × corpus
+    // exact cosines) and BOTH union branches consume it — Memo-persist
+    // so the pass runs once per (session, corpus), not once per branch
+    // (it is also the natural shared artifact for any future recall
+    // consumer; the DuckDB oracle's btopk CTE is computed once likewise)
+    val truth = Memo.of(s, dir, "bruteTruthTopk") {
+      val e = Memo.of(s, dir, "embNorms") {
+        emb(s, dir).select(col("vec_id"), col("embedding"),
+          graft.functions.TextFns.l2norm(col("embedding")).as("nrm")).cache()
+      }
+      val q = e.filter(col("vec_id") < lshQueryCount)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(graft.functions.TextFns
+            .dotProduct(col("embedding"), col("q_emb"))
+            / (col("nrm") * col("q_nrm")), 6).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= lshTopK)
+        .select(col("q_id"), col("vec_id"))
+        .cache()
     }
-    val q = e.filter(col("vec_id") < lshQueryCount)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    val truth = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(graft.functions.TextFns.dotProduct(col("embedding"), col("q_emb"))
-          / (col("nrm") * col("q_nrm")), 6).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= lshTopK)
-      .select(col("q_id"), col("vec_id"))
     def hits(got: DataFrame, path: String): DataFrame =
       truth.join(got.select(col("q_id"), col("vec_id"),
           lit(1).as("_hit")), Seq("q_id", "vec_id"), "left")

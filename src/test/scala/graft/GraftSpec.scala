@@ -237,11 +237,11 @@ class GraftSpec extends AnyFunSuite {
         root.relativize(p).toString.replace('\\', '/') -> n
       }.filter(_._2 > 0).toMap
     val classified: Map[String, (Int, String)] = Map(
-      "ops/SimilarityOps.scala" -> ((13,
-        "12 Memo-owned top frames (ivfCells input+probe table, mipsAug, " +
+      "ops/SimilarityOps.scala" -> ((14,
+        "13 Memo-owned top frames (ivfCells input+probe table, mipsAug, " +
           "knnGraph, embNorms x5 one shared key, clusteredEmbNorms, " +
-          "clusteredEdges, hnswL1Edges) + ivfModel's k-means input, " +
-          "released in its own try/finally")),
+          "clusteredEdges, hnswL1Edges, bruteTruthTopk) + ivfModel's " +
+          "k-means input, released in its own try/finally")),
       "ops/TextOps.scala" -> ((2,
         "Memo-owned: bpe_words, hardNegatives")),
       "ops/Curate.scala" -> ((4,
