@@ -47,6 +47,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val totals = new Totals
     spark.sparkContext.addSparkListener(totals)
+    // Micro-batch trigger counter: the stream_* family's wall is
+    // dominated by per-trigger machinery (scheduling + state-store
+    // commit), which swings with machine load while the data cost per
+    // batch stays flat — counting triggers makes the per-trigger
+    // overhead computable offline ((wall - task/cores) / triggers)
+    // instead of leaving a 2× stream_subtotal swing unexplained.
+    // Progress events arrive on the async listener bus, so counts are
+    // approximate at query boundaries (±1 attribution slip is fine for
+    // an overhead diagnostic).
+    val trig = new AtomicLong
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryProgressEvent): Unit = {
+          trig.incrementAndGet(); ()
+        }
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
     // JIT/codegen/parquet-reader warm-up so measured queries aren't charged
     // for one-time JVM startup costs: run every query once at the smallest
     // scale factor (sf0.001) to compile each plan's codegen paths, then
@@ -200,6 +221,7 @@ object Bench {
     val repCapSec = 4.0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val before = totals.snap()
+      val trigBefore = trig.get
       var walls = List.empty[Double]
       var ok = true
       def rep(record: Boolean = true): Unit = {
@@ -241,7 +263,8 @@ object Bench {
       val taskSec = if (n == 0) 0.0 else (after._1 - before._1) / 1e3 / n
       val shMb = if (n == 0) 0.0
         else (after._2 - before._2 + after._3 - before._3) / 1e6 / n
-      name -> ((med, chron, taskSec, shMb))
+      val trigN = if (n == 0) 0L else (trig.get - trigBefore) / n
+      name -> ((med, chron, taskSec, shMb, trigN))
     }
     val fj = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.map(_._1).sum
@@ -253,11 +276,18 @@ object Bench {
     // comparison can read the batch surface (total - stream_subtotal)
     // without ~14 fixed-cost queries obscuring real regressions.
     val streamSub = results.collect {
-      case (n, (m, _, _, _)) if n.startsWith("stream_") => m
+      case (n, (m, _, _, _, _)) if n.startsWith("stream_") => m
+    }.sum
+    // per-rep trigger count across the stream family: stream_subtotal /
+    // stream_triggers is the per-trigger wall — the machine-sensitive
+    // fixed cost — so two runs with different subtotals but matching
+    // per-trigger cost are the SAME code behavior under different load
+    val streamTrig = results.collect {
+      case (n, (_, _, _, _, t)) if n.startsWith("stream_") => t
     }.sum
     def fmt(v: Double): String = f"$v%.3f"
     def line(qs: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fj,"layer_build":${fmt(layerSec)},"stream_subtotal":${fmt(streamSub)},"task_total":${fmt(taskTotal)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fj,"layer_build":${fmt(layerSec)},"stream_subtotal":${fmt(streamSub)},"stream_triggers":$streamTrig,"task_total":${fmt(taskTotal)},"sf":"$sfDir"}"""
     // The harness that invokes this main captures only the LAST ~2000
     // characters of output and parses the JSON line out of that window, so
     // the line printed to stdout must stay well under 2000 bytes end to
@@ -275,7 +305,7 @@ object Bench {
     // Round-over-round comparison should read `warm` (median of reps 2+,
     // null when the cap left a single cold sample) next to `cold`
     // instead of misreading a cold-only sample as a 7× regression.
-    val fullQs = full.map { case (k, (med, walls, task, sh)) =>
+    val fullQs = full.map { case (k, (med, walls, task, sh, trigN)) =>
       val cold = walls.headOption.getOrElse(0.0)
       val warm =
         if (walls.length >= 2) {
@@ -290,7 +320,8 @@ object Bench {
         ",\"cold\":" + fmt(cold) + ",\"warm\":" + warm +
         ",\"min\":" + fmt(mn) +
         ",\"reps\":" + walls.map(fmt).mkString("[", ",", "]") +
-        ",\"task_sec\":" + fmt(task) + ",\"shuffle_mb\":" + fmt(sh) + "}"
+        ",\"task_sec\":" + fmt(task) + ",\"shuffle_mb\":" + fmt(sh) +
+        (if (trigN > 0) ",\"triggers\":" + trigN else "") + "}"
     }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
@@ -300,7 +331,7 @@ object Bench {
     val sb = new StringBuilder
     var restSum = 0.0
     var restN = 0
-    full.foreach { case (k, (med, _, _, _)) =>
+    full.foreach { case (k, (med, _, _, _, _)) =>
       val entry = "\"" + k + "\":" + fmt(med)
       if (sb.length + entry.length + 1 <= budget) {
         if (sb.nonEmpty) sb.append(',')

@@ -74,6 +74,9 @@ object Pipeline extends OpGroup {
             |JOIN dwh_dim_date d ON f.event_datetime = d.date_id
             |GROUP BY d.year, f.source_type""".stripMargin)
       },
+      // plain q, NOT qMat (measured at sf0.1: 2.6 s plain vs 5.2 s
+      // materialized — this select's two end-of-chain references are
+      // cheaper recomputed than the full chain is forced)
       Some(PipelineSql.q(
         """SELECT d.year, f.source_type,
           |       COUNT(*) AS n_events,
@@ -247,6 +250,18 @@ object PipelineSql {
 
   def q(select: String): String = prefix + select
 
+  /** [[prefix]] with every CTE pinned MATERIALIZED — for consumers that
+    * reference (nearly) the whole chain MANY times, like the QA report
+    * (fact_dwh ×8, fact_stage ×3, each dim 4-6×): DuckDB inlines plain
+    * CTEs per reference, so the un-pinned QA oracle recomputed the
+    * entire staged pipeline per check row (measured at sf0.1: 84-212 s
+    * plain — the dominant cost of the whole oracle pass — vs 7.8 s
+    * pinned, identical rows). NOT the default: DuckDB evaluates even
+    * UNREFERENCED materialized CTEs (measured), so a cheap consumer
+    * that reads one dim would pay the whole chain under this prefix.
+    */
+  val prefixMat: String = prefix.replace(" AS (", " AS MATERIALIZED (")
+
   val qaReportSql: String = {
     val parityTables = Seq("dim_patients", "dim_admissions", "dim_provider",
       "dim_concepts", "dim_junk_named", "dim_date")
@@ -291,7 +306,9 @@ object PipelineSql {
          |  CAST(0 AS BIGINT) AS rhs""".stripMargin
     }
     val body = (parity :+ factVsAgg) ++ orphans ++ dups
-    prefix +
+    // prefixMat: the QA body references every chain member 4-8 times —
+    // see the prefixMat scaladoc for the measured 84 s → 7.8 s pin
+    prefixMat +
       "SELECT check_name, lhs, rhs, lhs - rhs AS diff FROM (\n" +
       body.mkString("\nUNION ALL\n") + "\n) checks"
   }

@@ -550,6 +550,15 @@ object AnalyticsOps extends OpGroup {
   /** floor(ln(1/0.05)·1e6): Λ > 20 ⇔ always-valid p < 0.05. */
   final val msprtRejectMicro = 2995732L
 
+  // ACCEPTED RISK (the lm-score precedent): log_e_value_micro's oracle
+  // equality rests on the JVM and DuckDB libm producing bit-identical
+  // ln() over an identical double chain — IEEE 754 does not require
+  // correctly-rounded ln, so a 1-ulp divergence landing exactly on a
+  // micro-unit floor boundary would flip the column (and, at the exact
+  // threshold, reject_always_valid) by 1. Every other column here is
+  // exact-integer arithmetic and immune. Observed zero flips across
+  // sf0.001/0.01/0.1; if one ever appears, the fix is a ±1-micro
+  // tolerance for this column in the oracle checker, not a code change.
   def sequentialTest(s: SparkSession, dir: String): DataFrame = {
     val g = abArmSums(abUserPartial(Tables.load(s, dir, "events")))
     def d(c: String) = col(c).cast("double")

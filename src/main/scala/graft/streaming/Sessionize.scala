@@ -498,6 +498,22 @@ object Sessionize extends OpGroup {
     def latestOption: Option[String] = gens.lastOption.map(_._2)
   }
 
+  /** Feed-snapshot currency check for the `$root/feed` idiom: the feed
+    * is a one-time snapshot of a source table, but the harness
+    * REGENERATES the testdata tables between rounds while the feed
+    * lives under the warehouse layer dir and survives — a write-once
+    * guard would silently replay a stale feed forever after. Stale =
+    * missing, or the source parquet's mtime is newer than the feed
+    * dir's (the write stamps the dir at snapshot time).
+    */
+  private def feedCurrent(dir: String, table: String,
+      feedDir: String): Boolean = {
+    val feed = new java.io.File(feedDir)
+    if (!feed.exists()) return false
+    val src = new java.io.File(s"$dir/$table.parquet")
+    !(src.exists() && src.lastModified() > feed.lastModified())
+  }
+
   private def freshDir(path: String): String = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -660,7 +676,7 @@ object Sessionize extends OpGroup {
       import graft.sources.Warehouse.layerPath
       val root = layerPath(dir, "cdc_stream")
       val feedDir = s"$root/feed"
-      if (!new java.io.File(feedDir).exists()) {
+      if (!feedCurrent(dir, "events", feedDir)) {
         // pre-split the feed into 4 ts-range files, consumed 2 per
         // trigger => 2 micro-batches: trigger 2 exercises the
         // merge-with-existing-state path, which is the incremental
@@ -769,7 +785,7 @@ object Sessionize extends OpGroup {
       import graft.sources.Warehouse.layerPath
       val root = layerPath(dir, "joinivm_stream")
       val feedDir = s"$root/feed"
-      if (!new java.io.File(feedDir).exists()) {
+      if (!feedCurrent(dir, "events", feedDir)) {
         Tables.load(s, dir, "events")
           .filter(col("event_type").isin("signup", "purchase"))
           .select(col("event_id"), col("ts"), col("user_id"),
@@ -854,7 +870,7 @@ object Sessionize extends OpGroup {
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
       val root = layerPath(dir, "agg_stream")
       val feedDir = s"$root/feed"
-      if (!new java.io.File(feedDir).exists()) {
+      if (!feedCurrent(dir, "events", feedDir)) {
         Tables.load(s, dir, "events")
           .select(col("event_id"), col("ts"), col("user_id"), col("value"))
           .repartitionByRange(4, col("ts"))
@@ -930,7 +946,7 @@ object Sessionize extends OpGroup {
       val fns = graft.functions.TextFns
       val root = layerPath(dir, "manifest_stream")
       val feedDir = s"$root/feed"
-      if (!new java.io.File(feedDir).exists()) {
+      if (!feedCurrent(dir, "documents", feedDir)) {
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text"), col("n_chars"))
           .repartitionByRange(4, col("doc_id"))
@@ -1043,7 +1059,7 @@ object Sessionize extends OpGroup {
     import graft.sources.Warehouse.layerPath
     val root = layerPath(dir, "gram_stream")
     val feedDir = s"$root/feed"
-    if (!new java.io.File(feedDir).exists()) {
+    if (!feedCurrent(dir, "embeddings", feedDir)) {
       // 4 vec_id-range files, 2 per trigger => 2 micro-batches
       Tables.load(s, dir, "embeddings")
         .repartitionByRange(4, col("vec_id"))
@@ -1102,7 +1118,7 @@ object Sessionize extends OpGroup {
       import graft.sources.Warehouse.layerPath
       val root = layerPath(dir, "topk_stream")
       val feedDir = s"$root/feed"
-      if (!new java.io.File(feedDir).exists()) {
+      if (!feedCurrent(dir, "documents", feedDir)) {
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text"))
           .repartitionByRange(4, col("doc_id"))
@@ -1172,7 +1188,7 @@ object Sessionize extends OpGroup {
       import graft.sources.Warehouse.layerPath
       val root = layerPath(dir, "ab_stream")
       val feedDir = s"$root/feed"
-      if (!new java.io.File(feedDir).exists()) {
+      if (!feedCurrent(dir, "events", feedDir)) {
         Tables.load(s, dir, "events")
           .select(col("user_id"), col("event_type"), col("value"))
           .repartitionByRange(4, col("user_id"))
@@ -1215,7 +1231,13 @@ object Sessionize extends OpGroup {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-      graft.ops.AnalyticsOps.abReadout(s.read.parquet(gens.latest))
+      // an all-empty feed leaves no generation: read out from an empty
+      // support (NULL z, zero arms) instead of throwing on gens.latest —
+      // the streamingCdcApply latestOption discipline
+      graft.ops.AnalyticsOps.abReadout(gens.latestOption
+        .map(s.read.parquet(_))
+        .getOrElse(s.range(0).select(col("id").as("user_id"),
+          col("id").as("conv"), col("id").as("cents"))))
     }
 
   /** Incremental ANN-INDEX maintenance — the missing member of the IVM
@@ -1245,7 +1267,7 @@ object Sessionize extends OpGroup {
     import graft.sources.Warehouse.layerPath
     val root = layerPath(dir, "ivf_stream")
     val feedDir = s"$root/feed"
-    if (!new java.io.File(feedDir).exists()) {
+    if (!feedCurrent(dir, "embeddings", feedDir)) {
       Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .repartitionByRange(4, col("vec_id"))
@@ -1295,7 +1317,7 @@ object Sessionize extends OpGroup {
       import graft.sources.Warehouse.layerPath
       val root = layerPath(dir, "cusum_stream")
       val feedDir = s"$root/feed"
-      if (!new java.io.File(feedDir).exists()) {
+      if (!feedCurrent(dir, "events", feedDir)) {
         Tables.load(s, dir, "events")
           .select(col("event_id"), col("ts"), col("event_type"))
           .repartitionByRange(4, col("event_id"))

@@ -3350,4 +3350,53 @@ class ExtensionsSpec extends AnyFunSuite {
           f"(budget $cap) — a CPU regression with no plan-shape change")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("multi-probe LSH: candidate superset, recall never below single-bucket") {
+    val single = SparkEntry.queries("sim_lsh_topk")(spark, dir)
+      .select(col("q_id"), col("vec_id")).cache()
+    val multi = SparkEntry.queries("sim_lsh_multiprobe")(spark, dir)
+      .select(col("q_id"), col("vec_id")).cache()
+    // the subset-flip probe set includes the empty subset (= the own
+    // bucket), so every single-bucket CANDIDATE is a multiprobe
+    // candidate; at equal k the multiprobe top-k can only displace a
+    // single-bucket result with a STRICTLY closer one, so per-query
+    // recall is monotone — the invariant that makes the probe dial safe
+    // to turn in production
+    val report = SparkEntry.queries("sim_lsh_recall_report")(spark, dir)
+      .groupBy(col("path"))
+      .agg(sum(col("n_hit")).as("h"), sum(col("n_truth")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    info(s"recall sums: $report")
+    assert(report("lsh_multiprobe") >= report("lsh_single"),
+      s"multiprobe lost recall vs single bucket: $report")
+    // structural superset: the multiprobe candidate pool contains the
+    // single-bucket pool, so at equal k the result LIST can only grow
+    // (a sparse bucket returns <k rows; 32 probed buckets can only add)
+    assert(multi.count() >= single.count(),
+      s"multiprobe returned fewer rows (${multi.count()}) than " +
+        s"single-bucket (${single.count()})")
+    single.unpersist(); multi.unpersist()
+    ()
+  }
+
+  test("ivf cell-count twin: same plan shape at 8 and 16 cells") {
+    // k is a deployment parameter (seedBitsFor derives it from corpus
+    // size); the twin proves the ENGINE side is setting-invariant: the
+    // physical plan must be identical in shape — same exchanges, same
+    // join strategies — with only the broadcast centroid literals
+    // differing, exactly like the curate shard twins. A k-dependent
+    // plan would mean cell-count scaling changes the execution
+    // strategy, which is the failure mode the r10 clustered-twin
+    // measurement warned about (N²/cells blowup when k can't move).
+    val base = Explain.counters(
+      SparkEntry.queries("sim_ivf_topk")(spark, dir))
+    val twin = Explain.counters(
+      SparkEntry.queries("sim_ivf_topk_s16")(spark, dir))
+    info(s"base: $base\ntwin: $twin")
+    for (k <- Seq("shufflesTree", "sortMergeJoins", "nestedLoopJoins",
+        "broadcasts"))
+      assert(base.getOrElse(k, 0) == twin.getOrElse(k, 0),
+        s"$k differs across cell counts: base=$base twin=$twin")
+    ()
+  }
 }
