@@ -724,8 +724,9 @@ object SimilarityOps extends OpGroup {
   private[graft] lazy val ivfTopkSql = ivfTopkSqlAt(ivfSeedBits)
 
   /** Second cell-count setting for the `_s16` twin: 2^4 = 16 cells —
-    * what [[seedBitsFor]] picks around a ~65k-vector corpus, i.e. the
-    * next operating point up from the oracle-pinned default.
+    * the next operating point up from the oracle-pinned default
+    * ([[seedBitsFor]]'s pick for a ~256-vector corpus; the √N dial
+    * reaches it between the sf0.001 and sf0.01 harness sizes).
     */
   val ivfSeedBitsAlt = 4
 
