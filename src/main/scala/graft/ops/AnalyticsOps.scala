@@ -614,6 +614,110 @@ object AnalyticsOps extends OpGroup {
        |FROM lm""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // A28 — HyperLogLog distinct sketch, DETERMINISTIC and oracle-matched:
+  // a1_agg_approx ships Spark's HLL++ (an estimate with no exact SQL
+  // equivalent — rows-only check); this is the same sketch re-derived
+  // from first principles (Flajolet et al. 2007) with an md5 register
+  // hash and a PURE-INTEGER estimator, so DuckDB computes the identical
+  // 32 registers and the identical estimate and the driver hash-compares
+  // it like any exact query. Register hash = two 32-bit words of
+  // md5('hll|' || user_id): word 1 mod 32 picks the register, the rank
+  // is leading-zeros-plus-one of word 2 via an integer bit-length CASE
+  // (no log2 — libm-free). The raw estimate E = α₃₂·m²/Σ2^(−M_j)
+  // becomes E·1000 = (697·1024·2^33) DIV Σ2^(33−M_j): a constant
+  // numerator over an exact integer sum — no doubles anywhere, no
+  // small-range ln() branch (the report carries the EXACT distinct and
+  // the signed error next to the estimate instead, because the point of
+  // a scheduled sketch artifact is watching its error envelope; the
+  // integer division stays on non-negative operands — Spark DIV
+  // truncates toward zero while DuckDB // floors, so a signed quotient
+  // would diverge on negative error).
+  //
+  // Scale shape: one codegen map (hash/register/rank) + a 32-group
+  // MAX aggregate + a broadcast single-row fold — the corpus never
+  // shuffles, and MAX-merged registers are abelian, so the sketch is
+  // partition-parallel and stream-maintainable like the IVM family's
+  // supports.
+  // ---------------------------------------------------------------------
+  val hllRegisterBits = 5
+  /** α₃₂·m²·2^33·1000 with α₃₂ = 697/1000: the milli-scaled estimator
+    * numerator 697·1024·2^33 (exact, ~6.13e15). */
+  final val hllNumerMilli: Long = 697L * 1024L * 8589934592L
+
+  /** rank = 33 − bitlen(w2) as a CASE chain over the 32-bit word —
+    * identical text in both engines. */
+  private def hllRankCase(w: String): String =
+    (s"CASE WHEN $w = 0 THEN 33" +:
+      (32 to 1 by -1).map(b =>
+        s" WHEN $w >= ${1L << (b - 1)} THEN ${33 - b}").toSeq)
+      .mkString("", "", " END")
+
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val m = 1 << hllRegisterBits
+    val fns = graft.functions.TextFns
+    val ev = Tables.load(s, dir, "events").filter(col("user_id").isNotNull)
+    val h = fns.fastMd5(concat(lit("hll|"), col("user_id").cast("string")))
+    val hw = ev.select(
+      conv(substring(h, 1, 8), 16, 10).cast("long").as("w1"),
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("w2"))
+    val regs = hw
+      .select((col("w1") % m).as("bucket"),
+        expr(hllRankCase("w2")).as("rnk"))
+      .groupBy(col("bucket")).agg(max(col("rnk")).as("mx"))
+    val spine = s.range(0, m).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(coalesce(col("mx"), lit(0)).as("mx"))
+    val fold = spine.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - mx AS INT))"))
+        .cast("long").as("ssum"),
+      sum(when(col("mx") === 0, 1L).otherwise(0L)).cast("long")
+        .as("n_zero_registers"))
+    val ex = ev.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("user_id")).as("exact_distinct"))
+    fold.crossJoin(broadcast(ex))
+      .select(col("n_rows"), col("exact_distinct"), col("n_zero_registers"),
+        expr(s"$hllNumerMilli DIV ssum").as("est_milli"))
+      .withColumn("err_abs_ppm",
+        expr("(abs(est_milli - exact_distinct * 1000) * 1000000) " +
+          "DIV (exact_distinct * 1000)"))
+      .withColumn("over_estimate",
+        col("est_milli") >= col("exact_distinct") * 1000)
+  }
+
+  private lazy val hllDistinctSql = {
+    val m = 1 << hllRegisterBits
+    s"""WITH hw AS (
+       |  SELECT CAST('0x' || substring(h, 1, 8) AS BIGINT) AS w1,
+       |         CAST('0x' || substring(h, 9, 8) AS BIGINT) AS w2
+       |  FROM (SELECT md5('hll|' || CAST(user_id AS VARCHAR)) AS h
+       |        FROM events WHERE user_id IS NOT NULL) x),
+       |regs AS (
+       |  SELECT w1 % $m AS bucket, MAX(${hllRankCase("w2")}) AS mx
+       |  FROM hw GROUP BY w1 % $m),
+       |spine AS (
+       |  SELECT COALESCE(r.mx, 0) AS mx
+       |  FROM range(0, $m) t(bucket) LEFT JOIN regs r ON r.bucket = t.bucket),
+       |f AS (
+       |  SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - mx AS INT)) AS BIGINT)
+       |           AS ssum,
+       |         CAST(SUM(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_zero_registers
+       |  FROM spine),
+       |ex AS (
+       |  SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS exact_distinct
+       |  FROM events WHERE user_id IS NOT NULL),
+       |est AS (
+       |  SELECT ex.n_rows, ex.exact_distinct, f.n_zero_registers,
+       |         $hllNumerMilli // f.ssum AS est_milli
+       |  FROM f, ex)
+       |SELECT n_rows, exact_distinct, n_zero_registers, est_milli,
+       |  (abs(est_milli - exact_distinct * 1000) * 1000000)
+       |    // (exact_distinct * 1000) AS err_abs_ppm,
+       |  est_milli >= exact_distinct * 1000 AS over_estimate
+       |FROM est""".stripMargin
+  }
+
   /** The per-user + arm-sum CTEs shared by the fixed-horizon readout
     * and the sequential e-value — one definition, two oracles.
     */
@@ -1017,6 +1121,8 @@ object AnalyticsOps extends OpGroup {
       "difference-in-differences over the hash arms and the feed-midpoint period split: exact integer cell means, null-guarded empty cells"),
     Op("a20_ab_test", abTest, Some(abTestSql),
       "experiment readout: hash-assigned variants, exact integer counts/cents, pooled two-proportion z in one closed-form double"),
+    Op("a28_hll_distinct", hllDistinct, Some(hllDistinctSql),
+      "deterministic HyperLogLog: md5 registers + integer bit-length ranks + a pure-integer estimator, exact distinct and error envelope in the same row"),
     Op("a26_sequential_test", sequentialTest, Some(sequentialTestSql),
       "always-valid sequential test (mSPRT e-value): log-Lambda in integer micro-units over the same arm sums as a20 - peek at every interim with no alpha-spending; reject vs a precomputed integer threshold"),
     Op("a19_attribution", attribution, Some(attributionSql),

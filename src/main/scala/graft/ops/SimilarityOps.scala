@@ -1278,6 +1278,75 @@ object SimilarityOps extends OpGroup {
   private def knnEdges(s: SparkSession, dir: String): DataFrame =
     knnJoin(s, dir).select(col("vec_a").as("src"), col("vec_b").as("dst"))
 
+  // ---------------------------------------------------------------------
+  // Triangle count + global clustering coefficient over the kNN graph —
+  // the standard graph-health readout for a similarity index: a near-
+  // duplicate-riddled corpus shows up as an abnormally HIGH clustering
+  // coefficient (dup clusters are near-cliques), a quantization-broken
+  // index as an abnormally LOW one, so a deployment trends this number
+  // per index generation next to the recall report. Canonical a<b<c
+  // orientation (the compact-forward algorithm, Latapy 2008): each
+  // triangle is counted exactly once by construction — no /6 fixup, and
+  // wedge enumeration only extends a canonical edge forward. All
+  // integer: triangles, wedges Σ deg·(deg−1)/2 (product is even, DIV 2
+  // exact), clustering = (3·T·1e6) DIV wedges.
+  //
+  // Scale shape: three equi-joins over the N·k edge list — never the
+  // corpus; the wedge join shuffles edges on their endpoint keys. At
+  // production scale the refinement is DEGREE-ordered orientation
+  // (rank nodes by degree, orient edges low→high) which bounds wedge
+  // fan-out by arboricity instead of max-degree; id-order suffices
+  // here because the kNN graph's out-degree is capped at k by
+  // construction.
+  // ---------------------------------------------------------------------
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val fwd = knnEdges(s, dir)
+    val canon = fwd
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val wedges = canon.join(
+      canon.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tri = wedges.join(
+        canon.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = canon.select(col("a").as("v"))
+      .unionByName(canon.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wed = deg.agg(sum(expr("(d * (d - 1)) DIV 2")).cast("long")
+      .as("n_wedges"))
+    val ne = canon.agg(count(lit(1)).as("n_edges"))
+    ne.crossJoin(broadcast(tri)).crossJoin(broadcast(wed))
+      .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+        expr("CASE WHEN n_wedges > 0 THEN (n_triangles * 3 * 1000000)" +
+          " DIV n_wedges END").as("clustering_ppm"))
+  }
+
+  private lazy val triangleCountSql =
+    s"""WITH $ivfCellsCtes,
+       |$knnEdgesCtes,
+       |canon AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM knn_e),
+       |tri AS (
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM canon e1 JOIN canon e2 ON e2.a = e1.b
+       |  WHERE EXISTS (SELECT 1 FROM canon e3
+       |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |deg AS (
+       |  SELECT v, COUNT(*) AS d FROM (
+       |    SELECT a AS v FROM canon UNION ALL SELECT b AS v FROM canon) u
+       |  GROUP BY v),
+       |wed AS (
+       |  SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg),
+       |ne AS (SELECT COUNT(*) AS n_edges FROM canon)
+       |SELECT ne.n_edges, tri.n_triangles, wed.n_wedges,
+       |  CASE WHEN wed.n_wedges > 0
+       |       THEN (tri.n_triangles * 3 * 1000000) // wed.n_wedges END
+       |    AS clustering_ppm
+       |FROM ne, tri, wed""".stripMargin
+
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val nodes = emb(s, dir).select(col("vec_id"))
     // node count to the driver: one scalar, the k-means-centroid shape
@@ -2762,5 +2831,7 @@ object SimilarityOps extends OpGroup {
     Op("sim_ivf_topk_s16", (s, d) =>
       ivfTopkFromCells(ivfCells(s, d, ivfSeedBitsAlt)),
       Some(ivfTopkSqlAt(ivfSeedBitsAlt)),
-      "the IVF probe at a second cell count (16): k is a deployment parameter derived from corpus size (seedBitsFor), not a constant"))
+      "the IVF probe at a second cell count (16): k is a deployment parameter derived from corpus size (seedBitsFor), not a constant"),
+    Op("sim_triangle_count", triangleCount, Some(triangleCountSql),
+      "triangle count + clustering coefficient over the kNN graph (compact-forward a<b<c) - the per-generation index-health trend line"))
 }

@@ -3379,6 +3379,62 @@ class ExtensionsSpec extends AnyFunSuite {
     ()
   }
 
+  test("hll distinct: driver replay of registers and integer estimator") {
+    val row = SparkEntry.queries("a28_hll_distinct")(spark, dir)
+      .collect().head
+    // replay the whole sketch on the driver from the raw user ids:
+    // same md5, same register split, same integer bit-length rank,
+    // same pure-integer estimator — any divergence (hash chunking,
+    // rank off-by-one, estimator rounding) fails exactly here
+    val users = Tables.load(spark, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("string")).collect().map(_.getString(0))
+    val m = 1 << graft.ops.AnalyticsOps.hllRegisterBits
+    val regs = new Array[Int](m)
+    users.foreach { u =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hll|$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val w1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val w2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      val bucket = (w1 % m).toInt
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(w2)
+      val rank = 33 - bitlen // w2 = 0 => bitlen 0 => rank 33
+      if (rank > regs(bucket)) regs(bucket) = rank
+    }
+    val ssum = regs.map(r => 1L << (33 - r)).sum
+    val est = graft.ops.AnalyticsOps.hllNumerMilli / ssum
+    assert(row.getAs[Long]("est_milli") == est,
+      s"estimator replay mismatch: query ${row.getAs[Long]("est_milli")} " +
+        s"vs driver $est")
+    assert(row.getAs[Long]("n_zero_registers") == regs.count(_ == 0))
+    assert(row.getAs[Long]("exact_distinct") == users.distinct.length)
+    ()
+  }
+
+  test("triangle count: driver replay over the collected edge list") {
+    val row = SparkEntry.queries("sim_triangle_count")(spark, dir)
+      .collect().head
+    val canon = SparkEntry.queries("sim_knn_join")(spark, dir)
+      .select(least(col("vec_a"), col("vec_b")).as("a"),
+        greatest(col("vec_a"), col("vec_b")).as("b"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbrs = canon.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tris = canon.toSeq.map { case (a, b) =>
+      // canonical orientation: count only the third vertex above b
+      (nbrs(a) & nbrs(b)).count(c => c > b)
+    }.sum
+    val wedges = nbrs.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(row.getAs[Long]("n_edges") == canon.size.toLong)
+    assert(row.getAs[Long]("n_triangles") == tris.toLong,
+      s"triangle replay mismatch: query ${row.getAs[Long]("n_triangles")} " +
+        s"vs driver $tris")
+    assert(row.getAs[Long]("n_wedges") == wedges)
+    ()
+  }
+
   test("ivf cell-count twin: same plan shape at 8 and 16 cells") {
     // k is a deployment parameter (seedBitsFor derives it from corpus
     // size); the twin proves the ENGINE side is setting-invariant: the

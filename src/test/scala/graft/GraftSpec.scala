@@ -115,6 +115,8 @@ class GraftSpec extends AnyFunSuite {
       "a21_diff_in_diff" -> 1, // single-row period-cutoff cross
       "a24_cuped" -> 1, // single-row period-cutoff cross
       "a4_fact_agg_consistency" -> 1, // two scalar counts crossed
+      "a28_hll_distinct" -> 1, // 32-register fold × exact-count scalar row
+      "sim_triangle_count" -> 2, // three single-row stats crossed
       "curate_curriculum" -> 1, // quartile-boundary scalar row
       "curate_filter_calibration" -> 1, // single-row corpus-total cross
       "curate_threshold_sweep" -> 1, // single-row corpus-total cross
