@@ -120,6 +120,107 @@ object DedupOps extends OpGroup {
       .distinct()
   }
 
+  // ---------------------------------------------------------------------
+  // Dedup-index quality report: precision AND recall of the MinHash-LSH
+  // candidate set against EXHAUSTIVE exact-Jaccard truth on a
+  // deterministic doc sample — the ANN family's recall-report
+  // discipline applied to the dedup index. dedup_lsh_curve reads
+  // sensitivity per collided-band count but can only see pairs that
+  // COLLIDED, so a systematic false-negative class (near-dups that
+  // never share a band) is invisible to it; exhaustive truth on a
+  // bounded sample is the only way to measure recall, and |sample| is
+  // the budget knob (a deployment labels a fixed-size sample per index
+  // generation). Truth pairs come from a shingle co-occurrence
+  // equi-join, NOT a sample cross-join — a pair sharing zero shingles
+  // has J = 0 < τ by definition, so the equi-join enumerates every
+  // nonzero-J pair (measured fan-out on this corpus: max 11 sample
+  // docs share one trigram at sf0.1 — no boilerplate heavy-hitters; a
+  // web deployment would pre-drop stopword shingles the way the band
+  // join caps hot buckets). All comparisons integer: the τ = 0.8 gate
+  // is the cross-multiplied rational ∩·5 ≥ ∪·4 (no float J, no DIV
+  // truncation at the boundary); P, R, F1 land in ppm by integer
+  // division, with F1 = 2h/(c+t) so no P·R float product.
+  // ---------------------------------------------------------------------
+  val qualitySampleMod = 4L
+
+  def qualityReport(s: SparkSession, dir: String): DataFrame = {
+    val r = shingleRows(s, dir)
+      .filter(col("doc_id") % qualitySampleMod === 0L)
+      .select(col("doc_id"), col("x")).distinct()
+    val sizes = r.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = r.select(col("doc_id").as("doc_a"), col("x"))
+      .join(r.select(col("doc_id").as("doc_b"), col("x")), Seq("x"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("cap"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .filter(col("cap") * 5 >= (col("na") + col("nb") - col("cap")) * 4)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = minhashLsh(s, dir)
+      .filter(col("doc_a") % qualitySampleMod === 0L &&
+        col("doc_b") % qualitySampleMod === 0L)
+    val nd = sizes.agg(count(lit(1)).as("n_sample_docs"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nh = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    nd.crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(nh))
+      .select(col("n_sample_docs"), col("n_truth"), col("n_candidates"),
+        col("n_hits"),
+        expr("CASE WHEN n_candidates > 0 THEN (n_hits * 1000000)" +
+          " DIV n_candidates END").as("precision_ppm"),
+        expr("CASE WHEN n_truth > 0 THEN (n_hits * 1000000)" +
+          " DIV n_truth END").as("recall_ppm"),
+        expr("CASE WHEN n_candidates + n_truth > 0 THEN" +
+          " (2 * n_hits * 1000000) DIV (n_candidates + n_truth) END")
+          .as("f1_ppm"))
+  }
+
+  private lazy val qualityReportSql =
+    s"""WITH $bandsCte,
+       |qshs AS ($shinglesSql),
+       |qshr AS (
+       |  SELECT doc_id, t.x FROM qshs, unnest(qshs.sh) AS t(x)
+       |  WHERE doc_id % $qualitySampleMod = 0),
+       |qssz AS (SELECT doc_id, COUNT(*) AS n FROM qshr GROUP BY doc_id),
+       |qsint AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cap
+       |  FROM qshr a JOIN qshr b ON a.x = b.x AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |qtruth AS (
+       |  SELECT i.doc_a, i.doc_b
+       |  FROM qsint i JOIN qssz x ON x.doc_id = i.doc_a
+       |               JOIN qssz y ON y.doc_id = i.doc_b
+       |  WHERE i.cap * 5 >= (x.n + y.n - i.cap) * 4),
+       |qcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands_capped a JOIN bands_capped b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id % $qualitySampleMod = 0
+       |    AND b.doc_id % $qualitySampleMod = 0),
+       |qagg AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM qssz) AS n_sample_docs,
+       |    (SELECT COUNT(*) FROM qtruth) AS n_truth,
+       |    (SELECT COUNT(*) FROM qcand) AS n_candidates,
+       |    (SELECT COUNT(*) FROM qcand c
+       |      WHERE EXISTS (SELECT 1 FROM qtruth t
+       |                    WHERE t.doc_a = c.doc_a AND t.doc_b = c.doc_b))
+       |      AS n_hits)
+       |SELECT n_sample_docs, n_truth, n_candidates, n_hits,
+       |  CASE WHEN n_candidates > 0
+       |       THEN (n_hits * 1000000) // n_candidates END AS precision_ppm,
+       |  CASE WHEN n_truth > 0
+       |       THEN (n_hits * 1000000) // n_truth END AS recall_ppm,
+       |  CASE WHEN n_candidates + n_truth > 0
+       |       THEN (2 * n_hits * 1000000) // (n_candidates + n_truth) END
+       |    AS f1_ppm
+       |FROM qagg""".stripMargin
+
   private val shinglesSql =
     """SELECT doc_id, list_distinct(list_transform(
       |    range(0, greatest(len(words) - 3, 0) + 1),
@@ -1314,6 +1415,8 @@ object DedupOps extends OpGroup {
   override val ops: Seq[Op] = Seq(
     Op("dedup_lsh_curve", lshCurve, Some(lshCurveSql),
       "LSH sensitivity curve: candidate volume and verified-jaccard mass per collided-band count (the r,b tuning artifact)"),
+    Op("dedup_quality_report", qualityReport, Some(qualityReportSql),
+      "MinHash-LSH precision/recall/F1 vs exhaustive exact-Jaccard truth on a deterministic doc sample - the recall-report discipline for the dedup index"),
     Op("dedup_source_stats", sourceStats, Some(sourceStatsSql),
       "per-source duplication report: exact-copy and near-dup counts plus wasted char mass"),
     Op("dedup_cross_source", crossSourceOverlap,

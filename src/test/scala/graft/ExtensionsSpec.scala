@@ -3435,6 +3435,43 @@ class ExtensionsSpec extends AnyFunSuite {
     ()
   }
 
+  test("dedup quality report: driver replay of the exhaustive sample truth") {
+    val row = SparkEntry.queries("dedup_quality_report")(spark, dir)
+      .collect().head
+    // replay the truth side on the driver from the raw sample docs:
+    // same trigram shingles (via the engine's own shingle query — the
+    // shingle definition is proven by the green ngram_jaccard oracle),
+    // same exact-rational tau gate
+    val mod = graft.ops.DedupOps.qualitySampleMod
+    val sets = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % mod === 0L)
+      .select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("w"))
+      .collect()
+      .map { r =>
+        val w = r.getSeq[String](1)
+        val sh = if (w.length < 3) Set(w.mkString(" "))
+          else w.sliding(3).map(_.mkString(" ")).toSet
+        r.getLong(0) -> sh
+      }
+    val ids = sets.map(_._1).sorted
+    val truth = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      a = sets.find(_._1 == ids(i)).get._2
+      b = sets.find(_._1 == ids(j)).get._2
+      cap = (a & b).size
+      if cap * 5 >= (a.size + b.size - cap) * 4
+    } yield 1).sum
+    assert(row.getAs[Long]("n_sample_docs") == sets.length.toLong)
+    assert(row.getAs[Long]("n_truth") == truth.toLong,
+      s"truth replay mismatch: query ${row.getAs[Long]("n_truth")} " +
+        s"vs driver $truth")
+    assert(row.getAs[Long]("n_hits") <= row.getAs[Long]("n_truth"))
+    assert(row.getAs[Long]("n_hits") <= row.getAs[Long]("n_candidates"))
+    ()
+  }
+
   test("ivf cell-count twin: same plan shape at 8 and 16 cells") {
     // k is a deployment parameter (seedBitsFor derives it from corpus
     // size); the twin proves the ENGINE side is setting-invariant: the
