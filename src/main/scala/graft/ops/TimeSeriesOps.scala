@@ -170,6 +170,61 @@ object TimeSeriesOps extends OpGroup {
        |FROM scored""".stripMargin
 
   // ---------------------------------------------------------------------
+  // MAD anomaly flags — the ROBUST twin of ts_anomaly_days: that query's
+  // rolling mean/σ is corrupted by the very outliers it hunts (one huge
+  // day inflates σ and masks the next three anomalies — the classic
+  // masking failure), while median/MAD have a 50% breakdown point, so
+  // this is the monitor a platform actually alerts on. Day-grain global
+  // series; med and MAD via EXACT interpolated percentiles — Spark
+  // `percentile` and DuckDB `quantile_cont` share the p·(n−1)
+  // interpolation rule, and at p = 0.5 over integers the result is k or
+  // k.5, exactly representable — scaled ×2 (med2, halves) and ×2 again
+  // (mad4, quarters) into BIGINTs so every downstream compare is pure
+  // integer. Flag: dev > 3·1.4826·MAD cross-multiplied to
+  // 20000·dev2 > 44478·mad4 (1.4826 = the Gaussian consistency
+  // constant as the rational 14826/10⁴); MAD = 0 (a majority-constant
+  // series) degrades to flagging any deviation, documented convention.
+  //
+  // Scale shape: one day hash-agg over the corpus, then two scalar
+  // percentile folds over CALENDAR-bounded rows (thousands of days for
+  // decades — constant-sized at any corpus scale) broadcast back as
+  // single-row crosses. No corpus-sized window anywhere.
+  // ---------------------------------------------------------------------
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val s1 = daily.agg(
+      expr("CAST(percentile(x, 0.5) * 2 AS BIGINT)").as("med2"))
+    val scored = daily.crossJoin(broadcast(s1))
+      .withColumn("dev2", abs(col("x") * 2 - col("med2")))
+    val s2 = scored.agg(
+      expr("CAST(percentile(dev2, 0.5) * 2 AS BIGINT)").as("mad4"))
+    scored.crossJoin(broadcast(s2))
+      .select(col("day"), col("x").as("n_events"), col("med2"),
+        col("dev2"), col("mad4"),
+        when(col("mad4") > 0,
+          col("dev2") * 20000L > col("mad4") * 44478L)
+          .otherwise(col("dev2") > 0).as("anomaly"))
+  }
+
+  private val anomalyMadSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1),
+      |s1 AS (SELECT CAST(quantile_cont(x, 0.5) * 2 AS BIGINT) AS med2
+      |       FROM daily),
+      |scored AS (
+      |  SELECT day, x, med2, abs(x * 2 - med2) AS dev2
+      |  FROM daily, s1),
+      |s2 AS (SELECT CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      |       FROM scored)
+      |SELECT day, CAST(x AS BIGINT) AS n_events, med2, dev2, mad4,
+      |  CASE WHEN mad4 > 0 THEN dev2 * 20000 > mad4 * 44478
+      |       ELSE dev2 > 0 END AS anomaly
+      |FROM scored, s2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Daily census (concurrent-interval count) by SWEEP LINE: how many
   // stays are open on each calendar day. The naive form explodes every
   // interval into its days (rows × stay length — unbounded when a stay
@@ -438,6 +493,8 @@ object TimeSeriesOps extends OpGroup {
       "daily resample + forward-fill per user: calendar explode, running last(ignoreNulls)"),
     Op("ts_rolling_features", rollingFeatures, Some(rollingFeaturesSql),
       "trailing-7-day event-time RANGE frame per user: incremental sliding count/sum/avg"),
+    Op("ts_anomaly_mad", anomalyMad, Some(anomalyMadSql),
+      "robust anomaly flags: day-grain median/MAD (50% breakdown point) via exact interpolated percentiles scaled to integers - the monitor that survives the outliers it hunts"),
     Op("ts_anomaly_days", anomalyDays, Some(anomalyDaysSql),
       "volume-spike flags: 3-sigma vs trailing self-baseline in exact integer cross-multiplied form"),
     Op("ts_event_gaps", eventGaps, Some(eventGapsSql),

@@ -117,6 +117,8 @@ class GraftSpec extends AnyFunSuite {
       "a4_fact_agg_consistency" -> 1, // two scalar counts crossed
       "a28_hll_distinct" -> 1, // 32-register fold × exact-count scalar row
       "sim_triangle_count" -> 2, // three single-row stats crossed
+      "dedup_quality_report" -> 3, // four single-row report counters crossed
+      "ts_anomaly_mad" -> 3, // med/mad scalar rows (mad's input re-crosses med)
       "curate_curriculum" -> 1, // quartile-boundary scalar row
       "curate_filter_calibration" -> 1, // single-row corpus-total cross
       "curate_threshold_sweep" -> 1, // single-row corpus-total cross
