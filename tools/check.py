@@ -3,7 +3,12 @@
 DuckDB over the testdata parquet tables and compare to the Spark parquet
 dumps produced by `sbt "runMain graft.Verify <sfDir> <outDir>"`.
 
-Usage: python3 tools/check.py [sfDir] [outDir]
+Usage: python3 tools/check.py [sfDir] [outDir] [--json summary.json]
+
+--json writes a machine-readable per-query summary next to the console
+output — the round-close gate record committed as CHECK_LOCAL_r{N}.json
+so a failed driver-artifact pipeline cannot erase the round's
+correctness evidence (the r10 CORRECTNESS file came back empty).
 """
 import json
 import math
@@ -12,8 +17,14 @@ import sys
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+ARGS = list(sys.argv[1:])
+JSON_OUT = None
+if "--json" in ARGS:
+    i = ARGS.index("--json")
+    JSON_OUT = ARGS[i + 1]
+    del ARGS[i:i + 2]
+SF_DIR = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.01"
+OUT_DIR = ARGS[1] if len(ARGS) > 1 else "/tmp/verify_out"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -57,11 +68,13 @@ def main():
         oracles = json.load(f)
 
     n_pass = n_fail = 0
+    summary = {}
     for name in sorted(oracles):
         sql = oracles[name]
         spark_dir = f"{OUT_DIR}/{name}"
         if not os.path.isdir(spark_dir):
             print(f"MISSING  {name}: no spark output")
+            summary[name] = "missing"
             n_fail += 1
             continue
         try:
@@ -74,23 +87,31 @@ def main():
             want_rows = want.fetchall()
         except Exception as e:
             print(f"ERROR    {name}: {e}")
+            summary[name] = f"error: {str(e)[:120]}"
             n_fail += 1
             continue
         gc, gr = canon(got_cols, got_rows)
         wc, wr = canon(want_cols, want_rows)
         if gc != wc:
             print(f"SCHEMA   {name}: spark={gc} oracle={wc}")
+            summary[name] = "schema-mismatch"
             n_fail += 1
         elif gr != wr:
             diff_g = [r for r in gr if r not in wr][:3]
             diff_w = [r for r in wr if r not in gr][:3]
             print(f"ROWS     {name}: spark={len(gr)} oracle={len(wr)}; "
                   f"spark-only={diff_g} oracle-only={diff_w}")
+            summary[name] = "row-mismatch"
             n_fail += 1
         else:
             print(f"OK       {name}: {len(gr)} rows")
+            summary[name] = "pass"
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": summary}, f, indent=1, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 
