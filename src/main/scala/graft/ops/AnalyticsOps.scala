@@ -718,6 +718,92 @@ object AnalyticsOps extends OpGroup {
        |FROM est""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // A29 — jackknife SE for a RATIO metric (Efron 1982; the
+  // delta-vs-jackknife choice every experimentation platform makes for
+  // revenue-per-conversion-style metrics): θ = Σcents/Σconv is a ratio
+  // of sums, so the a20 z-machinery's per-user-mean variance doesn't
+  // apply — the standard readout is leave-one-USER-out: θ₍₋ᵢ₎ =
+  // (X−xᵢ)/(Y−yᵢ) per user, SE² = (m−1)/m · Σ(θ₍₋ᵢ₎ − θ̄)². Per arm.
+  //
+  // Determinism: each θ₍₋ᵢ₎ is quantized to integer micro-units by the
+  // SAME integer division in both engines ((X−x)·10⁶ DIV (Y−y)), so
+  // Σq and Σq² are exact (q² through DECIMAL(19)² = DECIMAL(38) — the
+  // width-38 cap respected); the final SE is one identical double
+  // chain over those exact moments, with sqrt correctly rounded by
+  // IEEE in both engines, rounded to 4 dp. Users whose removal empties
+  // the conversion denominator (Y−yᵢ = 0) are excluded from the
+  // leave-out set — the jackknife is undefined there; m counts the
+  // included leave-outs and the guard m>1 NULLs the SE on degenerate
+  // arms.
+  //
+  // Scale shape: one user-grain hash-agg (shared abUserPartial shape),
+  // one broadcast of the 2-row arm totals back onto the user grain for
+  // the θ₍₋ᵢ₎ map, one 2-group fold — no corpus pass beyond a20's own.
+  // ---------------------------------------------------------------------
+  def jackknifeRatio(s: SparkSession, dir: String): DataFrame = {
+    val fns = graft.functions.TextFns
+    val pu = abUserPartial(Tables.load(s, dir, "events"))
+      .withColumn("in_a",
+        when(substring(fns.fastMd5(
+          concat(lit("exp1|"), col("user_id").cast("string"))), 1, 1) < "8",
+          1L).otherwise(0L))
+    val ga = pu.groupBy(col("in_a")).agg(
+      sum(col("cents")).as("x_sum"),
+      sum(col("conv")).as("y_sum"),
+      count(lit(1)).as("n_users"))
+    val jq = pu.join(broadcast(ga), Seq("in_a"))
+      .filter(col("y_sum") - col("conv") > 0)
+      .select(col("in_a"),
+        expr("((x_sum - cents) * 1000000) DIV (y_sum - conv)").as("q"))
+    val jm = jq.groupBy(col("in_a")).agg(
+      count(lit(1)).as("m"),
+      sum(col("q")).as("sq"),
+      sum(expr("CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))"))
+        .as("sq2"))
+    ga.join(jm, Seq("in_a"), "left")
+      .select(
+        when(col("in_a") === 1L, "A").otherwise("B").as("arm"),
+        col("n_users"), col("x_sum").as("cents"), col("y_sum").as("conv"),
+        expr("CASE WHEN y_sum > 0 THEN (x_sum * 1000000) DIV y_sum END")
+          .as("ratio_micro"),
+        expr("""CASE WHEN m > 1 AND y_sum > 0 THEN
+                round(sqrt(greatest(
+                  (CAST(m - 1 AS DOUBLE) / m) *
+                  (CAST(sq2 AS DOUBLE)
+                    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / m),
+                  0.0)), 4) END""").as("jk_se_micro"))
+  }
+
+  private lazy val jackknifeRatioSql =
+    s"""WITH $abArmCtes,
+       |ga AS (
+       |  SELECT in_a, CAST(SUM(cents) AS BIGINT) AS x_sum,
+       |         CAST(SUM(conv) AS BIGINT) AS y_sum,
+       |         COUNT(*) AS n_users
+       |  FROM pu GROUP BY in_a),
+       |jq AS (
+       |  SELECT p.in_a,
+       |         ((g.x_sum - p.cents) * 1000000) // (g.y_sum - p.conv) AS q
+       |  FROM pu p JOIN ga g ON g.in_a = p.in_a
+       |  WHERE g.y_sum - p.conv > 0),
+       |jm AS (
+       |  SELECT in_a, COUNT(*) AS m, CAST(SUM(q) AS BIGINT) AS sq,
+       |         SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))
+       |           AS sq2
+       |  FROM jq GROUP BY in_a)
+       |SELECT CASE WHEN g.in_a = 1 THEN 'A' ELSE 'B' END AS arm,
+       |  g.n_users, g.x_sum AS cents, g.y_sum AS conv,
+       |  CASE WHEN g.y_sum > 0 THEN (g.x_sum * 1000000) // g.y_sum END
+       |    AS ratio_micro,
+       |  CASE WHEN j.m > 1 AND g.y_sum > 0 THEN
+       |    round(sqrt(greatest(
+       |      (CAST(j.m - 1 AS DOUBLE) / j.m) *
+       |      (CAST(j.sq2 AS DOUBLE)
+       |        - CAST(j.sq AS DOUBLE) * CAST(j.sq AS DOUBLE) / j.m),
+       |      0.0)), 4) END AS jk_se_micro
+       |FROM ga g LEFT JOIN jm j ON j.in_a = g.in_a""".stripMargin
+
   /** The per-user + arm-sum CTEs shared by the fixed-horizon readout
     * and the sequential e-value — one definition, two oracles.
     */
@@ -1121,6 +1207,8 @@ object AnalyticsOps extends OpGroup {
       "difference-in-differences over the hash arms and the feed-midpoint period split: exact integer cell means, null-guarded empty cells"),
     Op("a20_ab_test", abTest, Some(abTestSql),
       "experiment readout: hash-assigned variants, exact integer counts/cents, pooled two-proportion z in one closed-form double"),
+    Op("a29_jackknife_ratio", jackknifeRatio, Some(jackknifeRatioSql),
+      "leave-one-user-out SE for the ratio metric cents/conversion per arm (Efron): theta_minus_i in integer micro-units, exact DECIMAL(38) moments, one shared double chain for the SE"),
     Op("a28_hll_distinct", hllDistinct, Some(hllDistinctSql),
       "deterministic HyperLogLog: md5 registers + integer bit-length ranks + a pure-integer estimator, exact distinct and error envelope in the same row"),
     Op("a26_sequential_test", sequentialTest, Some(sequentialTestSql),

@@ -1075,10 +1075,14 @@ class ExtensionsSpec extends AnyFunSuite {
       s"sim_graph_topk: $gt")
     // recall report: exactly ONE bounded nested loop — the broadcast
     // cross of the sampled query set against the corpus that DEFINES the
-    // brute-force truth; a second one means the IVF side regressed
+    // brute-force truth; a second one means the IVF side regressed.
+    // shufflesTree, not the string counter: with a warm Memo cache the
+    // ivfCells subtree reprints under extra plan_ids and the string
+    // count reads 7 for the same 6-exchange tree (combined-suite-order
+    // flake, r11)
     val rr = c("sim_recall_report")
     assert(rr("nestedLoopJoins") <= 1 && rr("sortMergeJoins") <= 1 &&
-      rr("shuffles") <= 6, s"sim_recall_report: $rr")
+      rr("shufflesTree") <= 6, s"sim_recall_report: $rr")
     // ExactSubstr report: doc window + hash group-by + islands — three
     // keyed exchanges, never a pairwise join surface
     val ss = c("dedup_substring_spans")
@@ -3469,6 +3473,52 @@ class ExtensionsSpec extends AnyFunSuite {
         s"vs driver $truth")
     assert(row.getAs[Long]("n_hits") <= row.getAs[Long]("n_truth"))
     assert(row.getAs[Long]("n_hits") <= row.getAs[Long]("n_candidates"))
+    ()
+  }
+
+  test("jackknife ratio: driver replay of the leave-one-out SE") {
+    val rows = SparkEntry.queries("a29_jackknife_ratio")(spark, dir)
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    // replay per arm from the raw per-user supports: same hash arm
+    // split, same integer micro quantization of each theta_minus_i,
+    // same (m-1)/m variance over the exact moments
+    val users = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") >= graft.ops.AnalyticsOps.abConvMinValue, 1L)
+          .otherwise(0L)).as("conv"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
+          .as("cents"))
+      .collect().map { r =>
+        val uid = r.getLong(0)
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"exp1|$uid".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (if (hex.charAt(0) < '8') "A" else "B", r.getLong(1), r.getLong(2))
+      }
+    for (arm <- Seq("A", "B")) {
+      val au = users.filter(_._1 == arm)
+      val x = au.map(_._3).sum
+      val y = au.map(_._2).sum
+      val qs = au.filter(u => y - u._2 > 0)
+        .map(u => ((x - u._3) * 1000000L) / (y - u._2))
+      val m = qs.length
+      val expSe =
+        if (m > 1 && y > 0) {
+          val sq = qs.sum.toDouble
+          val sq2 = qs.map(q => BigDecimal(q) * BigDecimal(q)).sum.toDouble
+          val v = ((m - 1).toDouble / m) * (sq2 - sq * sq / m)
+          BigDecimal(math.sqrt(math.max(v, 0.0)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        } else Double.NaN
+      val row = rows(arm)
+      assert(row.getAs[Long]("n_users") == au.length.toLong)
+      assert(row.getAs[Long]("ratio_micro") == x * 1000000L / y)
+      val got = row.getAs[Double]("jk_se_micro")
+      assert(math.abs(got - expSe) < 1e-3,
+        s"arm $arm SE replay mismatch: query $got vs driver $expSe")
+    }
     ()
   }
 
