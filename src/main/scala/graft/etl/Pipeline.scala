@@ -260,7 +260,18 @@ object PipelineSql {
     * UNREFERENCED materialized CTEs (measured), so a cheap consumer
     * that reads one dim would pay the whole chain under this prefix.
     */
-  val prefixMat: String = prefix.replace(" AS (", " AS MATERIALIZED (")
+  val prefixMat: String = {
+    // Anchored on line-start CTE heads only (every CTE in [[prefix]]
+    // opens at column 0 after stripMargin): a nested " AS (" inside a
+    // body — a future WINDOW clause ("w AS ("), a string literal —
+    // must stay untouched or the SQL silently breaks at oracle time.
+    val head = "(?m)^([a-z_0-9]+ AS) \\(".r
+    val out = head.replaceAllIn(prefix, "$1 MATERIALIZED (")
+    require(out.contains("concepts_lab AS MATERIALIZED (") &&
+      out.contains("dwh_agg AS MATERIALIZED ("),
+      "prefixMat: CTE-head anchor no longer matches prefix layout")
+    out
+  }
 
   val qaReportSql: String = {
     val parityTables = Seq("dim_patients", "dim_admissions", "dim_provider",

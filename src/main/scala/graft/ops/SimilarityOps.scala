@@ -555,6 +555,16 @@ object SimilarityOps extends OpGroup {
     * the lowest-margin bits. One row per (q_id, bucket); built on the
     * driver from the bounded query set (margins ranked by
     * (rounded |proj|, bit) — the oracle's ROW_NUMBER order).
+    *
+    * ACCEPTED RISK (the lm-score / a26-ln precedent): the margin rank
+    * key is Spark `round(double, 6)` (BigDecimal HALF_UP on the exact
+    * binary value) vs DuckDB `round()` (scaled multiply) — a |proj|
+    * landing close enough to a half-microunit boundary could round
+    * differently across engines, swap two nearly-tied margins, and
+    * change the low-bit probe set. Observed zero flips at
+    * sf0.001/0.01/0.1; if one ever appears, diagnose as rounding-order
+    * divergence (fix: exact integer micro-unit margins), not a logic
+    * bug in the probe construction.
     */
   private def lshQueryProbes(s: SparkSession, dir: String): DataFrame = {
     val q = emb(s, dir).filter(col("vec_id") < lshQueryCount)

@@ -502,17 +502,47 @@ object Sessionize extends OpGroup {
     * is a one-time snapshot of a source table, but the harness
     * REGENERATES the testdata tables between rounds while the feed
     * lives under the warehouse layer dir and survives — a write-once
-    * guard would silently replay a stale feed forever after. Stale =
-    * missing, or the source parquet's mtime is newer than the feed
-    * dir's (the write stamps the dir at snapshot time).
+    * guard would silently replay a stale feed forever after. Current =
+    * a marker file inside the feed dir records the source parquet's
+    * (mtime, length) AT snapshot time and still equals the live pair;
+    * any inequality rebuilds. (The previous live-mtime '>' compare
+    * passed a source regenerated within filesystem mtime granularity
+    * of the feed write — the exact stale-replay class this guards.)
     */
   private def feedCurrent(dir: String, table: String,
       feedDir: String): Boolean = {
-    val feed = new java.io.File(feedDir)
-    if (!feed.exists()) return false
+    val marker = new java.io.File(feedDir, feedMarkerName)
+    if (!marker.exists()) return false
     val src = new java.io.File(s"$dir/$table.parquet")
-    !(src.exists() && src.lastModified() > feed.lastModified())
+    if (!src.exists()) return true // source gone: nothing fresher exists
+    val stamped = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+    stamped == feedStamp(src)
   }
+
+  private val feedMarkerName = "_graft_src_stamp"
+
+  private def feedStamp(src: java.io.File): String =
+    s"${src.lastModified()}:${src.length()}"
+
+  /** Write-if-stale wrapper for the feed idiom: runs `write` (which
+    * overwrites `feedDir`), then stamps the source's identity into the
+    * marker — snapshot and stamp always travel together, so a feed dir
+    * without a marker (crash between write and stamp, pre-marker
+    * layout) reads as stale and rebuilds.
+    */
+  private def ensureFeed(dir: String, table: String, feedDir: String)(
+      write: => Unit): Unit =
+    if (!feedCurrent(dir, table, feedDir)) {
+      write
+      val src = new java.io.File(s"$dir/$table.parquet")
+      if (src.exists()) {
+        java.nio.file.Files.write(
+          new java.io.File(feedDir, feedMarkerName).toPath,
+          feedStamp(src).getBytes("UTF-8"))
+        ()
+      }
+    }
 
   private def freshDir(path: String): String = {
     def rm(f: java.io.File): Unit = {
@@ -676,7 +706,7 @@ object Sessionize extends OpGroup {
       import graft.sources.Warehouse.layerPath
       val root = layerPath(dir, "cdc_stream")
       val feedDir = s"$root/feed"
-      if (!feedCurrent(dir, "events", feedDir)) {
+      ensureFeed(dir, "events", feedDir) {
         // pre-split the feed into 4 ts-range files, consumed 2 per
         // trigger => 2 micro-batches: trigger 2 exercises the
         // merge-with-existing-state path, which is the incremental
@@ -785,7 +815,7 @@ object Sessionize extends OpGroup {
       import graft.sources.Warehouse.layerPath
       val root = layerPath(dir, "joinivm_stream")
       val feedDir = s"$root/feed"
-      if (!feedCurrent(dir, "events", feedDir)) {
+      ensureFeed(dir, "events", feedDir) {
         Tables.load(s, dir, "events")
           .filter(col("event_type").isin("signup", "purchase"))
           .select(col("event_id"), col("ts"), col("user_id"),
@@ -870,7 +900,7 @@ object Sessionize extends OpGroup {
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
       val root = layerPath(dir, "agg_stream")
       val feedDir = s"$root/feed"
-      if (!feedCurrent(dir, "events", feedDir)) {
+      ensureFeed(dir, "events", feedDir) {
         Tables.load(s, dir, "events")
           .select(col("event_id"), col("ts"), col("user_id"), col("value"))
           .repartitionByRange(4, col("ts"))
@@ -946,7 +976,7 @@ object Sessionize extends OpGroup {
       val fns = graft.functions.TextFns
       val root = layerPath(dir, "manifest_stream")
       val feedDir = s"$root/feed"
-      if (!feedCurrent(dir, "documents", feedDir)) {
+      ensureFeed(dir, "documents", feedDir) {
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text"), col("n_chars"))
           .repartitionByRange(4, col("doc_id"))
@@ -1059,7 +1089,7 @@ object Sessionize extends OpGroup {
     import graft.sources.Warehouse.layerPath
     val root = layerPath(dir, "gram_stream")
     val feedDir = s"$root/feed"
-    if (!feedCurrent(dir, "embeddings", feedDir)) {
+    ensureFeed(dir, "embeddings", feedDir) {
       // 4 vec_id-range files, 2 per trigger => 2 micro-batches
       Tables.load(s, dir, "embeddings")
         .repartitionByRange(4, col("vec_id"))
@@ -1118,7 +1148,7 @@ object Sessionize extends OpGroup {
       import graft.sources.Warehouse.layerPath
       val root = layerPath(dir, "topk_stream")
       val feedDir = s"$root/feed"
-      if (!feedCurrent(dir, "documents", feedDir)) {
+      ensureFeed(dir, "documents", feedDir) {
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text"))
           .repartitionByRange(4, col("doc_id"))
@@ -1188,7 +1218,7 @@ object Sessionize extends OpGroup {
       import graft.sources.Warehouse.layerPath
       val root = layerPath(dir, "ab_stream")
       val feedDir = s"$root/feed"
-      if (!feedCurrent(dir, "events", feedDir)) {
+      ensureFeed(dir, "events", feedDir) {
         Tables.load(s, dir, "events")
           .select(col("user_id"), col("event_type"), col("value"))
           .repartitionByRange(4, col("user_id"))
@@ -1267,7 +1297,7 @@ object Sessionize extends OpGroup {
     import graft.sources.Warehouse.layerPath
     val root = layerPath(dir, "ivf_stream")
     val feedDir = s"$root/feed"
-    if (!feedCurrent(dir, "embeddings", feedDir)) {
+    ensureFeed(dir, "embeddings", feedDir) {
       Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .repartitionByRange(4, col("vec_id"))
@@ -1317,7 +1347,7 @@ object Sessionize extends OpGroup {
       import graft.sources.Warehouse.layerPath
       val root = layerPath(dir, "cusum_stream")
       val feedDir = s"$root/feed"
-      if (!feedCurrent(dir, "events", feedDir)) {
+      ensureFeed(dir, "events", feedDir) {
         Tables.load(s, dir, "events")
           .select(col("event_id"), col("ts"), col("event_type"))
           .repartitionByRange(4, col("event_id"))

@@ -252,6 +252,17 @@ class GraftSpec extends AnyFunSuite {
             else if (txt.startsWith("\"\"\"", i)) {
               mode = 4; out.append("\"\"\""); i += 3
             }
+            // Char literal ('x', '\n', '"', '\''): consume whole —
+            // a '"' inside one must NOT open string mode, or the
+            // scanner hides the rest of the line from the sweep.
+            else if (c == '\'' && i + 2 < txt.length &&
+                (txt.charAt(i + 1) == '\\' || txt.charAt(i + 2) == '\'')) {
+              val close =
+                if (txt.charAt(i + 1) == '\\') txt.indexOf('\'', i + 3)
+                else i + 2
+              if (close < 0) { out.append(c); i += 1 }
+              else { out.append(txt.substring(i, close + 1)); i = close + 1 }
+            }
             else if (c == '"') { mode = 3; out.append(c); i += 1 }
             else { out.append(c); i += 1 }
           case 1 =>
