@@ -130,38 +130,89 @@ object DedupOps extends OpGroup {
   // never share a band) is invisible to it; exhaustive truth on a
   // bounded sample is the only way to measure recall, and |sample| is
   // the budget knob (a deployment labels a fixed-size sample per index
-  // generation). Truth pairs come from a shingle co-occurrence
-  // equi-join, NOT a sample cross-join — a pair sharing zero shingles
-  // has J = 0 < τ by definition, so the equi-join enumerates every
-  // nonzero-J pair (measured fan-out on this corpus: max 11 sample
-  // docs share one trigram at sf0.1 — no boilerplate heavy-hitters; a
-  // web deployment would pre-drop stopword shingles the way the band
-  // join caps hot buckets). All comparisons integer: the τ = 0.8 gate
+  // generation — [[qualitySampleBudget]] docs, the modulus derived
+  // from corpus size like seedBitsFor/shardsFor, so the sample is a
+  // BUDGET, not a share that grows to 25 TB at 100 TB). Truth pairs
+  // come from a shingle co-occurrence equi-join, NOT a sample
+  // cross-join — a pair sharing zero shingles has J = 0 < τ by
+  // definition, so the equi-join enumerates every nonzero-J pair.
+  // Fan-out is bounded by [[truthShingleCap]]: a shingle shared by d
+  // sample docs contributes d² join rows, so stopword-grade shingles
+  // (df > cap) are dropped from the truth universe the way cappedBands
+  // drops hot band buckets — truth becomes "Jaccard over the
+  // discriminating-shingle universe", the same estimator a web
+  // deployment labels (a capped shingle's pairs are J-diluted by the
+  // hitter's own ubiquity). All comparisons integer: the τ = 0.8 gate
   // is the cross-multiplied rational ∩·5 ≥ ∪·4 (no float J, no DIV
   // truncation at the boundary); P, R, F1 land in ppm by integer
   // division, with F1 = 2h/(c+t) so no P·R float product.
   // ---------------------------------------------------------------------
-  val qualitySampleMod = 4L
+  val qualitySampleBudget = 1250L
 
-  def qualityReport(s: SparkSession, dir: String): DataFrame = {
-    val r = shingleRows(s, dir)
-      .filter(col("doc_id") % qualitySampleMod === 0L)
-      .select(col("doc_id"), col("x")).distinct()
-    val sizes = r.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = r.select(col("doc_id").as("doc_a"), col("x"))
-      .join(r.select(col("doc_id").as("doc_b"), col("x")), Seq("x"))
+  /** Heavy-hitter guard for the exhaustive-truth join: max sample doc
+    * frequency a shingle may have and still enter the truth universe.
+    * Same scale discipline (and same value class) as [[hotBucketCap]].
+    */
+  val truthShingleCap = 64L
+
+  private[graft] def qualitySampleModFor(nDocs: Long, budget: Long): Long =
+    math.max(1L, nDocs / budget)
+
+  /** Truth universe: sample (doc_id, x) rows whose shingle's sample doc
+    * frequency is ≤ [[truthShingleCap]] — the d² fan-out bound.
+    */
+  private[graft] def cappedTruthSample(sample: DataFrame): DataFrame = {
+    val ok = sample.groupBy(col("x")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= truthShingleCap)
+      .select(col("x"))
+    sample.join(ok, Seq("x"))
+  }
+
+  /** Shingle co-occurrence counts over the capped truth universe — the
+    * frame whose row count the heavy-hitter spec pins as bounded.
+    */
+  private[graft] def truthIntersections(capped: DataFrame): DataFrame =
+    capped.select(col("doc_id").as("doc_a"), col("x"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("x")), Seq("x"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("cap"))
-    val truth = inter
+
+  /** τ-gated truth pairs over the capped universe (sizes and
+    * intersections from the SAME capped set, so J is consistent).
+    */
+  private[graft] def truthPairsFromCapped(capped: DataFrame): DataFrame = {
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    truthIntersections(capped)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
         Seq("doc_b"))
       .filter(col("cap") * 5 >= (col("na") + col("nb") - col("cap")) * 4)
       .select(col("doc_a"), col("doc_b"))
+  }
+
+  def qualityReport(s: SparkSession, dir: String): DataFrame =
+    qualityReportAt(qualitySampleBudget)(s, dir)
+
+  /** Budget twin (125-doc budget → a different modulus at every sf):
+    * pins that the truth-join plan SHAPE is invariant to the sample
+    * dial, the `_s16` discipline applied to the quality report.
+    */
+  def qualityReportB125(s: SparkSession, dir: String): DataFrame =
+    qualityReportAt(125L)(s, dir)
+
+  private def qualityReportAt(budget: Long)(
+      s: SparkSession, dir: String): DataFrame = {
+    val mod = qualitySampleModFor(docs(s, dir).count(), budget)
+    val sample = shingleRows(s, dir)
+      .filter(col("doc_id") % mod === 0L)
+      .select(col("doc_id"), col("x")).distinct()
+    val capped = cappedTruthSample(sample)
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = truthPairsFromCapped(capped)
     val cand = minhashLsh(s, dir)
-      .filter(col("doc_a") % qualitySampleMod === 0L &&
-        col("doc_b") % qualitySampleMod === 0L)
+      .filter(col("doc_a") % mod === 0L &&
+        col("doc_b") % mod === 0L)
     val nd = sizes.agg(count(lit(1)).as("n_sample_docs"))
     val nt = truth.agg(count(lit(1)).as("n_truth"))
     val nc = cand.agg(count(lit(1)).as("n_candidates"))
@@ -180,16 +231,21 @@ object DedupOps extends OpGroup {
           .as("f1_ppm"))
   }
 
-  private lazy val qualityReportSql =
+  private def qualityReportSqlAt(budget: Long): String =
     s"""WITH $bandsCte,
+       |qmod AS (SELECT GREATEST(1, COUNT(*) // $budget) AS m FROM documents),
        |qshs AS ($shinglesSql),
-       |qshr AS (
+       |qshr AS MATERIALIZED (
        |  SELECT doc_id, t.x FROM qshs, unnest(qshs.sh) AS t(x)
-       |  WHERE doc_id % $qualitySampleMod = 0),
-       |qssz AS (SELECT doc_id, COUNT(*) AS n FROM qshr GROUP BY doc_id),
+       |  WHERE doc_id % (SELECT m FROM qmod) = 0),
+       |qshc AS MATERIALIZED (
+       |  SELECT r.doc_id, r.x FROM qshr r
+       |  JOIN (SELECT x FROM qshr GROUP BY x
+       |        HAVING COUNT(*) <= $truthShingleCap) f USING (x)),
+       |qssz AS (SELECT doc_id, COUNT(*) AS n FROM qshc GROUP BY doc_id),
        |qsint AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cap
-       |  FROM qshr a JOIN qshr b ON a.x = b.x AND a.doc_id < b.doc_id
+       |  FROM qshc a JOIN qshc b ON a.x = b.x AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id),
        |qtruth AS (
        |  SELECT i.doc_a, i.doc_b
@@ -200,8 +256,8 @@ object DedupOps extends OpGroup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands_capped a JOIN bands_capped b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-       |  WHERE a.doc_id % $qualitySampleMod = 0
-       |    AND b.doc_id % $qualitySampleMod = 0),
+       |  WHERE a.doc_id % (SELECT m FROM qmod) = 0
+       |    AND b.doc_id % (SELECT m FROM qmod) = 0),
        |qagg AS (
        |  SELECT
        |    (SELECT COUNT(*) FROM qssz) AS n_sample_docs,
@@ -220,6 +276,9 @@ object DedupOps extends OpGroup {
        |       THEN (2 * n_hits * 1000000) // (n_candidates + n_truth) END
        |    AS f1_ppm
        |FROM qagg""".stripMargin
+
+  private lazy val qualityReportSql = qualityReportSqlAt(qualitySampleBudget)
+  private lazy val qualityReportB125Sql = qualityReportSqlAt(125L)
 
   private val shinglesSql =
     """SELECT doc_id, list_distinct(list_transform(
@@ -1416,7 +1475,10 @@ object DedupOps extends OpGroup {
     Op("dedup_lsh_curve", lshCurve, Some(lshCurveSql),
       "LSH sensitivity curve: candidate volume and verified-jaccard mass per collided-band count (the r,b tuning artifact)"),
     Op("dedup_quality_report", qualityReport, Some(qualityReportSql),
-      "MinHash-LSH precision/recall/F1 vs exhaustive exact-Jaccard truth on a deterministic doc sample - the recall-report discipline for the dedup index"),
+      "MinHash-LSH precision/recall/F1 vs exhaustive exact-Jaccard truth on a budget-sampled doc set with DF-capped shingles - the recall-report discipline for the dedup index"),
+    Op("dedup_quality_report_b125", qualityReportB125,
+      Some(qualityReportB125Sql),
+      "sample-budget twin (125 docs): pins that the truth-join plan shape is invariant to the budget dial"),
     Op("dedup_source_stats", sourceStats, Some(sourceStatsSql),
       "per-source duplication report: exact-copy and near-dup counts plus wasted char mass"),
     Op("dedup_cross_source", crossSourceOverlap,

@@ -572,6 +572,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(missed == 0, s"$missed true near-dup pairs missed by LSH banding")
   }
 
+  test("quality-report truth join drops a planted stopword-grade shingle") {
+    import spark.implicits._
+    // 100 sample docs all share one boilerplate shingle (df 100 >
+    // truthShingleCap 64): the uncapped co-occurrence join would emit
+    // C(100,2) = 4950 rows from that hitter alone — the d² fan-out the
+    // cap exists to bound. Docs 0 and 1 also share 4 discriminating
+    // shingles (J = 1.0 over the capped universe), which must survive.
+    val hot = "the of and"
+    val shared = (1 to 4).map(i => s"real shingle $i")
+    val rows =
+      (0L to 99L).map(d => (d, hot)) ++
+        Seq(0L, 1L).flatMap(d => shared.map(x => (d, x))) ++
+        (2L to 99L).map(d => (d, s"unique shingle $d"))
+    val sample = rows.toDF("doc_id", "x")
+    val capped = graft.ops.DedupOps.cappedTruthSample(sample)
+    val uncappedRows = graft.ops.DedupOps.truthIntersections(sample).count()
+    val cappedRows = graft.ops.DedupOps.truthIntersections(capped).count()
+    assert(uncappedRows == 4950L,
+      s"planted hitter should drive the uncapped join to 4950 rows, got $uncappedRows")
+    assert(cappedRows == 1L,
+      s"capped truth join must stay bounded (1 surviving pair), got $cappedRows")
+    val pairs = graft.ops.DedupOps.truthPairsFromCapped(capped)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((0L, 1L)),
+      s"the discriminating-shingle pair must survive the cap: $pairs")
+    // budget→modulus derivation: a fixed budget, not a share
+    assert(graft.ops.DedupOps.qualitySampleModFor(5000L, 1250L) == 4L)
+    assert(graft.ops.DedupOps.qualitySampleModFor(500L, 1250L) == 1L)
+    assert(graft.ops.DedupOps.qualitySampleModFor(1000000000000L, 1250L)
+      == 800000000L)
+  }
+
   test("pq adc candidate recall vs exact L2 supports rerank") {
     import graft.ops.PqOps
     // exact L2 top-k ground truth per query
@@ -3445,9 +3477,12 @@ class ExtensionsSpec extends AnyFunSuite {
     // replay the truth side on the driver from the raw sample docs:
     // same trigram shingles (via the engine's own shingle query — the
     // shingle definition is proven by the green ngram_jaccard oracle),
-    // same exact-rational tau gate
-    val mod = graft.ops.DedupOps.qualitySampleMod
-    val sets = Tables.load(spark, dir, "documents")
+    // same budget-derived modulus, same DF cap on the shingle
+    // universe, same exact-rational tau gate
+    val docsTbl = Tables.load(spark, dir, "documents")
+    val mod = graft.ops.DedupOps.qualitySampleModFor(
+      docsTbl.count(), graft.ops.DedupOps.qualitySampleBudget)
+    val raw = docsTbl
       .filter(col("doc_id") % mod === 0L)
       .select(col("doc_id"),
         graft.functions.TextFns.tokens(col("text")).as("w"))
@@ -3458,6 +3493,14 @@ class ExtensionsSpec extends AnyFunSuite {
           else w.sliding(3).map(_.mkString(" ")).toSet
         r.getLong(0) -> sh
       }
+    val docFreq = raw.iterator.flatMap(_._2).toSeq
+      .groupBy(identity).map { case (x, xs) => x -> xs.size }
+    val sets = raw
+      .map { case (d, sh) =>
+        d -> sh.filter(x =>
+          docFreq(x) <= graft.ops.DedupOps.truthShingleCap)
+      }
+      .filter(_._2.nonEmpty)
     val ids = sets.map(_._1).sorted
     val truth = (for {
       i <- ids.indices.iterator
