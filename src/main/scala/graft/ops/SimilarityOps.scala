@@ -1306,21 +1306,52 @@ object SimilarityOps extends OpGroup {
   // corpus; the wedge join shuffles edges on their endpoint keys. At
   // production scale the refinement is DEGREE-ordered orientation
   // (rank nodes by degree, orient edges low→high) which bounds wedge
-  // fan-out by arboricity instead of max-degree; id-order suffices
-  // here because the kNN graph's out-degree is capped at k by
-  // construction.
+  // fan-out by arboricity instead of max-degree — shipped as the
+  // [[triangleCountDeg]] twin (result-equal by construction: a
+  // triangle is counted once under ANY acyclic orientation); id-order
+  // remains valid here because the kNN graph's out-degree is capped at
+  // k by construction, and the twin is the 100×-safe default for
+  // graphs without that cap.
   // ---------------------------------------------------------------------
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val fwd = knnEdges(s, dir)
-    val canon = fwd
+  private def canonKnnEdges(s: SparkSession, dir: String): DataFrame =
+    knnEdges(s, dir)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val wedges = canon.join(
-      canon.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-    val tri = wedges.join(
-        canon.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+
+  /** Orient canonical (a < b) edges low→high by (degree, id) — the
+    * arboricity-bounding total order: a hub is ranked LAST, so no path
+    * wedge is ever centered on it (its in×out fan-out is 0×d, not
+    * (d/2)²).
+    */
+  private[graft] def degreeOriented(canon: DataFrame): DataFrame = {
+    val deg = canon.select(col("a").as("v"))
+      .unionByName(canon.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    canon
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+  }
+
+  /** Path wedges u→v→w over an acyclically oriented edge list — the
+    * frame whose row count the orientation bounds (the skew-graph spec
+    * pins id-order blow-up vs degree-order).
+    */
+  private[graft] def pathWedges(ed: DataFrame): DataFrame =
+    ed.select(col("src").as("u"), col("dst").as("v"))
+      .join(ed.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
+
+  private[graft] def trianglesOriented(ed: DataFrame): DataFrame =
+    pathWedges(ed).join(
+        ed.select(col("src").as("u"), col("dst").as("w")),
+        Seq("u", "w"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
+
+  private def triangleReport(canon: DataFrame, tri: DataFrame): DataFrame = {
     val deg = canon.select(col("a").as("v"))
       .unionByName(canon.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -1331,6 +1362,22 @@ object SimilarityOps extends OpGroup {
       .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
         expr("CASE WHEN n_wedges > 0 THEN (n_triangles * 3 * 1000000)" +
           " DIV n_wedges END").as("clustering_ppm"))
+  }
+
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val canon = canonKnnEdges(s, dir)
+    val tri = trianglesOriented(
+      canon.select(col("a").as("src"), col("b").as("dst")))
+    triangleReport(canon, tri)
+  }
+
+  /** Degree-ordered twin: same report, wedge fan-out bounded by
+    * arboricity (orient low-degree→high-degree) instead of max-degree.
+    * The 100×-safe default for graphs without a per-node degree cap.
+    */
+  def triangleCountDeg(s: SparkSession, dir: String): DataFrame = {
+    val canon = canonKnnEdges(s, dir)
+    triangleReport(canon, trianglesOriented(degreeOriented(canon)))
   }
 
   private lazy val triangleCountSql =
@@ -1348,6 +1395,37 @@ object SimilarityOps extends OpGroup {
        |  SELECT v, COUNT(*) AS d FROM (
        |    SELECT a AS v FROM canon UNION ALL SELECT b AS v FROM canon) u
        |  GROUP BY v),
+       |wed AS (
+       |  SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg),
+       |ne AS (SELECT COUNT(*) AS n_edges FROM canon)
+       |SELECT ne.n_edges, tri.n_triangles, wed.n_wedges,
+       |  CASE WHEN wed.n_wedges > 0
+       |       THEN (tri.n_triangles * 3 * 1000000) // wed.n_wedges END
+       |    AS clustering_ppm
+       |FROM ne, tri, wed""".stripMargin
+
+  private lazy val triangleCountDegSql =
+    s"""WITH $ivfCellsCtes,
+       |$knnEdgesCtes,
+       |canon AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM knn_e),
+       |deg AS MATERIALIZED (
+       |  SELECT v, COUNT(*) AS d FROM (
+       |    SELECT a AS v FROM canon UNION ALL SELECT b AS v FROM canon) u
+       |  GROUP BY v),
+       |ed AS MATERIALIZED (
+       |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+       |              THEN c.a ELSE c.b END AS src,
+       |         CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+       |              THEN c.b ELSE c.a END AS dst
+       |  FROM canon c JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b),
+       |tri AS (
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM ed e1 JOIN ed e2 ON e2.src = e1.dst
+       |  WHERE EXISTS (SELECT 1 FROM ed e3
+       |                WHERE e3.src = e1.src AND e3.dst = e2.dst)),
        |wed AS (
        |  SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
        |  FROM deg),
@@ -2852,5 +2930,8 @@ object SimilarityOps extends OpGroup {
       Some(ivfTopkSqlAt(ivfSeedBitsAlt)),
       "the IVF probe at a second cell count (16): k is a deployment parameter derived from corpus size (seedBitsFor), not a constant"),
     Op("sim_triangle_count", triangleCount, Some(triangleCountSql),
-      "triangle count + clustering coefficient over the kNN graph (compact-forward a<b<c) - the per-generation index-health trend line"))
+      "triangle count + clustering coefficient over the kNN graph (compact-forward a<b<c) - the per-generation index-health trend line"),
+    Op("sim_triangle_count_deg", triangleCountDeg,
+      Some(triangleCountDegSql),
+      "degree-ordered orientation twin: wedge fan-out bounded by arboricity instead of max-degree - the 100x-safe default for uncapped-degree graphs; result-equal to sim_triangle_count by construction"))
 }

@@ -3471,6 +3471,43 @@ class ExtensionsSpec extends AnyFunSuite {
     ()
   }
 
+  test("degree-ordered triangle orientation: equal count, bounded hub fan-out") {
+    import spark.implicits._
+    // Skew graph: hub 50 connected to leaves 0..100 (hub id in the
+    // MIDDLE of the id range — the id-order worst case: ~half its
+    // edges point in, half out, so (d/2)² path wedges center on it),
+    // plus a leaf triangle (1,2),(2,3),(1,3). Degree ordering ranks
+    // the hub LAST: every hub edge points in, zero wedges center on
+    // it, and the wedge-join row count collapses.
+    val leaves = (0L to 100L).filter(_ != 50L)
+    val canon = (leaves.map(v => (math.min(v, 50L), math.max(v, 50L))) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L))).toDF("a", "b")
+    val idOriented = canon.select(col("a").as("src"), col("b").as("dst"))
+    val degOriented = graft.ops.SimilarityOps.degreeOriented(canon)
+    val idWedges = graft.ops.SimilarityOps.pathWedges(idOriented).count()
+    val degWedges = graft.ops.SimilarityOps.pathWedges(degOriented).count()
+    // id-order: 50 in-edges × 50 out-edges center on the hub (+ a few
+    // leaf-triangle wedges); degree-order: no wedge centers on the hub
+    assert(idWedges >= 2500L,
+      s"skew fixture lost its id-order hub blow-up: $idWedges")
+    assert(degWedges <= 10L,
+      s"degree orientation must bound hub fan-out, got $degWedges wedges")
+    // triangles counted once under ANY acyclic orientation
+    val triId = graft.ops.SimilarityOps.trianglesOriented(idOriented)
+      .collect().head.getLong(0)
+    val triDeg = graft.ops.SimilarityOps.trianglesOriented(degOriented)
+      .collect().head.getLong(0)
+    // hub triangles: (50,1,2),(50,2,3),(50,1,3) + leaf (1,2,3) = 4
+    assert(triId == 4L && triDeg == 4L,
+      s"orientation changed the triangle count: id=$triId deg=$triDeg")
+    // the registered twin agrees with the id-order op end-to-end
+    val a = SparkEntry.queries("sim_triangle_count")(spark, dir)
+      .collect().head
+    val b = SparkEntry.queries("sim_triangle_count_deg")(spark, dir)
+      .collect().head
+    assert(a == b, s"twin diverged from id-order op: $a vs $b")
+  }
+
   test("dedup quality report: driver replay of the exhaustive sample truth") {
     val row = SparkEntry.queries("dedup_quality_report")(spark, dir)
       .collect().head
