@@ -391,15 +391,23 @@ object DedupOps extends OpGroup {
             size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
   }
 
-  /** Shared oracle CTE list through the verified-jaccard pair table. */
-  private val jaccardCtes =
+  /** Shared oracle CTE list through the verified-jaccard pair table.
+    * Two flavors (the prefixMat discipline): DuckDB inlines plain CTEs
+    * per reference, and every [[clusterCtes]] consumer evaluates
+    * `jaccard` TWICE via sym's two jp reads (drift/funnel measured 7-9 s
+    * plain vs 1.3 s pinned at sf0.1), so consumers that reference
+    * `jaccard` take the MATERIALIZED flavor; `containment` reads only
+    * pairs+sh and must stay on the lazy flavor — DuckDB evaluates even
+    * unreferenced materialized CTEs.
+    */
+  private def jaccardCtesWith(mat: String): String =
     s"""$bandsCte,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands_capped a JOIN bands_capped b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |sh AS ($shinglesSql),
-       |jaccard AS (
+       |sh AS $mat($shinglesSql),
+       |jaccard AS $mat(
        |  SELECT p.doc_a, p.doc_b,
        |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
        |          / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
@@ -407,8 +415,11 @@ object DedupOps extends OpGroup {
        |  JOIN sh x ON x.doc_id = p.doc_a
        |  JOIN sh y ON y.doc_id = p.doc_b)""".stripMargin
 
+  private val jaccardCtes = jaccardCtesWith("")
+  private val jaccardCtesMat = jaccardCtesWith("MATERIALIZED ")
+
   private val ngramJaccardSql =
-    s"""WITH $jaccardCtes
+    s"""WITH $jaccardCtesMat
        |SELECT doc_a, doc_b, jaccard FROM jaccard""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -1005,7 +1016,7 @@ object DedupOps extends OpGroup {
     * symmetric verified-pair graph (recursive CTE; UNION-dedup bounds it).
     */
   private[ops] val clusterCtes =
-    s"""$jaccardCtes,
+    s"""$jaccardCtesMat,
        |jp AS (SELECT doc_a, doc_b FROM jaccard WHERE jaccard >= $jaccardThreshold),
        |sym AS (SELECT doc_a AS a, doc_b AS b FROM jp
        |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM jp),
@@ -1433,7 +1444,7 @@ object DedupOps extends OpGroup {
   }
 
   private lazy val crossSourceOverlapSql =
-    s"""WITH $jaccardCtes,
+    s"""WITH $jaccardCtesMat,
        |srcmap AS (SELECT doc_id, source FROM documents),
        |m AS (
        |  SELECT LEAST(sa.source, sb.source) AS source_a,

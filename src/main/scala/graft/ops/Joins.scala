@@ -510,12 +510,21 @@ object Joins extends OpGroup {
       rangeJoinDelta)
   }
 
+  // Oracle note: the semantics is the exact-abs residual (bit-identical
+  // to the Spark filter); the per-side range pair exists only so DuckDB
+  // plans an IEJoin instead of a blockwise nested loop (measured 5.6 s
+  // → 0.6 s at sf0.1, identical row set + hash). The band is widened by
+  // 1e-7, which strictly contains the ≤1-ulp (~1e-13 at |value|≤1e6)
+  // rounding gap between fl(p−s) and the per-side fl(s±δ) bounds, so no
+  // abs-true pair can be pre-filtered away.
   private val binnedRangeJoinSql =
     s"""SELECT p.event_id AS p_id, s.event_id AS s_id,
        |       p.value AS p_value, s.value AS s_value
        |FROM events p JOIN events s
        |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
-       | AND abs(p.value - s.value) <= $rangeJoinDelta""".stripMargin
+       | AND p.value >= s.value - ${rangeJoinDelta + 1e-7}
+       | AND p.value <= s.value + ${rangeJoinDelta + 1e-7}
+       |WHERE abs(p.value - s.value) <= $rangeJoinDelta""".stripMargin
 
   // ---------------------------------------------------------------------
   // J15 (beyond reference) — fuzzy string join, edit distance ≤ 1, via
