@@ -1322,7 +1322,29 @@ object DedupOps extends OpGroup {
   // derived from an integer sum of 1e-4-quantized jaccards (commutative),
   // then one double division over identical integers in both engines.
   // ---------------------------------------------------------------------
-  def lshCurve(s: SparkSession, dir: String): DataFrame = {
+  def lshCurve(s: SparkSession, dir: String): DataFrame =
+    lshCurveOver(s, dir, shingleSets(s, dir))
+
+  /** Curve twin over the DF-capped shingle universe — the SAME truth
+    * definition [[qualityReport]] labels (stopword-grade shingles
+    * dropped via the shared [[cappedTruthSample]] helper), so the
+    * (r,b) tuning readout and the P/R readout grade the index against
+    * one truth. Pairs whose docs lose every shingle to the cap drop
+    * out (J undefined over an empty universe) — inner joins, mirrored.
+    */
+  def lshCurveCapped(s: SparkSession, dir: String): DataFrame =
+    lshCurveOver(s, dir, cappedShingleSets(s, dir))
+
+  private def cappedShingleSets(s: SparkSession, dir: String): DataFrame =
+    Memo.of(s, dir, "dedupCappedShingleSets") {
+      cappedTruthSample(
+        shingleRows(s, dir).select(col("doc_id"), col("x")).distinct())
+        .groupBy(col("doc_id")).agg(collect_set(col("x")).as("sh"))
+        .cache()
+    }
+
+  private def lshCurveOver(s: SparkSession, dir: String,
+      sh: DataFrame): DataFrame = {
     val b = cappedBands(s, dir)
     val a = b.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val c = b.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
@@ -1330,7 +1352,6 @@ object DedupOps extends OpGroup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).cast("int").as("n_bands"))
-    val sh = shingleSets(s, dir)
     val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     pairBands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
@@ -1350,6 +1371,39 @@ object DedupOps extends OpGroup {
   private val lshCurveSql =
     s"""WITH $bandsCte,
        |sh AS ($shinglesSql),
+       |pairbands AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS INT) AS n_bands
+       |  FROM bands_capped a JOIN bands_capped b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |jcurve AS (
+       |  SELECT pb.n_bands,
+       |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS j
+       |  FROM pairbands pb
+       |  JOIN sh x ON x.doc_id = pb.doc_a
+       |  JOIN sh y ON y.doc_id = pb.doc_b)
+       |SELECT n_bands, COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN j >= $jaccardThreshold THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_true,
+       |  CAST(SUM(CAST(FLOOR(j * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+       |    AS sum_jaccard_q4,
+       |  round(CAST(SUM(CAST(FLOOR(j * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / 10000.0 / COUNT(*), 4) AS mean_jaccard
+       |FROM jcurve GROUP BY n_bands""".stripMargin
+
+  private lazy val lshCurveCappedSql =
+    s"""WITH $bandsCte,
+       |shr AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, t.x
+       |  FROM ($shinglesSql) q, unnest(q.sh) AS t(x)),
+       |shc AS MATERIALIZED (
+       |  SELECT r.doc_id, r.x FROM shr r
+       |  JOIN (SELECT x FROM shr GROUP BY x
+       |        HAVING COUNT(*) <= $truthShingleCap) f USING (x)),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, list(DISTINCT x) AS sh FROM shc GROUP BY doc_id),
        |pairbands AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(COUNT(*) AS INT) AS n_bands
@@ -1485,6 +1539,8 @@ object DedupOps extends OpGroup {
   override val ops: Seq[Op] = Seq(
     Op("dedup_lsh_curve", lshCurve, Some(lshCurveSql),
       "LSH sensitivity curve: candidate volume and verified-jaccard mass per collided-band count (the r,b tuning artifact)"),
+    Op("dedup_lsh_curve_capped", lshCurveCapped, Some(lshCurveCappedSql),
+      "the sensitivity curve over the DF-capped shingle universe - the same truth definition the quality report labels, so both dedup-quality readouts share one capped base"),
     Op("dedup_quality_report", qualityReport, Some(qualityReportSql),
       "MinHash-LSH precision/recall/F1 vs exhaustive exact-Jaccard truth on a budget-sampled doc set with DF-capped shingles - the recall-report discipline for the dedup index"),
     Op("dedup_quality_report_b125", qualityReportB125,

@@ -311,9 +311,12 @@ class GraftSpec extends AnyFunSuite {
         "Memo-owned: curatedCorpus, classifierFilter, " +
           "shardedTrainingSet, manifestDocDigest")),
       "ops/PqOps.scala" -> ((1, "Memo-owned: pqCodes")),
-      "ops/DedupOps.scala" -> ((6,
+      "ops/DedupOps.scala" -> ((7,
         "Memo-owned: shingleRows, bandTable, cappedBands, shingles, " +
-          "clusters, contamShingleRows")),
+          "cappedShingleSets, clusters, contamShingleRows")),
+      "ProfTri.scala" -> ((1,
+        "profiling-main-only synthetic edge list, unpersisted in-run " +
+          "and released with the main's session")),
       "ops/AnalyticsOps.scala" -> ((2,
         "Memo-owned: attributionJoined, attributionPer (the r8 leak, " +
           "fixed by routing through Memo)")),
