@@ -58,58 +58,83 @@ def canon(cols, rows):
     return [cols[i] for i in order], out
 
 
-def main():
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
+_CON = None
+
+
+def _worker_init():
+    # one connection per worker process, created after fork
+    global _CON
+    _CON = duckdb.connect()
+    _CON.execute("SET TimeZone='UTC'")
+    # bound per-worker parallelism: 8 workers x all-cores DuckDB
+    # oversubscribes a 32-thread box and the fan-out loses to itself
+    _CON.execute(f"SET threads={int(os.environ.get('CHECK_DB_THREADS', 4))}")
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(
+            _CON.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+
+def check_one(item):
+    """(name, sql) -> (name, line, status). Pure per-query check: same
+    norm/canon semantics as the serial loop ever had — parallelism only
+    changes the wall, not the verdict."""
+    name, sql = item
+    spark_dir = f"{OUT_DIR}/{name}"
+    if not os.path.isdir(spark_dir):
+        return name, f"MISSING  {name}: no spark output", "missing"
+    try:
+        got = _CON.execute(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        got_cols = [d[0] for d in got.description]
+        got_rows = got.fetchall()
+        want = _CON.execute(sql)
+        want_cols = [d[0] for d in want.description]
+        want_rows = want.fetchall()
+    except Exception as e:
+        return name, f"ERROR    {name}: {e}", f"error: {str(e)[:120]}"
+    gc, gr = canon(got_cols, got_rows)
+    wc, wr = canon(want_cols, want_rows)
+    if gc != wc:
+        return (name, f"SCHEMA   {name}: spark={gc} oracle={wc}",
+                "schema-mismatch")
+    if gr != wr:
+        gs, ws = set(gr), set(wr)
+        diff_g = [r for r in gr if r not in ws][:3]
+        diff_w = [r for r in wr if r not in gs][:3]
+        return (name,
+                f"ROWS     {name}: spark={len(gr)} oracle={len(wr)}; "
+                f"spark-only={diff_g} oracle-only={diff_w}",
+                "row-mismatch")
+    return name, f"OK       {name}: {len(gr)} rows", "pass"
+
+
+def main():
     with open(f"{OUT_DIR}/oracle_sql.json") as f:
         oracles = json.load(f)
 
+    items = sorted(oracles.items())
+    workers = int(os.environ.get("CHECK_WORKERS",
+                                 str(min(8, os.cpu_count() or 1))))
+    if workers > 1 and len(items) > 1:
+        import multiprocessing as mp
+        with mp.get_context("fork").Pool(
+                workers, initializer=_worker_init) as pool:
+            results = pool.map(check_one, items, chunksize=1)
+    else:
+        _worker_init()
+        results = [check_one(it) for it in items]
+
     n_pass = n_fail = 0
     summary = {}
-    for name in sorted(oracles):
-        sql = oracles[name]
-        spark_dir = f"{OUT_DIR}/{name}"
-        if not os.path.isdir(spark_dir):
-            print(f"MISSING  {name}: no spark output")
-            summary[name] = "missing"
-            n_fail += 1
-            continue
-        try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-            got_cols = [d[0] for d in got.description]
-            got_rows = got.fetchall()
-            want = con.execute(sql)
-            want_cols = [d[0] for d in want.description]
-            want_rows = want.fetchall()
-        except Exception as e:
-            print(f"ERROR    {name}: {e}")
-            summary[name] = f"error: {str(e)[:120]}"
-            n_fail += 1
-            continue
-        gc, gr = canon(got_cols, got_rows)
-        wc, wr = canon(want_cols, want_rows)
-        if gc != wc:
-            print(f"SCHEMA   {name}: spark={gc} oracle={wc}")
-            summary[name] = "schema-mismatch"
-            n_fail += 1
-        elif gr != wr:
-            diff_g = [r for r in gr if r not in wr][:3]
-            diff_w = [r for r in wr if r not in gr][:3]
-            print(f"ROWS     {name}: spark={len(gr)} oracle={len(wr)}; "
-                  f"spark-only={diff_g} oracle-only={diff_w}")
-            summary[name] = "row-mismatch"
-            n_fail += 1
-        else:
-            print(f"OK       {name}: {len(gr)} rows")
-            summary[name] = "pass"
+    for name, line, status in results:
+        print(line)
+        summary[name] = status
+        if status == "pass":
             n_pass += 1
+        else:
+            n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     if JSON_OUT:
         with open(JSON_OUT, "w") as f:
