@@ -158,38 +158,62 @@ object DedupOps extends OpGroup {
   private[graft] def qualitySampleModFor(nDocs: Long, budget: Long): Long =
     math.max(1L, nDocs / budget)
 
-  /** Truth universe: sample (doc_id, x) rows whose shingle's sample doc
-    * frequency is ≤ [[truthShingleCap]] — the d² fan-out bound.
+  /** Truth universe as bounded per-shingle doc groups: collect at most
+    * cap+1 doc_ids per shingle with the [[graft.expressions.BoundedTopK]]
+    * partial heap — a hot shingle's doc list never materializes beyond
+    * cap+1 entries on any mapper, even at 100 TB — and drop groups that
+    * overflow the cap. Requires distinct (doc_id, x) input (the heap
+    * would hold duplicates).
     */
-  private[graft] def cappedTruthSample(sample: DataFrame): DataFrame = {
-    val ok = sample.groupBy(col("x")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= truthShingleCap)
-      .select(col("x"))
-    sample.join(ok, Seq("x"))
-  }
+  private[graft] def cappedSampleGroups(sample: DataFrame): DataFrame =
+    sample.groupBy(col("x"))
+      .agg(graft.expressions.BoundedTopK
+        .topK(col("doc_id"), col("doc_id"), truthShingleCap.toInt + 1)
+        .as("top"))
+      .filter(size(col("top")) <= truthShingleCap)
+      .select(col("x"), col("top.id").as("ds"))
+
+  /** Truth universe as rows: sample (doc_id, x) whose shingle's sample
+    * doc frequency is ≤ [[truthShingleCap]] — the d² fan-out bound.
+    */
+  private[graft] def cappedTruthSample(sample: DataFrame): DataFrame =
+    cappedSampleGroups(sample)
+      .select(explode(col("ds")).as("doc_id"), col("x"))
+
+  /** Pair counts from capped groups: both explodes are IN-ROW on the
+    * ≤cap-element array (≤ cap² narrow rows per shingle, no shuffle
+    * until the pair agg), replacing the x-keyed self-join that shuffled
+    * the sample twice.
+    */
+  private def truthIntersectionsFromGroups(groups: DataFrame): DataFrame =
+    groups.select(col("ds"))
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("cap"))
 
   /** Shingle co-occurrence counts over the capped truth universe — the
     * frame whose row count the heavy-hitter spec pins as bounded.
     */
   private[graft] def truthIntersections(capped: DataFrame): DataFrame =
-    capped.select(col("doc_id").as("doc_a"), col("x"))
-      .join(capped.select(col("doc_id").as("doc_b"), col("x")), Seq("x"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("cap"))
+    truthIntersectionsFromGroups(
+      capped.groupBy(col("x")).agg(collect_list(col("doc_id")).as("ds")))
 
-  /** τ-gated truth pairs over the capped universe (sizes and
-    * intersections from the SAME capped set, so J is consistent).
-    */
-  private[graft] def truthPairsFromCapped(capped: DataFrame): DataFrame = {
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    truthIntersections(capped)
+  private def truthGate(inter: DataFrame, sizes: DataFrame): DataFrame =
+    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
         Seq("doc_b"))
       .filter(col("cap") * 5 >= (col("na") + col("nb") - col("cap")) * 4)
       .select(col("doc_a"), col("doc_b"))
-  }
+
+  /** τ-gated truth pairs over the capped universe (sizes and
+    * intersections from the SAME capped set, so J is consistent).
+    */
+  private[graft] def truthPairsFromCapped(capped: DataFrame): DataFrame =
+    truthGate(truthIntersections(capped),
+      capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
 
   def qualityReport(s: SparkSession, dir: String): DataFrame =
     qualityReportAt(qualitySampleBudget)(s, dir)
@@ -207,19 +231,26 @@ object DedupOps extends OpGroup {
     val sample = shingleRows(s, dir)
       .filter(col("doc_id") % mod === 0L)
       .select(col("doc_id"), col("x")).distinct()
-    val capped = cappedTruthSample(sample)
+    val groups = cappedSampleGroups(sample)
+    val capped = groups.select(explode(col("ds")).as("doc_id"), col("x"))
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val truth = truthPairsFromCapped(capped)
+    val truth = truthGate(truthIntersectionsFromGroups(groups), sizes)
     val cand = minhashLsh(s, dir)
       .filter(col("doc_a") % mod === 0L &&
         col("doc_b") % mod === 0L)
     val nd = sizes.agg(count(lit(1)).as("n_sample_docs"))
-    val nt = truth.agg(count(lit(1)).as("n_truth"))
-    val nc = cand.agg(count(lit(1)).as("n_candidates"))
-    val nh = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-      .agg(count(lit(1)).as("n_hits"))
-    nd.crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
-      .crossJoin(broadcast(nh))
+    // One full-outer pass computes all three pair counters: the earlier
+    // four-scalar-counter spelling evaluated the truth subtree twice and
+    // the candidate subtree twice (and raced all four broadcast futures
+    // over the shared shingle scan — 7 corpus passes measured at 10×).
+    val counts = truth.select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+      .join(cand.select(col("doc_a"), col("doc_b"), lit(1L).as("c")),
+        Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("t")).as("n_truth"),
+        count(col("c")).as("n_candidates"),
+        count(when(col("t").isNotNull && col("c").isNotNull, lit(1)))
+          .as("n_hits"))
+    nd.crossJoin(broadcast(counts))
       .select(col("n_sample_docs"), col("n_truth"), col("n_candidates"),
         col("n_hits"),
         expr("CASE WHEN n_candidates > 0 THEN (n_hits * 1000000)" +

@@ -118,8 +118,8 @@ class GraftSpec extends AnyFunSuite {
       "a28_hll_distinct" -> 1, // 32-register fold × exact-count scalar row
       "sim_triangle_count" -> 2, // three single-row stats crossed
       "sim_triangle_count_deg" -> 2, // same report shape, degree twin
-      "dedup_quality_report" -> 3, // four single-row report counters crossed
-      "dedup_quality_report_b125" -> 3, // same shape, budget twin
+      "dedup_quality_report" -> 1, // one single-row counter cross
+      "dedup_quality_report_b125" -> 1, // same shape, budget twin
       "ts_anomaly_mad" -> 3, // med/mad scalar rows (mad's input re-crosses med)
       "curate_curriculum" -> 1, // quartile-boundary scalar row
       "curate_filter_calibration" -> 1, // single-row corpus-total cross
