@@ -3602,6 +3602,25 @@ class ExtensionsSpec extends AnyFunSuite {
     ()
   }
 
+  test("quality-report budget twin: same plan shape at 1250 and 125 docs") {
+    // The sample budget is a deployment parameter (qualitySampleModFor
+    // derives the modulus from corpus size); the twin proves the ENGINE
+    // side is setting-invariant: identical exchange/join shape, only
+    // the modulus literal differs. A budget-dependent plan would mean
+    // the labeled-sample size changes the execution strategy — the
+    // same failure mode the IVF cell-count twin guards.
+    val base = Explain.counters(
+      SparkEntry.queries("dedup_quality_report")(spark, dir))
+    val twin = Explain.counters(
+      SparkEntry.queries("dedup_quality_report_b125")(spark, dir))
+    info(s"base: $base\ntwin: $twin")
+    for (k <- Seq("shufflesTree", "sortMergeJoins", "nestedLoopJoins",
+        "broadcasts"))
+      assert(base.getOrElse(k, 0) == twin.getOrElse(k, 0),
+        s"$k differs across budgets: base=$base twin=$twin")
+    ()
+  }
+
   test("ivf cell-count twin: same plan shape at 8 and 16 cells") {
     // k is a deployment parameter (seedBitsFor derives it from corpus
     // size); the twin proves the ENGINE side is setting-invariant: the
