@@ -137,10 +137,12 @@ object DedupOps extends OpGroup {
   // cross-join — a pair sharing zero shingles has J = 0 < τ by
   // definition, so the equi-join enumerates every nonzero-J pair.
   // Fan-out is bounded by [[truthShingleCap]]: a shingle shared by d
-  // sample docs contributes d² join rows, so stopword-grade shingles
-  // (df > cap) are dropped from the truth universe the way cappedBands
-  // drops hot band buckets — truth becomes "Jaccard over the
-  // discriminating-shingle universe", the same estimator a web
+  // docs contributes d² join rows, so stopword-grade shingles (CORPUS
+  // df > cap — the corpus-level [[cappedShingleRows]] table the capped
+  // curve also reads, so both quality readouts grade one truth
+  // definition) are dropped from the truth universe the way
+  // cappedBands drops hot band buckets — truth becomes "Jaccard over
+  // the discriminating-shingle universe", the same estimator a web
   // deployment labels (a capped shingle's pairs are J-diluted by the
   // hitter's own ubiquity). All comparisons integer: the τ = 0.8 gate
   // is the cross-multiplied rational ∩·5 ≥ ∪·4 (no float J, no DIV
@@ -173,12 +175,28 @@ object DedupOps extends OpGroup {
       .filter(size(col("top")) <= truthShingleCap)
       .select(col("x"), col("top.id").as("ds"))
 
-  /** Truth universe as rows: sample (doc_id, x) whose shingle's sample
-    * doc frequency is ≤ [[truthShingleCap]] — the d² fan-out bound.
+  /** Truth universe as rows: (doc_id, x) whose shingle's doc frequency
+    * WITHIN THE GIVEN FRAME is ≤ [[truthShingleCap]] — the d² fan-out
+    * bound.
     */
   private[graft] def cappedTruthSample(sample: DataFrame): DataFrame =
     cappedSampleGroups(sample)
       .select(explode(col("ds")).as("doc_id"), col("x"))
+
+  /** THE truth universe both dedup-quality readouts read (memoized):
+    * distinct (doc_id, x) rows whose shingle's CORPUS doc frequency is
+    * ≤ [[truthShingleCap]]. "Stopword" is a property of the corpus,
+    * not of whichever sample happens to be labeled — and a corpus-df
+    * cap is a fortiori a sample-df cap, so the d² truth-join bound
+    * holds for any sample drawn from this table.
+    */
+  private[graft] def cappedShingleRows(s: SparkSession,
+      dir: String): DataFrame =
+    Memo.of(s, dir, "dedupCappedShingleRows") {
+      cappedTruthSample(
+        shingleRows(s, dir).select(col("doc_id"), col("x")).distinct())
+        .cache()
+    }
 
   /** Pair counts from capped groups: both explodes are IN-ROW on the
     * ≤cap-element array (≤ cap² narrow rows per shingle, no shuffle
@@ -225,15 +243,30 @@ object DedupOps extends OpGroup {
   def qualityReportB125(s: SparkSession, dir: String): DataFrame =
     qualityReportAt(125L)(s, dir)
 
+  /** Corpus doc count for the budget→modulus derivation — one bounded
+    * driver scalar per (session, dir), the IVF-centroid discipline;
+    * cached so re-CONSTRUCTING the report plan (Verify runs two
+    * budgets; specs explain it repeatedly) doesn't re-run the job.
+    */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def docCount(s: SparkSession, dir: String): Long =
+    docCountCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$dir",
+      _ => java.lang.Long.valueOf(docs(s, dir).count())).longValue()
+
   private def qualityReportAt(budget: Long)(
       s: SparkSession, dir: String): DataFrame = {
-    val mod = qualitySampleModFor(docs(s, dir).count(), budget)
-    val sample = shingleRows(s, dir)
+    val mod = qualitySampleModFor(docCount(s, dir), budget)
+    // Sample FROM the corpus-capped universe: no second (sample-df)
+    // cap — the corpus cap already bounds every group at ≤ cap docs,
+    // and it is the definition the capped curve shares.
+    val sample = cappedShingleRows(s, dir)
       .filter(col("doc_id") % mod === 0L)
-      .select(col("doc_id"), col("x")).distinct()
-    val groups = cappedSampleGroups(sample)
-    val capped = groups.select(explode(col("ds")).as("doc_id"), col("x"))
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val groups = sample.groupBy(col("x"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+    val sizes = sample.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val truth = truthGate(truthIntersectionsFromGroups(groups), sizes)
     val cand = minhashLsh(s, dir)
       .filter(col("doc_a") % mod === 0L &&
@@ -265,18 +298,14 @@ object DedupOps extends OpGroup {
   private def qualityReportSqlAt(budget: Long): String =
     s"""WITH $bandsCte,
        |qmod AS (SELECT GREATEST(1, COUNT(*) // $budget) AS m FROM documents),
-       |qshs AS ($shinglesSql),
+       |$cappedShingleRowsSql,
        |qshr AS MATERIALIZED (
-       |  SELECT doc_id, t.x FROM qshs, unnest(qshs.sh) AS t(x)
+       |  SELECT doc_id, x FROM shc
        |  WHERE doc_id % (SELECT m FROM qmod) = 0),
-       |qshc AS MATERIALIZED (
-       |  SELECT r.doc_id, r.x FROM qshr r
-       |  JOIN (SELECT x FROM qshr GROUP BY x
-       |        HAVING COUNT(*) <= $truthShingleCap) f USING (x)),
-       |qssz AS (SELECT doc_id, COUNT(*) AS n FROM qshc GROUP BY doc_id),
+       |qssz AS (SELECT doc_id, COUNT(*) AS n FROM qshr GROUP BY doc_id),
        |qsint AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cap
-       |  FROM qshc a JOIN qshc b ON a.x = b.x AND a.doc_id < b.doc_id
+       |  FROM qshr a JOIN qshr b ON a.x = b.x AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id),
        |qtruth AS (
        |  SELECT i.doc_a, i.doc_b
@@ -317,6 +346,18 @@ object DedupOps extends OpGroup {
       |    i -> array_to_string(words[i+1:i+3], ' '))) AS sh
       |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
       |      FROM documents) w""".stripMargin
+
+  /** Corpus-level DF-capped shingle rows (shr → shc) — the shared truth
+    * base both the quality report and the capped curve oracles read.
+    */
+  private lazy val cappedShingleRowsSql =
+    s"""shr AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, t.x
+       |  FROM ($shinglesSql) q, unnest(q.sh) AS t(x)),
+       |shc AS MATERIALIZED (
+       |  SELECT r.doc_id, r.x FROM shr r
+       |  JOIN (SELECT x FROM shr GROUP BY x
+       |        HAVING COUNT(*) <= $truthShingleCap) f USING (x))""".stripMargin
 
   private val bandSql = {
     val lanes = (0 until numHashes).map { i =>
@@ -1368,8 +1409,7 @@ object DedupOps extends OpGroup {
 
   private def cappedShingleSets(s: SparkSession, dir: String): DataFrame =
     Memo.of(s, dir, "dedupCappedShingleSets") {
-      cappedTruthSample(
-        shingleRows(s, dir).select(col("doc_id"), col("x")).distinct())
+      cappedShingleRows(s, dir)
         .groupBy(col("doc_id")).agg(collect_set(col("x")).as("sh"))
         .cache()
     }
@@ -1399,10 +1439,12 @@ object DedupOps extends OpGroup {
         round(col("sum_jaccard_q4").cast("double") / 10000.0 / col("n_pairs"), 4))
   }
 
-  private val lshCurveSql =
-    s"""WITH $bandsCte,
-       |sh AS ($shinglesSql),
-       |pairbands AS (
+  /** Shared curve body over whatever `sh` CTE precedes it (full or
+    * capped shingle sets) — one copy of the pairbands/jcurve/quantized
+    * aggregation so a fix can't silently leave one twin stale.
+    */
+  private lazy val lshCurveBodySql =
+    s"""pairbands AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(COUNT(*) AS INT) AS n_bands
        |  FROM bands_capped a JOIN bands_capped b
@@ -1424,38 +1466,17 @@ object DedupOps extends OpGroup {
        |    / 10000.0 / COUNT(*), 4) AS mean_jaccard
        |FROM jcurve GROUP BY n_bands""".stripMargin
 
+  private lazy val lshCurveSql =
+    s"""WITH $bandsCte,
+       |sh AS ($shinglesSql),
+       |$lshCurveBodySql""".stripMargin
+
   private lazy val lshCurveCappedSql =
     s"""WITH $bandsCte,
-       |shr AS MATERIALIZED (
-       |  SELECT DISTINCT doc_id, t.x
-       |  FROM ($shinglesSql) q, unnest(q.sh) AS t(x)),
-       |shc AS MATERIALIZED (
-       |  SELECT r.doc_id, r.x FROM shr r
-       |  JOIN (SELECT x FROM shr GROUP BY x
-       |        HAVING COUNT(*) <= $truthShingleCap) f USING (x)),
+       |$cappedShingleRowsSql,
        |sh AS MATERIALIZED (
        |  SELECT doc_id, list(DISTINCT x) AS sh FROM shc GROUP BY doc_id),
-       |pairbands AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(COUNT(*) AS INT) AS n_bands
-       |  FROM bands_capped a JOIN bands_capped b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id),
-       |jcurve AS (
-       |  SELECT pb.n_bands,
-       |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS j
-       |  FROM pairbands pb
-       |  JOIN sh x ON x.doc_id = pb.doc_a
-       |  JOIN sh y ON y.doc_id = pb.doc_b)
-       |SELECT n_bands, COUNT(*) AS n_pairs,
-       |  CAST(SUM(CASE WHEN j >= $jaccardThreshold THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_true,
-       |  CAST(SUM(CAST(FLOOR(j * 10000 + 0.5) AS BIGINT)) AS BIGINT)
-       |    AS sum_jaccard_q4,
-       |  round(CAST(SUM(CAST(FLOOR(j * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
-       |    / 10000.0 / COUNT(*), 4) AS mean_jaccard
-       |FROM jcurve GROUP BY n_bands""".stripMargin
+       |$lshCurveBodySql""".stripMargin
 
   // ---------------------------------------------------------------------
   // Per-source duplication report: how much of each source is duplicate

@@ -514,7 +514,7 @@ object Joins extends OpGroup {
   // to the Spark filter); the per-side range pair exists only so DuckDB
   // plans an IEJoin instead of a blockwise nested loop (measured 5.6 s
   // → 0.6 s at sf0.1, identical row set + hash). The band is widened by
-  // 1e-7, which strictly contains the ≤1-ulp (~1e-13 at |value|≤1e6)
+  // 1e-7, which strictly contains the ≤1-ulp (~1.2e-10 at |value|≤1e6)
   // rounding gap between fl(p−s) and the per-side fl(s±δ) bounds, so no
   // abs-true pair can be pre-filtered away.
   private val binnedRangeJoinSql =

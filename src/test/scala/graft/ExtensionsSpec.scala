@@ -3511,16 +3511,15 @@ class ExtensionsSpec extends AnyFunSuite {
   test("dedup quality report: driver replay of the exhaustive sample truth") {
     val row = SparkEntry.queries("dedup_quality_report")(spark, dir)
       .collect().head
-    // replay the truth side on the driver from the raw sample docs:
-    // same trigram shingles (via the engine's own shingle query — the
+    // replay the truth side on the driver from the raw docs: same
+    // trigram shingles (via the engine's own shingle query — the
     // shingle definition is proven by the green ngram_jaccard oracle),
-    // same budget-derived modulus, same DF cap on the shingle
-    // universe, same exact-rational tau gate
+    // same CORPUS-level DF cap on the shingle universe, then the same
+    // budget-derived modulus, same exact-rational tau gate
     val docsTbl = Tables.load(spark, dir, "documents")
     val mod = graft.ops.DedupOps.qualitySampleModFor(
       docsTbl.count(), graft.ops.DedupOps.qualitySampleBudget)
     val raw = docsTbl
-      .filter(col("doc_id") % mod === 0L)
       .select(col("doc_id"),
         graft.functions.TextFns.tokens(col("text")).as("w"))
       .collect()
@@ -3533,6 +3532,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val docFreq = raw.iterator.flatMap(_._2).toSeq
       .groupBy(identity).map { case (x, xs) => x -> xs.size }
     val sets = raw
+      .filter(_._1 % mod == 0L)
       .map { case (d, sh) =>
         d -> sh.filter(x =>
           docFreq(x) <= graft.ops.DedupOps.truthShingleCap)

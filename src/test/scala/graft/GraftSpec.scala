@@ -311,9 +311,10 @@ class GraftSpec extends AnyFunSuite {
         "Memo-owned: curatedCorpus, classifierFilter, " +
           "shardedTrainingSet, manifestDocDigest")),
       "ops/PqOps.scala" -> ((1, "Memo-owned: pqCodes")),
-      "ops/DedupOps.scala" -> ((7,
+      "ops/DedupOps.scala" -> ((8,
         "Memo-owned: shingleRows, bandTable, cappedBands, shingles, " +
-          "cappedShingleSets, clusters, contamShingleRows")),
+          "cappedShingleRows, cappedShingleSets, clusters, " +
+          "contamShingleRows")),
       "ProfTri.scala" -> ((1,
         "profiling-main-only synthetic edge list, unpersisted in-run " +
           "and released with the main's session")),

@@ -42,6 +42,10 @@ def norm(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        # STRUCT/MAP values come back as dicts - normalize to a sorted
+        # item tuple so rows stay hashable for the mismatch set-diff
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
     try:
         import decimal
         if isinstance(v, decimal.Decimal):
