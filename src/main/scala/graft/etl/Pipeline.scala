@@ -270,6 +270,11 @@ object PipelineSql {
     require(out.contains("concepts_lab AS MATERIALIZED (") &&
       out.contains("dwh_agg AS MATERIALIZED ("),
       "prefixMat: CTE-head anchor no longer matches prefix layout")
+    // every head must have been rewritten: a residual match means a
+    // CTE dodged the anchor and would quietly re-pay the whole chain
+    // per reference in the QA oracle (the measured 84 s regression)
+    require(head.findFirstIn(out).isEmpty,
+      "prefixMat: a CTE head escaped the MATERIALIZED rewrite")
     out
   }
 

@@ -1324,10 +1324,16 @@ object SimilarityOps extends OpGroup {
     * wedge is ever centered on it (its in×out fan-out is 0×d, not
     * (d/2)²).
     */
-  private[graft] def degreeOriented(canon: DataFrame): DataFrame = {
-    val deg = canon.select(col("a").as("v"))
+  private def degreeOf(canon: DataFrame): DataFrame =
+    canon.select(col("a").as("v"))
       .unionByName(canon.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
+
+  private[graft] def degreeOriented(canon: DataFrame): DataFrame =
+    degreeOrientedWith(canon, degreeOf(canon))
+
+  private def degreeOrientedWith(canon: DataFrame,
+      deg: DataFrame): DataFrame = {
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     canon
@@ -1351,10 +1357,8 @@ object SimilarityOps extends OpGroup {
         Seq("u", "w"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
 
-  private def triangleReport(canon: DataFrame, tri: DataFrame): DataFrame = {
-    val deg = canon.select(col("a").as("v"))
-      .unionByName(canon.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+  private def triangleReport(canon: DataFrame, deg: DataFrame,
+      tri: DataFrame): DataFrame = {
     val wed = deg.agg(sum(expr("(d * (d - 1)) DIV 2")).cast("long")
       .as("n_wedges"))
     val ne = canon.agg(count(lit(1)).as("n_edges"))
@@ -1368,16 +1372,20 @@ object SimilarityOps extends OpGroup {
     val canon = canonKnnEdges(s, dir)
     val tri = trianglesOriented(
       canon.select(col("a").as("src"), col("b").as("dst")))
-    triangleReport(canon, tri)
+    triangleReport(canon, degreeOf(canon), tri)
   }
 
   /** Degree-ordered twin: same report, wedge fan-out bounded by
     * arboricity (orient low-degree→high-degree) instead of max-degree.
     * The 100×-safe default for graphs without a per-node degree cap.
+    * One `deg` frame feeds both the orientation and the wedge total —
+    * the SQL twin's single materialized `deg` CTE, mirrored.
     */
   def triangleCountDeg(s: SparkSession, dir: String): DataFrame = {
     val canon = canonKnnEdges(s, dir)
-    triangleReport(canon, trianglesOriented(degreeOriented(canon)))
+    val deg = degreeOf(canon)
+    triangleReport(canon, deg,
+      trianglesOriented(degreeOrientedWith(canon, deg)))
   }
 
   private lazy val triangleCountSql =

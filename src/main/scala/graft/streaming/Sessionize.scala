@@ -514,7 +514,11 @@ object Sessionize extends OpGroup {
     val marker = new java.io.File(feedDir, feedMarkerName)
     if (!marker.exists()) return false
     val src = new java.io.File(s"$dir/$table.parquet")
-    if (!src.exists()) return true // source gone: nothing fresher exists
+    // Source gone: the stamped identity can no longer be validated, so
+    // read as STALE — a rebuild fails loudly on the missing table,
+    // rather than silently replaying the previous generation's feed
+    // (e.g. a round starting mid-regeneration).
+    if (!src.exists()) return false
     val stamped = new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
     stamped == feedStamp(src)
@@ -529,17 +533,23 @@ object Sessionize extends OpGroup {
     * overwrites `feedDir`), then stamps the source's identity into the
     * marker — snapshot and stamp always travel together, so a feed dir
     * without a marker (crash between write and stamp, pre-marker
-    * layout) reads as stale and rebuilds.
+    * layout) reads as stale and rebuilds. The stamp is captured BEFORE
+    * the write: if the source is regenerated mid-snapshot, the marker
+    * records the pre-write identity, which no longer matches the live
+    * source, so the next currency check rebuilds — stamping after the
+    * write would brand a mixed-generation feed with the NEW identity
+    * and read it as current forever.
     */
   private def ensureFeed(dir: String, table: String, feedDir: String)(
       write: => Unit): Unit =
     if (!feedCurrent(dir, table, feedDir)) {
-      write
       val src = new java.io.File(s"$dir/$table.parquet")
-      if (src.exists()) {
+      val stampBefore = if (src.exists()) Some(feedStamp(src)) else None
+      write
+      stampBefore.foreach { st =>
         java.nio.file.Files.write(
           new java.io.File(feedDir, feedMarkerName).toPath,
-          feedStamp(src).getBytes("UTF-8"))
+          st.getBytes("UTF-8"))
         ()
       }
     }

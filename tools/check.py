@@ -65,14 +65,18 @@ def canon(cols, rows):
 _CON = None
 
 
-def _worker_init():
+def _worker_init(db_threads=None):
     # one connection per worker process, created after fork
     global _CON
     _CON = duckdb.connect()
     _CON.execute("SET TimeZone='UTC'")
-    # bound per-worker parallelism: 8 workers x all-cores DuckDB
-    # oversubscribes a 32-thread box and the fan-out loses to itself
-    _CON.execute(f"SET threads={int(os.environ.get('CHECK_DB_THREADS', 4))}")
+    # bound per-worker parallelism ONLY when fanning out: 8 workers x
+    # all-cores DuckDB oversubscribes a 32-thread box and the fan-out
+    # loses to itself; the serial path keeps DuckDB's own default
+    if db_threads is None:
+        db_threads = os.environ.get("CHECK_DB_THREADS")
+    if db_threads is not None:
+        _CON.execute(f"SET threads={int(db_threads)}")
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(p):
@@ -121,24 +125,33 @@ def main():
     items = sorted(oracles.items())
     workers = int(os.environ.get("CHECK_WORKERS",
                                  str(min(8, os.cpu_count() or 1))))
-    if workers > 1 and len(items) > 1:
-        import multiprocessing as mp
-        with mp.get_context("fork").Pool(
-                workers, initializer=_worker_init) as pool:
-            results = pool.map(check_one, items, chunksize=1)
-    else:
-        _worker_init()
-        results = [check_one(it) for it in items]
-
     n_pass = n_fail = 0
     summary = {}
-    for name, line, status in results:
-        print(line)
-        summary[name] = status
-        if status == "pass":
-            n_pass += 1
-        else:
-            n_fail += 1
+
+    def consume(results):
+        nonlocal n_pass, n_fail
+        # imap streams results in input order as they complete, so a
+        # stuck oracle shows every already-finished query first
+        for name, line, status in results:
+            print(line, flush=True)
+            summary[name] = status
+            if status == "pass":
+                n_pass += 1
+            else:
+                n_fail += 1
+
+    if workers > 1 and len(items) > 1:
+        import multiprocessing as mp
+        db_threads = os.environ.get(
+            "CHECK_DB_THREADS", str(max(1, (os.cpu_count() or 8) // workers)))
+        with mp.get_context("fork").Pool(
+                workers, initializer=_worker_init,
+                initargs=(db_threads,)) as pool:
+            consume(pool.imap(check_one, items, chunksize=1))
+    else:
+        _worker_init()
+        consume(check_one(it) for it in items)
+
     print(f"\n{n_pass} pass, {n_fail} fail")
     if JSON_OUT:
         with open(JSON_OUT, "w") as f:
