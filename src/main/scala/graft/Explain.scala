@@ -12,6 +12,52 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Explain {
 
+  /** Every node of a physical plan tree, with the two descents the scale
+    * audits need and a naive `plan.collect` lacks:
+    *
+    *  - AQE: descends through [[AdaptiveSparkPlanExec]] via `initialPlan`
+    *    (not `inputPlan`: inputPlan is pre-EnsureRequirements and so
+    *    contains NO exchange nodes at all — join/window counts are
+    *    identical on either, but exchange counters need the plan AQE
+    *    actually starts from, where shuffles exist as
+    *    ShuffleExchangeExec nodes);
+    *  - caches: descends into each [[InMemoryTableScanExec]]'s
+    *    `relation.cachedPlan` — the ORIGINAL physical plan of the cached
+    *    builder — exactly once per distinct cached plan no matter how
+    *    many scans reference it. Without this a Memo-persisted frame
+    *    makes any plan audit permanently blind to a scale-killer inside
+    *    its builder: the r9 review found a loop join hiding this way,
+    *    and the r12 review found an unpartitioned window hiding the same
+    *    way (`dimProvider`, since fixed) because the window auditor read
+    *    the logical plan, where cached subtrees collapse to
+    *    InMemoryRelation leaves. Counting each cached plan once keeps
+    *    counts independent of cache warmth, so exact == pins stay stable.
+    *
+    * Subquery plans are included at every level.
+    */
+  def planNodes(root: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val seenCached = new java.util.IdentityHashMap[
+      org.apache.spark.sql.execution.SparkPlan, Unit]()
+    val out = Seq.newBuilder[org.apache.spark.sql.execution.SparkPlan]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      out += p
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(a.initialPlan)
+        case s: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec =>
+          val cached = s.relation.cachedPlan
+          if (seenCached.containsKey(cached)) Nil
+          else { seenCached.put(cached, ()); Seq(cached) }
+        case _ => p.children
+      }
+      (kids ++ p.subqueries).foreach(walk)
+    }
+    walk(root)
+    out.result()
+  }
+
   /** Physical-plan operator counts for a query. Cached subtrees print
     * their whole child plan at EVERY InMemoryTableScan reference, so a
     * raw substring count multiplies shared subplans; plan_ids are stable
@@ -24,42 +70,15 @@ object Explain {
     def distinctIds(kind: String): Int =
       (kind + "[^\\n]*?\\[plan_id=(\\d+)\\]").r
         .findAllMatchIn(plan).map(_.group(1)).toSet.size
-    // Join nodes are counted on the plan TREE, not the string: a cached
-    // subtree's plan reprints at every InMemoryTableScan reference, and
-    // BNLJ/SMJ lines carry no plan_id to dedupe on — a raw substring
-    // count therefore depends on which shared frames happen to be cached
-    // when the query plans (suite flakiness, r9). The walk descends
-    // through AQE's wrapper, subquery plans, AND into each cached
-    // relation's ORIGINAL plan (a Memo-persisted frame otherwise makes
-    // the audit permanently blind to a loop join inside its builder —
-    // the r9 review finding); each distinct cached plan is counted ONCE
-    // no matter how many scans reference it, so warm caches change
-    // nothing and whitelists stay stable.
+    // Join nodes are counted on the plan TREE ([[planNodes]]), not the
+    // string: a cached subtree's plan reprints at every
+    // InMemoryTableScan reference, and BNLJ/SMJ lines carry no plan_id
+    // to dedupe on — a raw substring count therefore depends on which
+    // shared frames happen to be cached when the query plans (suite
+    // flakiness, r9). See planNodes for the AQE/cache descent rules.
     def treeCount(root: org.apache.spark.sql.execution.SparkPlan,
-        isHit: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
-      val seenCached = new java.util.IdentityHashMap[
-        org.apache.spark.sql.execution.SparkPlan, Unit]()
-      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-        val self = if (isHit(p)) 1 else 0
-        val kids = p match {
-          // initialPlan, not inputPlan: inputPlan is pre-EnsureRequirements
-          // and so contains NO exchange nodes at all — join counts are
-          // identical on either (join strategy is chosen at planning),
-          // but the exchange counter needs the plan AQE actually starts
-          // from, where shuffles exist as ShuffleExchangeExec nodes
-          case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => Seq(a.initialPlan)
-          case s: org.apache.spark.sql.execution.columnar
-              .InMemoryTableScanExec =>
-            val cached = s.relation.cachedPlan
-            if (seenCached.containsKey(cached)) Nil
-            else { seenCached.put(cached, ()); Seq(cached) }
-          case _ => p.children
-        }
-        self + (kids ++ p.subqueries).map(walk).sum
-      }
-      walk(root)
-    }
+        isHit: org.apache.spark.sql.execution.SparkPlan => Boolean): Int =
+      planNodes(root).count(isHit)
     def hits(prefixes: String*)(
         p: org.apache.spark.sql.execution.SparkPlan): Boolean =
       prefixes.exists(p.nodeName.startsWith)

@@ -265,7 +265,11 @@ object PipelineSql {
     // opens at column 0 after stripMargin): a nested " AS (" inside a
     // body — a future WINDOW clause ("w AS ("), a string literal —
     // must stay untouched or the SQL silently breaks at oracle time.
-    val head = "(?m)^([a-z_0-9]+ AS) \\(".r
+    // Full identifier alphabet (not just lowercase): a mixed-case CTE
+    // head must be rewritten — or fail the residual require below —
+    // rather than silently staying lazy and re-paying the chain per
+    // reference (the measured 84 s QA-oracle regression).
+    val head = "(?m)^([A-Za-z_][A-Za-z_0-9]* AS) \\(".r
     val out = head.replaceAllIn(prefix, "$1 MATERIALIZED (")
     require(out.contains("concepts_lab AS MATERIALIZED (") &&
       out.contains("dwh_agg AS MATERIALIZED ("),

@@ -53,17 +53,29 @@ object Stage {
 
   /** dim_provider (Stage_area.sql:56-70): transfers analog = purchase
     * events; ROW_NUMBER surrogate key over a pinned natural order.
-    * Cached — the key window is single-partition, don't re-run it.
+    *
+    * The provider source is a per-transfer-row stream — fact-sized, not
+    * dim-sized — so the numbering goes through
+    * [[graft.ops.SurrogateKeys.withGlobalRowNumber]] (range-repartitioned
+    * sort + zipWithIndex) rather than a bare
+    * `row_number().over(Window.orderBy(..))`, which would move every
+    * purchase event through ONE task's sort. provider_id is unique, so
+    * the numbering is identical to `ROW_NUMBER() OVER (ORDER BY
+    * provider_id)` and the DuckDB oracle is unchanged; the INT cast
+    * mirrors the oracle's `CAST(.. AS INT)` (the reference's INT
+    * AUTO_INCREMENT-style key). Cached — the checkpoint + numbering runs
+    * once per (session, dir).
     */
   def dimProvider(s: SparkSession, dir: String): DataFrame =
     graft.ops.Memo.of(s, dir, "dimProvider")(
-      events(s, dir).filter(col("event_type") === "purchase")
-        .select(col("event_id").as("provider_id"),
-          col("user_id").as("patient_id"),
-          col("ts").as("intime"),
-          (col("ts") + expr("INTERVAL 2 DAY")).as("outtime"))
-        .withColumn("provider_key",
-          row_number().over(Window.orderBy(col("provider_id").asc)))
+      graft.ops.SurrogateKeys.withGlobalRowNumber(
+        events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("provider_id"),
+            col("user_id").as("patient_id"),
+            col("ts").as("intime"),
+            (col("ts") + expr("INTERVAL 2 DAY")).as("outtime")),
+        "provider_key", Seq(col("provider_id").asc))
+        .withColumn("provider_key", col("provider_key").cast("int"))
         .cache())
 
   /** Lab concepts (Stage_area.sql:85-95 keyword-filtered d_labitems). */

@@ -1368,6 +1368,16 @@ object SimilarityOps extends OpGroup {
           " DIV n_wedges END").as("clustering_ppm"))
   }
 
+  /** Id-order orientation flavor. Twin-choice rule (r12, measured):
+    * DEGREE order ([[triangleCountDeg]]) is the default for any graph
+    * without a per-node degree cap — on a skewed 1M-node graph id-order
+    * emits 2.50e9 wedge rows / 1244 s vs degree-order 3.8e6 / 15.0 s
+    * (659×), equal counts (ProfTri). Id-order survives here as the
+    * capped-graph CONTROL: on the kNN graph (degree ≤ k by
+    * construction) it skips the two degree joins and wedge fan-out is
+    * already k-bounded, so it is the cheaper plan exactly when the cap
+    * exists.
+    */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
     val canon = canonKnnEdges(s, dir)
     val tri = trianglesOriented(
@@ -2938,8 +2948,8 @@ object SimilarityOps extends OpGroup {
       Some(ivfTopkSqlAt(ivfSeedBitsAlt)),
       "the IVF probe at a second cell count (16): k is a deployment parameter derived from corpus size (seedBitsFor), not a constant"),
     Op("sim_triangle_count", triangleCount, Some(triangleCountSql),
-      "triangle count + clustering coefficient over the kNN graph (compact-forward a<b<c) - the per-generation index-health trend line"),
+      "triangle count + clustering coefficient over the kNN graph (compact-forward a<b<c) - the CAPPED-graph control: id-order is the cheaper plan only because kNN bounds degree by k; see the twin rule at triangleCount"),
     Op("sim_triangle_count_deg", triangleCountDeg,
       Some(triangleCountDegSql),
-      "degree-ordered orientation twin: wedge fan-out bounded by arboricity instead of max-degree - the 100x-safe default for uncapped-degree graphs; result-equal to sim_triangle_count by construction"))
+      "degree-ordered orientation: wedge fan-out bounded by arboricity instead of max-degree - the DEFAULT for uncapped-degree graphs (measured 659x fewer wedges on a 1M skew graph); result-equal to sim_triangle_count by construction"))
 }

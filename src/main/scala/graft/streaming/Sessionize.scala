@@ -519,9 +519,14 @@ object Sessionize extends OpGroup {
     // rather than silently replaying the previous generation's feed
     // (e.g. a round starting mid-regeneration).
     if (!src.exists()) return false
-    val stamped = new String(
-      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
-    stamped == feedStamp(src)
+    // An unreadable/corrupt marker (torn write, permission change) is
+    // STALE — the guard's safe direction is rebuild, not a throw out of
+    // the streaming op.
+    try {
+      val stamped = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+      stamped == feedStamp(src)
+    } catch { case _: java.io.IOException => false }
   }
 
   private val feedMarkerName = "_graft_src_stamp"

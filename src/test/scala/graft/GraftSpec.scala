@@ -162,8 +162,18 @@ class GraftSpec extends AnyFunSuite {
       "sim_cosine_topk" -> 1, // rank AFTER limit(topK) — k rows
       "sim_rewritten_cosine_topk" -> 1, // rank AFTER limit(topK) — k rows
       "curate_diverse_sample" -> 1, // pick window on cell_rank<=budget stratum
-      "curate_pack_sequences" -> 1) // prefix sum over SUPER-SHARD totals
+      "curate_pack_sequences" -> 1, // prefix sum over SUPER-SHARD totals
                                     // (corpus/4096² rows — ~600 at 10¹⁰ docs)
+      // The r13 cache-descending auditor (WindowAudit via Explain.planNodes)
+      // surfaced the junk-dim surrogate window (Stage.dimJunkFrom) inside
+      // the factEnriched CACHED builder — previously invisible behind the
+      // InMemoryRelation boundary. Dim-bounded: the window input is
+      // DISTINCT(source_type, unit, careunit), an enum-product of a few
+      // dozen rows at any corpus size (the j6 junk-dim justification).
+      // pipe_stage_dim_date sees the same single node transitively
+      // (dimDate reads factEnriched).
+      "pipe_stage_fact" -> 1,
+      "pipe_stage_dim_date" -> 1)
     // Third scale-killer class: a KEYED window without a bounded
     // partition-SIZE argument. The criterion and the per-key size bounds
     // live in [[WindowAudit]] (with its own negative control below):
@@ -222,6 +232,36 @@ class GraftSpec extends AnyFunSuite {
         .orderBy(col("n_chars").desc)))
     assert(WindowAudit.violations(ok).isEmpty,
       "stratum + size-bounded composite must pass")
+  }
+
+  test("window audit sees through a cache boundary (negative control)") {
+    import org.apache.spark.sql.expressions.Window
+    // The r12 finding class: a global window inside a CACHED builder —
+    // optimizedPlan collapses the builder to an InMemoryRelation leaf,
+    // which is how dimProvider's single-task sort evaded the r12 sweep.
+    // The physical-plan walk must descend into relation.cachedPlan and
+    // still count it; consumers stacked ON TOP of the cache must also
+    // see it (pipe_stage_dim_date sees factEnriched's junk window).
+    val docs = Tables.load(spark, dir, "documents")
+    val cached = docs.withColumn("rk",
+      row_number().over(Window.orderBy(col("doc_id")))).cache()
+    try {
+      val consumer = cached.groupBy(col("source"))
+        .agg(org.apache.spark.sql.functions.max(col("rk")).as("mx"))
+      assert(WindowAudit.globalWindowCount(cached) == 1,
+        "auditor must count a global window inside a cached plan")
+      assert(WindowAudit.globalWindowCount(consumer) == 1,
+        "auditor must count a cached global window from a downstream plan")
+      // keyed-window violations must descend the same way
+      val keyedBad = docs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars")))).cache()
+      try {
+        val v = WindowAudit.violations(
+          keyedBad.select(col("doc_id"), col("rk")))
+        assert(v.nonEmpty && v.head.contains("source"),
+          s"auditor must reject a cached stratum-keyed window, got: $v")
+      } finally keyedBad.unpersist()
+    } finally cached.unpersist()
   }
 
   test("cache-retention sweep: every persist/cache site is classified") {

@@ -1,10 +1,21 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical
 
 /** The keyed-window scale auditor (shared by GraftSpec's repo-wide sweep
   * and its own negative control).
+  *
+  * Audits the PHYSICAL plan through [[Explain.planNodes]], which descends
+  * into each cached relation's original plan — the r12 review found the
+  * `dimProvider` global window invisible to the previous logical-plan
+  * walk because `optimizedPlan` collapses a Memo-cached builder to an
+  * `InMemoryRelation` leaf (the same cache-boundary blind spot the r9
+  * loop-join audit fix closed for `Explain.counters`). Physical
+  * `WindowExec` nodes are 1:1 with post-ExtractWindowExpressions logical
+  * Window nodes, so the per-query whitelist counts carry over;
+  * `WindowGroupLimitExec` is deliberately NOT counted — it is the
+  * rank-limit PRE-filter (bounded output per partition), not a
+  * corpus-sized single-task sort.
   *
   * Criterion — partition SIZE, not key cardinality: a window serializes
   * each partition through ONE task's sort, and unlike a skewed shuffle
@@ -44,11 +55,16 @@ object WindowAudit {
     "band" -> "LSH bucket behind hotBucketCap (capped explode, own spec)",
     "sig" -> "LSH bucket behind hotBucketCap (capped explode, own spec)")
 
+  /** All window nodes in the executed plan, cached builders included. */
+  private def windowNodes(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+    Explain.planNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+
   /** Keyed windows whose partition-key set carries NO size-bounded key. */
   def violations(df: DataFrame): Seq[String] =
-    df.queryExecution.optimizedPlan.collect {
-      case w: logical.Window if w.partitionSpec.nonEmpty => w
-    }.flatMap { w =>
+    windowNodes(df).filter(_.partitionSpec.nonEmpty).flatMap { w =>
       val names = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
       if (names.exists(sizeBoundedKeys.contains)) Nil
       else Seq(s"window keyed on [${names.mkString(", ")}] has no " +
@@ -60,7 +76,5 @@ object WindowAudit {
     * only with a per-query bounded-frame justification in GraftSpec.
     */
   def globalWindowCount(df: DataFrame): Int =
-    df.queryExecution.optimizedPlan.collect {
-      case w: logical.Window if w.partitionSpec.isEmpty => w
-    }.size
+    windowNodes(df).count(_.partitionSpec.isEmpty)
 }

@@ -140,11 +140,18 @@ def main():
             else:
                 n_fail += 1
 
-    if workers > 1 and len(items) > 1:
-        import multiprocessing as mp
+    # fork-only pool: spawn would re-import this module per worker and
+    # re-parse argv; on platforms without fork (Windows) fall back to
+    # the serial path rather than raising out of mp.get_context.
+    import multiprocessing as mp
+    try:
+        fork_ctx = mp.get_context("fork")
+    except ValueError:
+        fork_ctx = None
+    if fork_ctx is not None and workers > 1 and len(items) > 1:
         db_threads = os.environ.get(
             "CHECK_DB_THREADS", str(max(1, (os.cpu_count() or 8) // workers)))
-        with mp.get_context("fork").Pool(
+        with fork_ctx.Pool(
                 workers, initializer=_worker_init,
                 initargs=(db_threads,)) as pool:
             consume(pool.imap(check_one, items, chunksize=1))
