@@ -270,9 +270,18 @@ object DedupOps extends OpGroup {
     val mod = qualitySampleModFor(docCount(s, dir), budget)
     // Sample FROM the corpus-capped universe: no second (sample-df)
     // cap — the corpus cap already bounds every group at ≤ cap docs,
-    // and it is the definition the capped curve shares.
+    // and it is the definition the capped curve shares. Materialized per
+    // execution (eager localCheckpoint): groups/sizes/the gate reference
+    // the sample from four plan branches, and without truncation each
+    // branch re-scans the FULL corpus-capped universe to re-apply the
+    // 1/mod filter (measured r13: 4 stages × ~10 task-sec re-reading the
+    // multi-million-row cache to emit a ~30k-row sample; 48 → ~12
+    // task-sec with the checkpoint). At 100 TB the sample is
+    // budget-bounded while the universe is corpus-sized — the re-scan is
+    // exactly the cost class the budget exists to avoid.
     val sample = cappedShingleRows(s, dir)
       .filter(col("doc_id") % mod === 0L)
+      .localCheckpoint()
     val groups = sample.groupBy(col("x"))
       .agg(collect_list(col("doc_id")).as("ds"))
     val sizes = sample.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

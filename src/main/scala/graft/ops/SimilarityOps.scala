@@ -1313,11 +1313,23 @@ object SimilarityOps extends OpGroup {
   // k by construction, and the twin is the 100×-safe default for
   // graphs without that cap.
   // ---------------------------------------------------------------------
+  /** Materialized per execution (eager localCheckpoint): the triangle
+    * report references this frame from ~8 plan branches (ne, deg×2, the
+    * orientation join, and all three legs of the wedge/semi join), and
+    * Spark has no cross-branch common-subexpression elimination — each
+    * branch would re-run the corpus-edge DISTINCT shuffle (measured r13:
+    * the deg twin re-executed the knnJoin cache's map stage 16×, 137
+    * task-sec for a 10⁴-edge graph; guide §3.3 "materialising an
+    * intermediate truncates the plan"). The checkpoint is computed
+    * inside every invocation — nothing persists across runs — and at
+    * scale it is one edge-list pass instead of eight.
+    */
   private def canonKnnEdges(s: SparkSession, dir: String): DataFrame =
     knnEdges(s, dir)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint()
 
   /** Orient canonical (a < b) edges low→high by (degree, id) — the
     * arboricity-bounding total order: a hub is ranked LAST, so no path
@@ -1394,8 +1406,10 @@ object SimilarityOps extends OpGroup {
   def triangleCountDeg(s: SparkSession, dir: String): DataFrame = {
     val canon = canonKnnEdges(s, dir)
     val deg = degreeOf(canon)
+    // ed feeds all three legs of the wedge/semi join — checkpoint it so
+    // the canon⋈deg⋈deg orientation join runs once, not three times
     triangleReport(canon, deg,
-      trianglesOriented(degreeOrientedWith(canon, deg)))
+      trianglesOriented(degreeOrientedWith(canon, deg).localCheckpoint()))
   }
 
   private lazy val triangleCountSql =
@@ -1455,25 +1469,41 @@ object SimilarityOps extends OpGroup {
        |FROM ne, tri, wed""".stripMargin
 
   def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val nodes = emb(s, dir).select(col("vec_id"))
+    // nodes is referenced in every round's left join (and the count) —
+    // one materialization instead of prIters+1 table scans
+    val nodes = emb(s, dir).select(col("vec_id")).localCheckpoint()
     // node count to the driver: one scalar, the k-means-centroid shape
     val n = nodes.count()
     val base = prMassPico / n
     val teleport = base * 15L / 100L
     val edges = knnEdges(s, dir)
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // edges ⋈ outdeg is round-invariant: hoist it out of the loop and
+    // materialize, so each round is ONE join on src + one agg on dst
+    // instead of re-deriving the degree table and re-joining it 5×
+    val outEdges = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")),
+        Seq("src"))
+      .localCheckpoint()
     var r = nodes.select(col("vec_id"), lit(base).as("r"))
     (1 to prIters).foreach { _ =>
-      val contrib = edges
+      val contrib = outEdges
         .join(r.withColumnRenamed("vec_id", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div deg")).as("m"))
+      // Truncate the lineage each round (eager localCheckpoint): without
+      // it round k's lazy plan NESTS rounds 1..k-1, so the optimizer
+      // re-plans (and, under any cache miss, re-executes) a plan whose
+      // size grows linearly per round — O(iters²) total work and ~1.8 s
+      // of pure driver planning per run at 5 rounds (measured r13). The
+      // checkpoint holds one N-row rank frame per round — the iterative-
+      // algorithm shape GraphX/Pregel materializes the same way — and is
+      // recomputed inside every invocation (nothing persists across runs).
       r = nodes
         .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
         .select(col("vec_id"),
           (lit(teleport) +
             expr(s"(85 * coalesce(m, 0L)) div 100")).as("r"))
+        .localCheckpoint()
     }
     r.select(col("vec_id"), col("r").as("pr_pico"))
   }
