@@ -45,7 +45,32 @@ object Tables {
     df.repartition(math.max(1,
       df.sparkSession.sessionState.conf.numShufflePartitions / 2))
 
+  /** Resolved-relation memo: `spark.read.parquet` pays a driver-side
+    * relation resolution (file listing + footer schema read) on EVERY
+    * call — measured 65 ms/call at sf0.1, and the bench surface calls
+    * `load` thousands of times (per query per rep). The memo returns the
+    * same LAZY DataFrame per (session, dir, table): executions still
+    * scan the parquet files every time (this caches plan resolution,
+    * never data or results), downstream plans share one canonical
+    * relation, and the (session, dir)-per-testdata-generation staleness
+    * contract is the same one [[graft.ops.Memo]] documents.
+    */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = s"${System.identityHashCode(spark)}|$dir|$name"
+    val existing = resolved.get(key)
+    if (existing != null) existing
+    else {
+      val built = doLoad(spark, dir, name)
+      val prev = resolved.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  private def doLoad(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
     // The harness regenerates events.parquet between rounds and its `ts`
     // physical type has drifted across generations; accept ALL of them and
     // conform to session-zoned TIMESTAMP so every downstream consumer

@@ -633,9 +633,15 @@ object DedupOps extends OpGroup {
           .as("h"))
   }
 
-  /** k-gram occurrences whose hash repeats anywhere in the corpus. */
+  /** k-gram occurrences whose hash repeats anywhere in the corpus.
+    * kg is materialized once per execution (eager localCheckpoint): it
+    * feeds both the repeat-hash aggregate and the join probe, and
+    * without truncation each branch re-runs the tokenize → posexplode →
+    * k-lead window → md5 pipeline over the whole corpus (2 full passes
+    * measured at sf0.1; at 100 TB this is the dominant scan).
+    */
   private def dupOccurrences(d: DataFrame): DataFrame = {
-    val kg = kgramRows(d)
+    val kg = kgramRows(d).localCheckpoint()
     val duph = kg.groupBy(col("h")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > 1).drop("_n")
     kg.join(duph, Seq("h"))
@@ -747,7 +753,11 @@ object DedupOps extends OpGroup {
     // longs, so both stay HashAggregates with map-side partials — the
     // hot key collapses to one row per mapper before any shuffle — and
     // every consumer shares the single hash-partitioned exchange on h.
-    val kg = kgramRows(d)
+    // Materialized once per execution (eager localCheckpoint): ownDoc,
+    // ownPos and occ all probe kg, and without truncation the corpus
+    // tokenize → k-lead window → md5 pipeline ran 3× (measured r13:
+    // three identical scan+window stage pairs at sf0.1).
+    val kg = kgramRows(d).localCheckpoint()
     val ownDoc = kg.groupBy(col("h"))
       .agg(count(lit(1)).as("_n"), min(col("doc_id")).as("_od"))
       .filter(col("_n") > 1)

@@ -1743,9 +1743,18 @@ object SimilarityOps extends OpGroup {
       qCount: Int, init: Seq[(Long, Long)]): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val q = e.filter(col("vec_id") < qCount)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
+    // The query batch is round-invariant and ≤ qCount rows (the same
+    // bounded driver-model class as the beam itself), but spelled as a
+    // corpus filter it re-executed a scan job inside EVERY round's
+    // broadcast build. Collect it once and re-enter it as a local
+    // relation: values are identical (the cosine still rounds inside
+    // the distributed projection), and each round drops one job.
+    val q = {
+      val rows = e.filter(col("vec_id") < qCount)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .as[(Long, Array[Double], Double)].collect().toSeq
+      rows.toDF("q_id", "q_emb", "q_nrm")
+    }
     // Score a candidate (q_id, vec_id) frame and bring the scored rows
     // to the driver: candidates stay beam-bounded so they broadcast and
     // the corpus streams through one codegen'd probe — no corpus
