@@ -2196,8 +2196,21 @@ object SimilarityOps extends OpGroup {
 
   def graphRecallReport(s: SparkSession, dir: String): DataFrame = {
     val truth = bruteTruthTopk(s, dir)
-    recallHits(truth, graphTopk(s, dir), "graph_flat")
-      .unionByName(recallHits(truth, hnswTopk(s, dir), "graph_hnsw"))
+    // The flat and hierarchical searches are independent driver-side
+    // beam loops (one scoring action per round); run them from two
+    // driver threads so the second search's rounds back-fill the
+    // executor idle time of the first's (guide §2.6 "overlap
+    // independent jobs") — results are unchanged (each search is
+    // deterministic in isolation), wall ≈ max instead of sum.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fFlat = Future(graphTopk(s, dir))
+    val fHnsw = Future(hnswTopk(s, dir))
+    val flat = Await.result(fFlat, Duration.Inf)
+    val hnsw = Await.result(fHnsw, Duration.Inf)
+    recallHits(truth, flat, "graph_flat")
+      .unionByName(recallHits(truth, hnsw, "graph_hnsw"))
   }
 
   /** Single-bucket vs multi-probe LSH recall against the brute truth —
