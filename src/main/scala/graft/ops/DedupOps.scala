@@ -758,6 +758,11 @@ object DedupOps extends OpGroup {
     // tokenize → k-lead window → md5 pipeline ran 3× (measured r13:
     // three identical scan+window stage pairs at sf0.1).
     val kg = kgramRows(d).localCheckpoint()
+    // (r13 note: a two-level (h, doc_id) → h struct-min aggregation was
+    // A/B'd here to drop the join-back pass; it shuffled MORE — the
+    // (h, doc)-grain partial doesn't collapse hot hashes map-side the
+    // way the h-keyed partial does, and the kg exchange below is reused
+    // by both consumers anyway (41 → 55 MB measured at sf0.1). Kept.)
     val ownDoc = kg.groupBy(col("h"))
       .agg(count(lit(1)).as("_n"), min(col("doc_id")).as("_od"))
       .filter(col("_n") > 1)
